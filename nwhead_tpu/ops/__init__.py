@@ -1,0 +1,13 @@
+from nwhead_tpu.ops.kernels import get_kernel, KERNEL_NAMES
+from nwhead_tpu.ops.nw import nw_log_probs, nw_probs_and_weights
+from nwhead_tpu.ops.influence import support_influence
+from nwhead_tpu.ops import metrics
+
+__all__ = [
+    "get_kernel",
+    "KERNEL_NAMES",
+    "nw_log_probs",
+    "nw_probs_and_weights",
+    "support_influence",
+    "metrics",
+]

@@ -1,0 +1,24 @@
+"""Test configuration: run all tests on a simulated 8-device CPU backend.
+
+Multi-chip sharding is validated on virtual CPU devices (the standard JAX
+fake-backend trick) since only one real TPU chip is available; the driver
+separately compile-checks the TPU path via ``__graft_entry__.py``.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
