@@ -1,0 +1,61 @@
+"""Backbone model zoo registry.
+
+Name -> constructor lookup, equivalent to the reference's
+``load_model(name, pretrained, **kw)`` registry (``model/__init__.py:5-8``)
+but explicit rather than via ``globals()``. All backbones are headless: they
+return pooled feature vectors.
+
+``pretrained`` weights are imported from torchvision checkpoints via
+``nwhead_tpu.models.torch_import`` (pass a local ``state_dict`` path — this
+environment has no network egress).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+
+from nwhead_tpu.models import resnet as _resnet
+from nwhead_tpu.models import densenet as _densenet
+
+_REGISTRY = {
+    "resnet10": _resnet.resnet10,
+    "resnet18": _resnet.resnet18,
+    "resnet34": _resnet.resnet34,
+    "resnet50": _resnet.resnet50,
+    "resnet101": _resnet.resnet101,
+    "resnet152": _resnet.resnet152,
+    "resnext50_32x4d": _resnet.resnext50_32x4d,
+    "resnext101_32x8d": _resnet.resnext101_32x8d,
+    "CIFAR_ResNet10": _resnet.CIFAR_ResNet10,
+    "CIFAR_ResNet18": _resnet.CIFAR_ResNet18,
+    "CIFAR_ResNet34": _resnet.CIFAR_ResNet34,
+    "densenet121": _densenet.densenet121,
+    "densenet161": _densenet.densenet161,
+    "densenet169": _densenet.densenet169,
+    "densenet201": _densenet.densenet201,
+    "CIFAR_DenseNet121": _densenet.CIFAR_DenseNet121,
+}
+
+MODEL_NAMES = tuple(_REGISTRY)
+
+
+def load_model(name: str, pretrained: bool = False, **kwargs: Any) -> nn.Module:
+    """Build a backbone by name. ``pretrained`` may be False or a path to a
+    local torchvision-format checkpoint (see ``torch_import.load_pretrained``)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"Unknown model {name!r}; valid: {MODEL_NAMES}")
+    model = _REGISTRY[name](**kwargs)
+    if pretrained:
+        raise ValueError(
+            "Pass pretrained=False and use "
+            "nwhead_tpu.models.torch_import.load_pretrained(model, path) to "
+            "import a local torchvision checkpoint (no network egress here)."
+        )
+    return model
+
+
+def feature_dim(name: str, **kwargs: Any) -> int:
+    """Output feature dimension of a backbone (``train.py:200-214``)."""
+    return _REGISTRY[name](**kwargs).feat_dim

@@ -1,0 +1,296 @@
+"""Headless ResNet / ResNeXt family (Flax linen, NHWC).
+
+TPU-native re-design of the reference model zoo (``model/resnet.py`` in
+alanqrwang/nwhead): ImageNet-style ResNets whose ``__call__`` returns pooled
+feature vectors, not logits (reference ``resnet.py:194-207``), plus the
+CIFAR-scale pre-activation variant (``resnet.py:209-239``).
+
+Conventions matched to the reference:
+  * Kaiming-normal fan-out conv init, BN gamma=1/beta=0 (``resnet.py:157-162``).
+  * Optional ``zero_init_residual`` zeroing the last BN of each residual
+    branch (``resnet.py:167-172``).
+  * Explicit torch-style paddings (pad=3 for the 7x7 stem, pad=1 for 3x3)
+    rather than XLA 'SAME', so imported torchvision weights reproduce the
+    reference bit-for-bit at fp32.
+
+TPU-first choices: NHWC layout (XLA's preferred conv layout), BatchNorm with
+``use_running_average`` threaded functionally, grouped convs via
+``feature_group_count`` for ResNeXt.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Type
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+# Kaiming-normal, fan_out, relu gain — torch's nn.init.kaiming_normal_(
+# mode='fan_out', nonlinearity='relu').
+kaiming_normal_out = nn.initializers.variance_scaling(
+    2.0, mode="fan_out", distribution="normal"
+)
+
+
+def conv3x3(features: int, stride: int = 1, groups: int = 1, name: str | None = None):
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=[(1, 1), (1, 1)],
+        feature_group_count=groups,
+        use_bias=False,
+        kernel_init=kaiming_normal_out,
+        name=name,
+    )
+
+
+def conv1x1(features: int, stride: int = 1, name: str | None = None):
+    return nn.Conv(
+        features,
+        (1, 1),
+        strides=(stride, stride),
+        padding="VALID",
+        use_bias=False,
+        kernel_init=kaiming_normal_out,
+        name=name,
+    )
+
+
+def _bn(train: bool, zero_init: bool = False, name: str | None = None):
+    """BatchNorm with torch semantics (momentum 0.1 -> flax momentum 0.9)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """Post-activation basic block (``resnet.py:31-66``)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    zero_init_residual: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.groups == 1 and self.base_width == 64, (
+            "BasicBlock only supports groups=1 and base_width=64"
+        )
+        identity = x
+        out = conv3x3(self.planes, self.stride, name="conv1")(x)
+        out = _bn(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, name="conv2")(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn2")(out)
+        if self.downsample:
+            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv")(x)
+            identity = _bn(train, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """Post-activation bottleneck block (``resnet.py:69-109``)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    zero_init_residual: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = conv1x1(width, name="conv1")(x)
+        out = _bn(train, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv3x3(width, self.stride, self.groups, name="conv2")(out)
+        out = _bn(train, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv1x1(self.planes * self.expansion, name="conv3")(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn3")(out)
+        if self.downsample:
+            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv")(x)
+            identity = _bn(train, name="ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class PreActBlock(nn.Module):
+    """Pre-activation basic block for CIFAR ResNets (``resnet.py:111-134``)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False  # shortcut conv when shape changes
+    groups: int = 1
+    base_width: int = 64
+    zero_init_residual: bool = False
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = nn.relu(_bn(train, name="bn1")(x))
+        if self.downsample:
+            shortcut = nn.Conv(
+                self.planes * self.expansion,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                name="shortcut",
+            )(out)
+        else:
+            shortcut = x
+        out = conv3x3(self.planes, self.stride, name="conv1")(out)
+        out = conv3x3(self.planes, name="conv2")(nn.relu(_bn(train, name="bn2")(out)))
+        return out + shortcut
+
+
+class ResNet(nn.Module):
+    """ImageNet-style headless ResNet: features end at global-avg-pool
+    (``resnet.py:194-207``). Returns ``(B, 512 * expansion)``."""
+
+    block: Type[nn.Module]
+    layers: Sequence[int]
+    groups: int = 1
+    width_per_group: int = 64
+    zero_init_residual: bool = False
+
+    @property
+    def feat_dim(self) -> int:
+        return 512 * self.block.expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            kernel_init=kaiming_normal_out,
+            name="conv1",
+        )(x)
+        x = _bn(train, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        inplanes = 64
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers)
+        ):
+            stride = 1 if stage == 0 else 2
+            for i in range(blocks):
+                s = stride if i == 0 else 1
+                needs_ds = s != 1 or inplanes != planes * self.block.expansion
+                x = self.block(
+                    planes=planes,
+                    stride=s,
+                    downsample=needs_ds,
+                    groups=self.groups,
+                    base_width=self.width_per_group,
+                    zero_init_residual=self.zero_init_residual,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train=train)
+                inplanes = planes * self.block.expansion
+
+        x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
+        return x
+
+
+class CIFAR_ResNet(nn.Module):
+    """CIFAR-scale pre-activation ResNet (``resnet.py:209-239``): 3x3 stem,
+    PreAct blocks, 4x4 average pool. Returns ``(B, 512)`` for 32x32 input."""
+
+    block: Type[nn.Module]
+    num_blocks: Sequence[int]
+
+    @property
+    def feat_dim(self) -> int:
+        return 512 * self.block.expansion
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv3x3(64, name="conv1")(x)
+        x = _bn(train, name="bn1")(x)
+        x = nn.relu(x)
+
+        in_planes = 64
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.num_blocks)
+        ):
+            stride = 1 if stage == 0 else 2
+            for i in range(blocks):
+                s = stride if i == 0 else 1
+                needs_ds = s != 1 or in_planes != planes * self.block.expansion
+                x = self.block(
+                    planes=planes,
+                    stride=s,
+                    downsample=needs_ds,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train=train)
+                in_planes = planes * self.block.expansion
+
+        x = nn.avg_pool(x, (4, 4), strides=(4, 4))
+        return x.reshape(x.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# Constructors (mirroring the reference registry names, resnet.py:242-324)
+# ---------------------------------------------------------------------------
+
+def resnet10(**kw) -> ResNet:
+    return ResNet(block=BasicBlock, layers=(1, 1, 1, 1), **kw)
+
+
+def resnet18(**kw) -> ResNet:
+    return ResNet(block=BasicBlock, layers=(2, 2, 2, 2), **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return ResNet(block=BasicBlock, layers=(3, 4, 6, 3), **kw)
+
+
+def resnet50(**kw) -> ResNet:
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), **kw)
+
+
+def resnet101(**kw) -> ResNet:
+    return ResNet(block=Bottleneck, layers=(3, 4, 23, 3), **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    return ResNet(block=Bottleneck, layers=(3, 8, 36, 3), **kw)
+
+
+def resnext50_32x4d(**kw) -> ResNet:
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), groups=32, width_per_group=4, **kw)
+
+
+def resnext101_32x8d(**kw) -> ResNet:
+    return ResNet(block=Bottleneck, layers=(3, 4, 23, 3), groups=32, width_per_group=8, **kw)
+
+
+def CIFAR_ResNet10(**kw) -> CIFAR_ResNet:
+    return CIFAR_ResNet(block=PreActBlock, num_blocks=(1, 1, 1, 1), **kw)
+
+
+def CIFAR_ResNet18(**kw) -> CIFAR_ResNet:
+    return CIFAR_ResNet(block=PreActBlock, num_blocks=(2, 2, 2, 2), **kw)
+
+
+def CIFAR_ResNet34(**kw) -> CIFAR_ResNet:
+    return CIFAR_ResNet(block=PreActBlock, num_blocks=(3, 4, 6, 3), **kw)

@@ -1,0 +1,144 @@
+"""Import torchvision-format checkpoints into nwhead_tpu backbones.
+
+The reference loads pretrained torchvision weights with ``strict=False``
+(``model/resnet.py:259-267``, ``model/densenet.py:167-182``). Here we convert
+a torch ``state_dict`` (loaded from a local file — no network egress) into the
+Flax ``{'params': ..., 'batch_stats': ...}`` trees of our headless models.
+
+Conventions:
+  * conv kernels: torch OIHW -> flax HWIO (transpose (2, 3, 1, 0)).
+  * BatchNorm: weight/bias -> scale/bias; running_mean/var -> batch_stats.
+  * classifier/fc weights are skipped (our models are headless).
+  * densenet legacy 'norm.1'-style keys are re-mapped like the reference's
+    ``_load_state_dict`` pattern (``densenet.py:167-182``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _assign(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_tensor(name: str, t) -> np.ndarray:
+    arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    if arr.ndim == 4:  # conv kernel OIHW -> HWIO
+        arr = arr.transpose(2, 3, 1, 0)
+    return arr
+
+
+_BN_PARAM = {"weight": "scale", "bias": "bias"}
+_BN_STAT = {"running_mean": "mean", "running_var": "var"}
+
+# densenet legacy key pattern (reference densenet.py:172-173)
+_DENSE_LEGACY = re.compile(
+    r"^(.*denselayer\d+\.(?:norm|relu|conv))\.((?:[12])\.(?:weight|bias|running_mean|running_var))$"
+)
+
+
+def _resnet_path(key: str) -> Tuple[str, ...]:
+    """torchvision resnet key -> our module path (without leaf)."""
+    parts = key.split(".")
+    if parts[0] in ("conv1", "bn1"):
+        return (parts[0],)
+    m = re.match(r"layer(\d)", parts[0])
+    if m:
+        block = f"layer{m.group(1)}_{parts[1]}"
+        if parts[2] == "downsample":
+            sub = "ds_conv" if parts[3] == "0" else "ds_bn"
+            return (block, sub)
+        return (block, parts[2])
+    raise KeyError(key)
+
+
+def _densenet_path(key: str) -> Tuple[str, ...]:
+    parts = key.split(".")
+    assert parts[0] == "features"
+    rest = parts[1:]
+    if rest[0] in ("conv0", "norm0", "norm5"):
+        return (rest[0],)
+    if rest[0].startswith("denseblock"):
+        return (rest[0], rest[1], rest[2])
+    if rest[0].startswith("transition"):
+        return (rest[0], rest[1])
+    raise KeyError(key)
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, Any], arch: str
+) -> Dict[str, Dict[str, Any]]:
+    """Convert a torchvision ``state_dict`` into ``{'params', 'batch_stats'}``
+    trees for the same-named nwhead_tpu backbone."""
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    is_dense = arch.startswith("densenet")
+    path_fn = _densenet_path if is_dense else _resnet_path
+
+    items = dict(state_dict)
+    if is_dense:  # legacy 'norm.1' key remap
+        for key in list(items):
+            m = _DENSE_LEGACY.match(key)
+            if m:
+                items[m.group(1) + m.group(2)] = items.pop(key)
+
+    for key, tensor in items.items():
+        leaf = key.split(".")[-1]
+        if key.startswith(("fc.", "classifier.")):
+            continue  # headless models have no classifier
+        if leaf == "num_batches_tracked":
+            continue
+        base = key.rsplit(".", 1)[0]
+        path = path_fn(base)
+        arr = _convert_tensor(key, tensor)
+        is_bn = leaf in _BN_STAT or (
+            leaf in _BN_PARAM
+            and any(tok.startswith(("bn", "norm", "ds_bn")) for tok in path)
+        )
+        if leaf in _BN_STAT:
+            _assign(batch_stats, path + (_BN_STAT[leaf],), arr)
+        elif is_bn:
+            _assign(params, path + (_BN_PARAM[leaf],), arr)
+        elif leaf == "weight":
+            name = "kernel"
+            _assign(params, path + (name,), arr)
+        elif leaf == "bias":
+            _assign(params, path + ("bias",), arr)
+        else:
+            raise KeyError(f"Unhandled key {key}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_pretrained(variables: Dict[str, Any], state_dict: Mapping[str, Any], arch: str):
+    """Merge converted torch weights into an initialized variable tree,
+    strict=False style: keys present in both are replaced, extra reference
+    keys are ignored, missing ones keep their initialization."""
+    import jax
+
+    converted = convert_state_dict(state_dict, arch)
+
+    def merge(init_tree, conv_tree):
+        out = {}
+        for k, v in init_tree.items():
+            if k in conv_tree:
+                if isinstance(v, dict):
+                    out[k] = merge(v, conv_tree[k])
+                else:
+                    cv = conv_tree[k]
+                    assert cv.shape == v.shape, (k, cv.shape, v.shape)
+                    out[k] = cv.astype(np.asarray(v).dtype)
+            else:
+                out[k] = v
+        return out
+
+    return {
+        "params": merge(variables["params"], converted["params"]),
+        "batch_stats": merge(variables["batch_stats"], converted["batch_stats"]),
+    }

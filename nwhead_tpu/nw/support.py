@@ -1,0 +1,347 @@
+"""Support-set engine: episodic sampling, balanced full banks, environments.
+
+Host-side index math (numpy) mirroring the reference's loader-level episodic
+construction, redesigned so the device side always sees static shapes:
+
+  * ``EpisodicSampler`` — the ``InfiniteUniformClassLoader.next(qy)``
+    equivalent (``nwhead/utils.py:99-140``): with ``n_way`` set, the support
+    episode contains every query class plus ``n_way - |qy|`` other classes
+    sampled uniformly *excluding* the query classes, ``n_shot`` examples per
+    class without replacement. Support size is the constant
+    ``n_way * n_shot`` (or ``n_classes * n_shot``), XLA-friendly.
+  * ``balanced_full_indices`` — the ``FullDataset`` bank
+    (``nwhead/utils.py:34-54``): per-class caps ``min(n_shot_full,
+    min_class_count)`` (class-balanced) and takes the *first* n per class
+    (deterministic).
+  * ``SupportSet(Train/Eval)`` — environment handling for the three input
+    shapes the reference accepts (``nwhead/support.py:19-38``) and IRM
+    single-environment-per-step sampling (``support.py:76-78``).
+
+Sampling uses ``numpy.random.Generator`` — we match the reference's
+*distributional* behavior and guarantees (query classes present, class
+balance, no replacement), not its bit-exact numpy legacy-RNG streams
+(SURVEY.md §7 "sampler parity").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def get_separated_indices(vals: Sequence[int]) -> List[List[int]]:
+    """Bucket indices per label, mapping possibly non-consecutive labels to
+    consecutive ids (``nwhead/utils.py:142-159``).
+
+    E.g. [0, 1, 1, 2, 3] -> [[0], [1, 2], [3], [4]].
+    """
+    vals = np.asarray(vals)
+    uniq = sorted(set(vals.tolist()))
+    remap = {y: i for i, y in enumerate(uniq)}
+    indices: List[List[int]] = [[] for _ in uniq]
+    for i, c in enumerate(vals.tolist()):
+        indices[remap[c]].append(i)
+    return indices
+
+
+def balanced_full_indices(targets: Sequence[int], n_shot_full: int) -> np.ndarray:
+    """Deterministic class-balanced full-mode bank indices
+    (``FullDataset``, ``nwhead/utils.py:40-48``): cap at the smallest class
+    count, take the first ``n`` indices of each class."""
+    per_class = get_separated_indices(targets)
+    min_len = min(len(l) for l in per_class)
+    n = min(n_shot_full, min_len)
+    keys: List[int] = []
+    for l in per_class:
+        keys += l[:n]
+    return np.asarray(keys, dtype=np.int64)
+
+
+class EpisodicSampler:
+    """Uniform-class episodic support sampler.
+
+    Equivalent of ``InfiniteUniformClassLoader`` (``nwhead/utils.py:99-140``)
+    operating purely in index space; callers gather images/features with the
+    returned indices.
+    """
+
+    def __init__(
+        self,
+        targets: Sequence[int],
+        n_shot: int,
+        n_way: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.indices = [np.asarray(l) for l in get_separated_indices(targets)]
+        self.n_classes = len(self.indices)
+        self.n_shot = n_shot
+        self.n_way = n_way
+        if n_way:
+            assert n_way <= self.n_classes
+        self.rng = np.random.default_rng(seed)
+        # Consecutive-id remap of raw labels (for qy lookups on raw labels).
+        uniq = sorted(set(np.asarray(targets).tolist()))
+        self._remap = {y: i for i, y in enumerate(uniq)}
+        self._label_of_class = np.asarray(uniq)
+
+    def sample(self, qy: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Sample one support episode.
+
+        qy: query labels of the current batch (consecutive class ids). With
+        ``n_way`` set, every query class is guaranteed present in the episode
+        (``utils.py:126-131``) and must satisfy ``len(qy) <= n_way``.
+
+        Returns ``(support_indices, support_labels)``; size ``n_way * n_shot``
+        (or ``n_classes * n_shot`` without n_way). The class order of the
+        episode matches the reference: sampled "other" classes first, then
+        the query classes.
+        """
+        if self.n_way:
+            assert qy is not None, "n_way sampling needs the query labels"
+            qy = np.asarray(qy)
+            assert len(qy) <= self.n_way, "qy must be smaller than n_way"
+            probs = np.ones(self.n_classes)
+            probs[qy] = 0
+            probs /= probs.sum()
+            subclasses = self.rng.choice(
+                self.n_classes, size=self.n_way - len(qy), replace=False, p=probs
+            )
+            subclasses = np.concatenate([subclasses, qy])
+            class_rows = [self.indices[i] for i in subclasses]
+        else:
+            class_rows = self.indices
+
+        support_idxs = np.stack(
+            [self.rng.choice(row, size=self.n_shot, replace=False) for row in class_rows]
+        ).flatten()
+        labels = np.asarray(
+            [self._label_of_class[self._remap_row(i)] for i in support_idxs]
+        )
+        return support_idxs, labels
+
+    def _remap_row(self, idx: int) -> int:
+        # Inverse lookup: which class bucket contains idx. Precompute once.
+        if not hasattr(self, "_class_of_index"):
+            total = sum(len(l) for l in self.indices)
+            owner = np.empty(total, dtype=np.int64)
+            for c, l in enumerate(self.indices):
+                owner[l] = c
+            self._class_of_index = owner
+        return int(self._class_of_index[idx])
+
+
+@dataclass
+class Environments:
+    """Normalized environment info for a support dataset.
+
+    The reference accepts three shapes (``nwhead/support.py:19-38``):
+      (a) one dataset + env_array -> split per env;
+      (b) a list of datasets, each its own environment (concatenated);
+      (c) one dataset, no env info -> a single zero environment.
+    Here a "dataset" is just its ``targets`` array; image gathering is the
+    data layer's job.
+    """
+
+    targets: np.ndarray  # combined targets, len N
+    env_array: np.ndarray  # env id per item, len N
+    env_ids: np.ndarray  # unique env ids, sorted
+
+    @staticmethod
+    def build(
+        targets_or_list,
+        env_array: Optional[Sequence[int]] = None,
+    ) -> "Environments":
+        if env_array is not None:  # shape (a)
+            targets = np.asarray(targets_or_list)
+            env_array = np.asarray(env_array)
+            assert len(env_array) == len(targets)
+        elif isinstance(targets_or_list, (list, tuple)) and not np.isscalar(
+            targets_or_list[0]
+        ):  # shape (b): list of per-env target arrays
+            parts = [np.asarray(t) for t in targets_or_list]
+            targets = np.concatenate(parts)
+            env_array = np.concatenate(
+                [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(parts)]
+            )
+        else:  # shape (c)
+            targets = np.asarray(targets_or_list)
+            env_array = np.zeros(len(targets), dtype=np.int64)
+        return Environments(
+            targets=targets,
+            env_array=np.asarray(env_array),
+            env_ids=np.unique(env_array),
+        )
+
+    @property
+    def n_envs(self) -> int:
+        return len(self.env_ids)
+
+    def env_indices(self, env_id) -> np.ndarray:
+        return np.nonzero(self.env_array == env_id)[0]
+
+
+class SupportSetTrain:
+    """Training-time support sampling (``nwhead/support.py:58-93``).
+
+    train_type='random': one episodic sampler over the combined dataset,
+    conditioned on the query labels.
+    train_type='irm': one sampler per environment; each step draws the whole
+    support from ONE uniformly chosen environment (``support.py:76-78``) —
+    the invariant-representation (NeurIPS 2023) training signal.
+    """
+
+    def __init__(
+        self,
+        targets_or_list,
+        n_classes: int,
+        train_type: str = "random",
+        n_shot: int = 1,
+        n_way: Optional[int] = None,
+        env_array: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.envs = Environments.build(targets_or_list, env_array)
+        self.n_classes = n_classes
+        self.train_type = train_type
+        self.n_shot = n_shot
+        self.n_way = n_way
+        self._rng = np.random.default_rng(seed)
+        if train_type == "random":
+            self.sampler = EpisodicSampler(
+                self.envs.targets, n_shot, n_way, seed=self._seed()
+            )
+            self._env_samplers = None
+            self._env_index_maps = None
+        elif train_type == "irm":
+            self._env_samplers = []
+            self._env_index_maps = []
+            for e in self.envs.env_ids:
+                idx = self.envs.env_indices(e)
+                self._env_samplers.append(
+                    EpisodicSampler(self.envs.targets[idx], n_shot, seed=self._seed())
+                )
+                self._env_index_maps.append(idx)
+            self.sampler = None
+        else:
+            raise ValueError(f"train_type must be 'random' or 'irm', got {train_type}")
+
+    def _seed(self) -> int:
+        return int(self._rng.integers(0, 2**31 - 1))
+
+    def support_size(self) -> int:
+        """Static episode size (constant across steps — XLA-friendly)."""
+        if self.train_type == "irm":
+            return self.n_classes * self.n_shot
+        n_way = self.n_way or self.n_classes
+        return n_way * self.n_shot
+
+    def get_support(self, qy: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sample one support episode -> (dataset_indices, labels, env_meta)."""
+        if self.train_type == "irm":
+            e = int(self._rng.integers(0, self.envs.n_envs))
+            local_idx, labels = self._env_samplers[e].sample()
+            idx = self._env_index_maps[e][local_idx]
+            meta = np.full(len(idx), self.envs.env_ids[e])
+        else:
+            idx, labels = self.sampler.sample(qy)
+            meta = self.envs.env_array[idx]
+        return idx, labels, meta
+
+
+class SupportSetEval:
+    """Inference-time support artifacts (``nwhead/support.py:95-165``).
+
+    Hold precomputed feature-bank artifacts and dispatch by mode:
+    random / full / cluster / ensemble / knn / hnsw. ``build_infer_iters``
+    must run after the feature bank is computed (the reference raises
+    "Did you run precompute()?" otherwise, ``support.py:153-154``).
+    """
+
+    def __init__(
+        self,
+        targets_or_list,
+        n_classes: int,
+        n_shot_random: int = 1,
+        n_shot_full: int = 100,
+        n_shot_cluster: int = 3,
+        n_neighbors: int = 20,
+        env_array: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.envs = Environments.build(targets_or_list, env_array)
+        self.n_classes = n_classes
+        self.n_shot_random = n_shot_random
+        self.n_shot_full = n_shot_full
+        self.n_shot_cluster = n_shot_cluster
+        self.n_neighbors = n_neighbors
+        self.seed = seed
+        # Per-env deterministic balanced banks (indices into the combined set).
+        self.full_bank_indices: List[np.ndarray] = []
+        for e in self.envs.env_ids:
+            idx = self.envs.env_indices(e)
+            local = balanced_full_indices(self.envs.targets[idx], n_shot_full)
+            self.full_bank_indices.append(idx[local])
+
+    # -- artifacts built from precomputed features ---------------------------
+
+    def build_infer_iters(
+        self,
+        sfeat: np.ndarray,
+        sy: np.ndarray,
+        smeta: np.ndarray,
+        sfeat_env: List[np.ndarray],
+        sy_env: List[np.ndarray],
+        smeta_env: List[np.ndarray],
+    ) -> None:
+        from nwhead_tpu.ops.kmeans import compute_clusters
+
+        self.full_feat = np.asarray(sfeat)
+        self.full_y = np.asarray(sy)
+        self.full_meta = np.asarray(smeta)
+        self.full_feat_sep = [np.asarray(f) for f in sfeat_env]
+        self.full_y_sep = [np.asarray(y) for y in sy_env]
+        self.full_meta_sep = [np.asarray(m) for m in smeta_env]
+
+        # Cluster: per-class k-means centroids (support.py:123).
+        self.cluster_feat, self.cluster_y = compute_clusters(
+            self.full_feat, self.full_y, self.n_shot_cluster
+        )
+
+        # Random: episodic sampler over the precomputed features
+        # (support.py:126-129).
+        self.random_sampler = EpisodicSampler(
+            self.full_y, self.n_shot_random, seed=self.seed
+        )
+
+        # KNN / HNSW indexes (support.py:132-133).
+        from nwhead_tpu.ops.knn import ExactKNN
+
+        self.knn = ExactKNN(self.full_feat, self.full_y, self.n_neighbors)
+        try:
+            from nwhead_tpu.native.hnsw import HNSWIndex
+
+            self.hnsw = HNSWIndex(self.full_feat, self.full_y, self.n_neighbors)
+        except Exception:  # native module unavailable -> exact fallback
+            self.hnsw = self.knn
+
+    def get_support(self, mode: str, x: Optional[np.ndarray] = None):
+        """Support features/labels for an inference mode (``support.py:135-154``)."""
+        try:
+            if mode == "random":
+                idx, _ = self.random_sampler.sample()
+                return self.full_feat[idx], self.full_y[idx]
+            if mode == "full":
+                return self.full_feat, self.full_y
+            if mode == "cluster":
+                return self.cluster_feat, self.cluster_y
+            if mode == "ensemble":
+                return self.full_feat_sep, self.full_y_sep
+            if mode == "knn":
+                return self.knn(x)
+            if mode == "hnsw":
+                return self.hnsw(x)
+            raise NotImplementedError(mode)
+        except AttributeError as e:
+            raise AttributeError("Did you run precompute()?") from e

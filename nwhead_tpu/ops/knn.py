@@ -1,0 +1,49 @@
+"""Exact k-nearest-neighbor support construction.
+
+Device-side equivalent of the reference's ``KNN`` (``nwhead/utils.py:178-193``):
+exact L2 neighbors via a distance matrix; instead of host argsort we use
+``jax.lax.top_k`` on the negated distances (O(S log k) on device).
+
+The reference concatenates all queries' neighbor features into one flat
+``(bs * k, d)`` support, which the NW head then *shares across the whole
+batch* (the 2-D support broadcast, ``nw.py:277-279``) — i.e. the effective
+knn support is the union (with duplicates) of the batch's neighbor sets.
+This observed behavior (a quirk, per SURVEY.md §2.2) is reproduced exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nwhead_tpu.ops.kernels import pairwise_sqdist
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_indices(x: jnp.ndarray, bank: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k nearest bank rows per query (exact, squared-L2).
+
+    x: (B, d), bank: (S, d) -> (B, k) int32.
+    """
+    d2 = pairwise_sqdist(x[None], bank[None])[0]  # (B, S)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx
+
+
+class ExactKNN:
+    """Callable mirroring the reference ``KNN`` interface: ``knn(x) ->
+    (support_features (B * k, d), support_labels (B * k,))``."""
+
+    def __init__(self, data: np.ndarray, labels: np.ndarray, n_neighbors: int = 20):
+        self.data = jnp.asarray(data)
+        self.labels = np.asarray(labels)
+        self.n_neighbors = n_neighbors
+
+    def __call__(self, x) -> Tuple[np.ndarray, np.ndarray]:
+        idx = np.asarray(knn_indices(jnp.asarray(x), self.data, self.n_neighbors))
+        flat = idx.reshape(-1)  # flat-concat union support (utils.py:191-192)
+        return np.asarray(self.data)[flat], self.labels[flat]

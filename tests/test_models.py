@@ -1,0 +1,105 @@
+"""Backbone parity tests: convert random torchvision weights into our Flax
+models and require feature-level agreement — validates conv padding, BN
+semantics, pooling, and the weight importer in one shot."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nwhead_tpu.models import load_model, feature_dim, MODEL_NAMES
+from nwhead_tpu.models.torch_import import load_pretrained
+
+
+def _parity(arch, torch_model, size=64, atol=5e-3):
+    # atol covers accumulated fp32 conv-ordering noise (XLA vs torch) through
+    # deep stacks; a padding/BN semantic bug shows up orders of magnitude larger.
+    import torch
+
+    # Randomize BN running stats too, so eval-mode parity is non-trivial.
+    sd = torch_model.state_dict()
+    g = torch.Generator().manual_seed(7)
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+    torch_model.load_state_dict(sd)
+    torch_model.eval()
+
+    model = load_model(arch)
+    x = np.random.default_rng(0).standard_normal((2, size, size, 3)).astype(np.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = load_pretrained(variables, torch_model.state_dict(), arch)
+
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=atol)
+
+
+def test_resnet18_matches_torch_oracle():
+    from torch_oracles import torch_resnet18
+
+    _parity("resnet18", torch_resnet18())
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="slow on CPU backend; set RUN_SLOW=1",
+)
+def test_resnet50_matches_torch_oracle():
+    from torch_oracles import torch_resnet50
+
+    _parity("resnet50", torch_resnet50())
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="grouped-conv compile is very slow on CPU backend; set RUN_SLOW=1",
+)
+def test_resnext50_matches_torch_oracle():
+    from torch_oracles import torch_resnext50_32x4d
+
+    _parity("resnext50_32x4d", torch_resnext50_32x4d())
+
+
+def test_densenet121_matches_torch_oracle():
+    from torch_oracles import torch_densenet121
+
+    _parity("densenet121", torch_densenet121())
+
+
+def test_feature_dims():
+    # train.py:200-214 pins resnet18 -> 512, densenet121 -> 1024.
+    assert feature_dim("resnet18") == 512
+    assert feature_dim("resnet50") == 2048
+    assert feature_dim("densenet121") == 1024
+    assert feature_dim("densenet161") == 2208
+    assert feature_dim("CIFAR_ResNet18") == 512
+
+
+@pytest.mark.parametrize("arch", ["CIFAR_ResNet18", "CIFAR_DenseNet121"])
+def test_cifar_models_forward(arch):
+    model = load_model(arch)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, model.feat_dim)
+    # train mode updates batch_stats
+    out2, updates = model.apply(
+        model.init(jax.random.PRNGKey(0), x, train=True),
+        x,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    assert out2.shape == (2, model.feat_dim)
+    assert "batch_stats" in updates
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(KeyError):
+        load_model("nope")
+    assert "resnet18" in MODEL_NAMES

@@ -1,0 +1,181 @@
+"""Minimal torch oracle backbones for parity tests.
+
+Hand-written ResNet/DenseNet in torch with torchvision-compatible
+``state_dict`` key names (conv1, bn1, layer1.0.conv2, features.denseblock1...)
+so the same converter that imports real torchvision checkpoints is exercised.
+Test-only code — the framework itself is pure JAX.
+"""
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchBasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, groups=1, base_width=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class TorchBottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, groups=1, base_width=64):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class TorchResNet(nn.Module):
+    """Headless torch ResNet with torchvision state_dict naming."""
+
+    def __init__(self, block, layers, groups=1, width_per_group=64):
+        super().__init__()
+        self.inplanes = 64
+        self.groups = groups
+        self.base_width = width_per_group
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], 2)
+        self.layer3 = self._make_layer(block, 256, layers[2], 2)
+        self.layer4 = self._make_layer(block, 512, layers[3], 2)
+
+    def _make_layer(self, block, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * block.expansion),
+            )
+        layers = [block(self.inplanes, planes, stride, downsample, self.groups, self.base_width)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, blocks):
+            layers.append(block(self.inplanes, planes, groups=self.groups, base_width=self.base_width))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = F.adaptive_avg_pool2d(x, (1, 1))
+        return torch.flatten(x, 1)
+
+
+def torch_resnet18():
+    return TorchResNet(TorchBasicBlock, [2, 2, 2, 2])
+
+
+def torch_resnet50():
+    return TorchResNet(TorchBottleneck, [3, 4, 6, 3])
+
+
+def torch_resnext50_32x4d():
+    return TorchResNet(TorchBottleneck, [3, 4, 6, 3], groups=32, width_per_group=4)
+
+
+class TorchDenseLayer(nn.Module):
+    def __init__(self, num_input_features, growth_rate, bn_size):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(num_input_features)
+        self.conv1 = nn.Conv2d(num_input_features, bn_size * growth_rate, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth_rate)
+        self.conv2 = nn.Conv2d(bn_size * growth_rate, growth_rate, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        out = self.conv1(F.relu(self.norm1(x)))
+        return self.conv2(F.relu(self.norm2(out)))
+
+
+class TorchDenseBlock(nn.Module):
+    def __init__(self, num_layers, num_input_features, bn_size, growth_rate):
+        super().__init__()
+        for i in range(num_layers):
+            self.add_module(
+                f"denselayer{i + 1}",
+                TorchDenseLayer(num_input_features + i * growth_rate, growth_rate, bn_size),
+            )
+
+    def forward(self, x):
+        features = x
+        for layer in self.children():
+            features = torch.cat([features, layer(features)], 1)
+        return features
+
+
+class TorchDenseNet(nn.Module):
+    """Headless torch DenseNet-BC with torchvision state_dict naming."""
+
+    def __init__(self, growth_rate=32, block_config=(6, 12, 24, 16), num_init_features=64, bn_size=4):
+        super().__init__()
+        from collections import OrderedDict
+
+        self.features = nn.Sequential(
+            OrderedDict(
+                [
+                    ("conv0", nn.Conv2d(3, num_init_features, 7, 2, 3, bias=False)),
+                    ("norm0", nn.BatchNorm2d(num_init_features)),
+                    ("relu0", nn.ReLU(inplace=True)),
+                    ("pool0", nn.MaxPool2d(3, 2, 1)),
+                ]
+            )
+        )
+        num_features = num_init_features
+        for i, num_layers in enumerate(block_config):
+            self.features.add_module(
+                f"denseblock{i + 1}",
+                TorchDenseBlock(num_layers, num_features, bn_size, growth_rate),
+            )
+            num_features += num_layers * growth_rate
+            if i != len(block_config) - 1:
+                trans = nn.Sequential(
+                    OrderedDict(
+                        [
+                            ("norm", nn.BatchNorm2d(num_features)),
+                            ("relu", nn.ReLU(inplace=True)),
+                            ("conv", nn.Conv2d(num_features, num_features // 2, 1, bias=False)),
+                            ("pool", nn.AvgPool2d(2, 2)),
+                        ]
+                    )
+                )
+                self.features.add_module(f"transition{i + 1}", trans)
+                num_features //= 2
+        self.features.add_module("norm5", nn.BatchNorm2d(num_features))
+
+    def forward(self, x):
+        out = F.relu(self.features(x))
+        out = F.adaptive_avg_pool2d(out, (1, 1))
+        return torch.flatten(out, 1)
+
+
+def torch_densenet121():
+    return TorchDenseNet(32, (6, 12, 24, 16), 64)
