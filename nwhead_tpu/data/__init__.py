@@ -1,0 +1,21 @@
+from nwhead_tpu.data.datasets import (
+    ArrayDataset,
+    Cub200Dataset,
+    ImageFileDataset,
+    StanfordDogDataset,
+    make_synthetic_dataset,
+)
+from nwhead_tpu.data.pipeline import BatchLoader, EpisodicBatcher, prefetch_to_device
+from nwhead_tpu.data import transforms
+
+__all__ = [
+    "ArrayDataset",
+    "Cub200Dataset",
+    "ImageFileDataset",
+    "StanfordDogDataset",
+    "make_synthetic_dataset",
+    "BatchLoader",
+    "EpisodicBatcher",
+    "prefetch_to_device",
+    "transforms",
+]

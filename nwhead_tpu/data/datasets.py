@@ -1,0 +1,162 @@
+"""Datasets: manifest-parsing image datasets + in-memory arrays.
+
+Dataset protocol (what NWNet/Trainer require):
+  * ``.targets``     — int label per item (the reference hard-requires this,
+                       ``nw.py:72``);
+  * ``.num_classes`` — class count;
+  * ``gather(indices) -> (n, H, W, C) float32`` — batched fetch+transform;
+  * ``__len__``.
+
+Parsers reproduce the reference's split semantics:
+  * CUB-200-2011 (``data/bird.py``): parses ``train_test_split.txt`` /
+    ``images.txt`` / ``image_class_labels.txt``; **split==0 is train,
+    split==1 is test** (``bird.py:22-25``); labels shifted to 0-base
+    (``bird.py:36``); images decoded as RGB.
+  * Stanford Dogs (``data/dog.py``): ``train_list.csv`` / ``test_list.csv``
+    with (path, label) rows, labels to 0-base (``dog.py:17-24``).
+
+Plain-text parsing (no pandas) and PIL decode; decode happens at gather time
+on the host, overlapped with device compute by the prefetching loader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+class ArrayDataset:
+    """In-memory dataset over (N, H, W, C) arrays — CIFAR-style data and the
+    synthetic test sets."""
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        targets: Sequence[int],
+        num_classes: Optional[int] = None,
+        transform: Optional[Callable] = None,
+    ) -> None:
+        assert len(images) == len(targets)
+        self.images = images
+        self.targets = np.asarray(targets)
+        self.num_classes = (
+            num_classes if num_classes is not None else int(self.targets.max()) + 1
+        )
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def gather(self, indices) -> np.ndarray:
+        indices = np.asarray(indices)
+        if self.transform is None:
+            return self.images[indices].astype(np.float32)
+        return np.stack([self.transform(self.images[i]) for i in indices])
+
+
+class ImageFileDataset:
+    """Dataset over image files on disk (PIL decode at gather time)."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        targets: Sequence[int],
+        num_classes: int,
+        transform: Optional[Callable] = None,
+    ) -> None:
+        assert len(paths) == len(targets)
+        self.paths = list(paths)
+        self.targets = np.asarray(targets)
+        self.num_classes = num_classes
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.paths[idx]).convert("RGB"))
+        return self.transform(img) if self.transform is not None else to_float(img)
+
+    def gather(self, indices) -> np.ndarray:
+        return np.stack([self._load(int(i)) for i in np.asarray(indices)])
+
+
+def to_float(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
+
+
+def _read_two_column(path: str):
+    """Parse whitespace-separated 'id value' lines."""
+    ids, vals = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            a, b = line.split(None, 1)
+            ids.append(int(a))
+            vals.append(b.strip())
+    return ids, vals
+
+
+class Cub200Dataset(ImageFileDataset):
+    """CUB-200-2011 (``data/bird.py:7-50`` semantics)."""
+
+    def __init__(self, root_path: str, is_train: bool, transform=None) -> None:
+        split_ids, split_vals = _read_two_column(
+            os.path.join(root_path, "train_test_split.txt")
+        )
+        img_ids, img_paths = _read_two_column(os.path.join(root_path, "images.txt"))
+        lbl_ids, lbl_vals = _read_two_column(
+            os.path.join(root_path, "image_class_labels.txt")
+        )
+        want = 0 if is_train else 1  # split==0 -> train (bird.py:22-25)
+        keep = {i for i, s in zip(split_ids, split_vals) if int(s) == want}
+
+        paths = [
+            os.path.join(root_path, "images", p)
+            for i, p in zip(img_ids, img_paths)
+            if i in keep
+        ]
+        targets = [int(v) - 1 for i, v in zip(lbl_ids, lbl_vals) if i in keep]
+        super().__init__(paths, targets, num_classes=200, transform=transform)
+
+
+class StanfordDogDataset(ImageFileDataset):
+    """Stanford Dogs (``data/dog.py:7-38`` semantics)."""
+
+    def __init__(self, root_path: str, is_train: bool, transform=None) -> None:
+        name = "train_list.csv" if is_train else "test_list.csv"
+        paths, targets = [], []
+        with open(os.path.join(root_path, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                p, lbl = line.rsplit(",", 1)
+                paths.append(os.path.join(root_path, "Images", p))
+                targets.append(int(lbl) - 1)
+        super().__init__(paths, targets, num_classes=120, transform=transform)
+
+
+def make_synthetic_dataset(
+    n: int = 64,
+    n_classes: int = 4,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    transform=None,
+) -> ArrayDataset:
+    """Tiny class-separable synthetic dataset for tests: images whose mean
+    intensity encodes the class, plus noise."""
+    rng = np.random.default_rng(seed)
+    targets = np.tile(np.arange(n_classes), n // n_classes + 1)[:n]
+    images = rng.normal(0, 0.1, size=(n, size, size, channels)).astype(np.float32)
+    images += (targets / n_classes)[:, None, None, None].astype(np.float32)
+    return ArrayDataset(images, targets, num_classes=n_classes, transform=transform)

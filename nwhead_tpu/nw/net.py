@@ -1,0 +1,325 @@
+"""NWNet — the top-level Nadaraya-Watson network.
+
+Functional JAX re-design of the reference ``NWNet`` (``nwhead/nw.py:11-254``):
+the neural state (featurizer + optional projection + kernel params) lives in
+a Flax module (``NWModel``); the host-side orchestration (episodic sampling,
+feature-bank precompute, inference-mode dispatch) lives in the plain-Python
+``NWNet`` wrapper. All device work goes through a small set of jitted
+functions with static shapes.
+
+Key behaviors matched to the reference:
+  * training forward concatenates query+support into ONE featurizer batch so
+    BatchNorm statistics see the support (``nw.py:182-183``) and gradients
+    flow through support features (the joint graph);
+  * optional linear projection after the featurizer when ``proj_dim > 0``
+    (``nw.py:74-79``);
+  * ``precompute()`` builds the full support feature bank before eval
+    (``nw.py:118-125``) — here the bank is device-resident (HBM) instead of
+    CPU-offloaded (contrast ``nw.py:226``);
+  * ``predict(x, mode)`` for modes random/full/cluster/ensemble/knn/hnsw,
+    with ensemble averaging env probabilities in prob space
+    (``nw.py:143-154``);
+  * ``return_mask`` / ``isin`` semantics (``nw.py:186,208-211``);
+  * ``get_neighbors`` (``nw.py:245-249``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nwhead_tpu.nw.head import NWHead
+from nwhead_tpu.nw.support import SupportSetEval, SupportSetTrain
+from nwhead_tpu.ops.influence import support_influence as _influence_op
+
+
+class NWModel(nn.Module):
+    """Featurizer (+ optional projection) + NW head, as one Flax module."""
+
+    featurizer: nn.Module
+    n_classes: int
+    kernel_type: str = "euclidean"
+    proj_dim: int = 0
+    feat_dim: Optional[int] = None
+    use_fused: bool = True
+
+    def setup(self):
+        if self.proj_dim > 0:
+            assert self.feat_dim is not None, "Feature dimension must be specified"
+            self.proj = nn.Dense(self.proj_dim)
+        self.head = NWHead(
+            n_classes=self.n_classes,
+            kernel_type=self.kernel_type,
+            use_fused=self.use_fused,
+        )
+
+    def featurize(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        f = self.featurizer(x, train=train)
+        if self.proj_dim > 0:
+            f = self.proj(f)
+        return f
+
+    def __call__(self, qx, sx, sy, train: bool = True):
+        """Episodic training forward: joint featurizer batch, then the head."""
+        batch_size = qx.shape[0]
+        inputs = jnp.concatenate([qx, sx], axis=0)
+        feats = self.featurize(inputs, train=train)
+        qfeat, sfeat = feats[:batch_size], feats[batch_size:]
+        return self.head(qfeat, sfeat, sy)
+
+    def predict_from_feats(self, qfeat, sfeat, sy, support_mask=None):
+        return self.head(qfeat, sfeat, sy, support_mask)
+
+    def head_probs_and_weights(self, qfeat, sfeat, sy, support_mask=None):
+        return self.head.probs_and_weights(qfeat, sfeat, sy, support_mask)
+
+    def head_scores(self, qfeat, sfeat):
+        return self.head.scores(qfeat, sfeat)
+
+
+class NWNet:
+    """Host-side orchestrator (the reference's top-level module surface).
+
+    :param featurizer: a Flax backbone module (e.g. from models.load_model).
+    :param n_classes: number of classes.
+    :param support_dataset: object with ``.targets`` and ``gather(indices) ->
+        (n, H, W, C) float images``; may be None for head-only use.
+    :param env_array: integer environment per support item (IRM training).
+    Other params as in the reference constructor (``nw.py:12-30``).
+    """
+
+    def __init__(
+        self,
+        featurizer: nn.Module,
+        n_classes: int,
+        support_dataset=None,
+        feat_dim: Optional[int] = None,
+        proj_dim: int = 0,
+        kernel_type: str = "euclidean",
+        train_type: str = "random",
+        n_way: Optional[int] = None,
+        n_shot: int = 1,
+        n_shot_random: int = 1,
+        n_shot_full: int = 100,
+        n_shot_cluster: int = 1,
+        n_neighbors: int = 10,
+        env_array: Optional[Sequence[int]] = None,
+        debug_mode: bool = False,
+        return_mask: bool = False,
+        use_fused: bool = True,
+        seed: int = 0,
+        precompute_batch: int = 128,
+    ) -> None:
+        self.n_classes = n_classes
+        self.debug_mode = debug_mode
+        self.return_mask = return_mask
+        self.support_dataset = support_dataset
+        self.precompute_batch = precompute_batch
+
+        self.model = NWModel(
+            featurizer=featurizer,
+            n_classes=n_classes,
+            kernel_type=kernel_type,
+            proj_dim=proj_dim,
+            feat_dim=feat_dim,
+            use_fused=use_fused,
+        )
+
+        if support_dataset is not None:
+            assert hasattr(
+                support_dataset, "targets"
+            ), "Support set must have .targets attribute"
+            self.support_train = SupportSetTrain(
+                np.asarray(support_dataset.targets),
+                n_classes,
+                train_type,
+                n_shot,
+                n_way=n_way,
+                env_array=env_array,
+                seed=seed,
+            )
+            self.support_eval = SupportSetEval(
+                np.asarray(support_dataset.targets),
+                n_classes,
+                n_shot_random,
+                n_shot_full,
+                n_shot_cluster=n_shot_cluster,
+                n_neighbors=n_neighbors,
+                env_array=env_array,
+                seed=seed,
+            )
+
+        # Jitted device functions (compiled per shape signature).
+        self._apply_train = jax.jit(
+            lambda variables, qx, sx, sy: self.model.apply(
+                variables, qx, sx, sy, train=True, mutable=["batch_stats"]
+            )
+        )
+        self._apply_eval = jax.jit(
+            lambda variables, qx, sx, sy: self.model.apply(
+                variables, qx, sx, sy, train=False
+            )
+        )
+        self._featurize_eval = jax.jit(
+            lambda variables, x: self.model.apply(
+                variables, x, train=False, method=NWModel.featurize
+            )
+        )
+        self._head_from_feats = jax.jit(
+            lambda variables, qf, sf, sy: self.model.apply(
+                variables, qf, sf, sy, method=NWModel.predict_from_feats
+            )
+        )
+
+    # -- initialization ------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_query: jnp.ndarray) -> Dict[str, Any]:
+        """Initialize variables from one example query batch."""
+        s_size = max(2, self.support_train.support_size()) if self.support_dataset is not None else 2
+        sx = jnp.zeros((s_size, *sample_query.shape[1:]), sample_query.dtype)
+        sy = jnp.zeros((s_size,), jnp.int32)
+        return self.model.init(rng, sample_query, sx, sy, train=False)
+
+    # -- training forward ----------------------------------------------------
+
+    def process_support_eval(self, support_dataset, **kwargs) -> None:
+        """Swap in a new eval support dataset (``nw.py:107-116``)."""
+        self.support_dataset = support_dataset
+        self.support_eval = SupportSetEval(
+            np.asarray(support_dataset.targets), self.n_classes, **kwargs
+        )
+
+    def forward(
+        self,
+        variables: Dict[str, Any],
+        x: jnp.ndarray,
+        y: np.ndarray,
+        support_data: Optional[Tuple] = None,
+    ):
+        """Episodic training forward (``nw.py:162-211``).
+
+        Returns ``(log_probs, isin_mask, updated_batch_stats)``; the mask is
+        always computed (the reference gates it on ``return_mask``).
+        """
+        if support_data is not None:
+            sx, sy, _sm = support_data
+        else:
+            idx, sy, _sm = self.support_train.get_support(np.asarray(y))
+            sx = self.support_dataset.gather(idx)
+
+        sx = jnp.asarray(sx)
+        sy_dev = jnp.asarray(np.asarray(sy), dtype=jnp.int32)
+        isin = np.isin(np.asarray(y), np.asarray(sy))
+
+        if self.debug_mode:
+            print("qx shape:", x.shape)
+            print("sx shape:", sx.shape)
+            print("qy:", np.asarray(y))
+            print("sy:", np.asarray(sy))
+            print("qy in sy:", isin)
+            print(f"Percent query dropped: {(1.0 - isin.mean()) * 100}%")
+
+        (log_probs, updates) = self._apply_train(variables, jnp.asarray(x), sx, sy_dev)
+        return log_probs, isin, updates["batch_stats"]
+
+    # -- precompute ----------------------------------------------------------
+
+    def precompute(self, variables: Dict[str, Any]) -> None:
+        """Build the device-resident support feature bank + eval artifacts
+        (``nw.py:118-125``). Batched, fixed-shape featurizer calls."""
+        feats_env: List[np.ndarray] = []
+        y_env: List[np.ndarray] = []
+        meta_env: List[np.ndarray] = []
+        for e, bank_idx in zip(
+            self.support_eval.envs.env_ids, self.support_eval.full_bank_indices
+        ):
+            feats = self._featurize_bank(variables, bank_idx)
+            feats_env.append(feats)
+            y_env.append(self.support_eval.envs.targets[bank_idx])
+            meta_env.append(np.full(len(bank_idx), e))
+
+        full_feat = np.concatenate(feats_env, axis=0)
+        full_y = np.concatenate(y_env, axis=0)
+        full_meta = np.concatenate(meta_env, axis=0)
+        self.full_feat = jnp.asarray(full_feat)  # HBM-resident bank
+        self.full_y = jnp.asarray(full_y)
+        self.support_eval.build_infer_iters(
+            full_feat, full_y, full_meta, feats_env, y_env, meta_env
+        )
+
+    def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
+        bs = self.precompute_batch
+        out = []
+        n = len(bank_idx)
+        for start in range(0, n, bs):
+            chunk = bank_idx[start : start + bs]
+            imgs = np.asarray(self.support_dataset.gather(chunk))
+            pad = bs - len(chunk)
+            if pad:  # static shape for jit; padded rows are discarded
+                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+            f = self._featurize_eval(variables, jnp.asarray(imgs))
+            out.append(np.asarray(f[: len(chunk)]))
+        return np.concatenate(out, axis=0)
+
+    # -- inference -----------------------------------------------------------
+
+    def predict(self, variables: Dict[str, Any], x: jnp.ndarray, mode: str = "random"):
+        """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an
+        all-True mask if ``return_mask`` (``nw.py:152,158``)."""
+        qfeat = self._featurize_eval(variables, jnp.asarray(x))
+        sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
+
+        if self.debug_mode:
+            print("qx shape:", x.shape)
+
+        if mode == "ensemble":
+            sfeat_env, sy_env = sdata
+            outputs = 0.0
+            for env_feat, env_y in zip(sfeat_env, sy_env):
+                lp = self._head_from_feats(
+                    variables,
+                    qfeat,
+                    jnp.asarray(env_feat),
+                    jnp.asarray(env_y, dtype=jnp.int32),
+                )
+                outputs = outputs + jnp.exp(lp)
+            output = jnp.log(outputs / len(sfeat_env))
+        else:
+            sfeat, sy = sdata
+            output = self._head_from_feats(
+                variables, qfeat, jnp.asarray(sfeat), jnp.asarray(sy, dtype=jnp.int32)
+            )
+        if self.return_mask:
+            return output, np.full((len(x),), True)
+        return output
+
+    # -- explainability ------------------------------------------------------
+
+    def get_neighbors(self, variables, x) -> np.ndarray:
+        """Support indices sorted by similarity to x (``nw.py:245-249``)."""
+        qfeat = self._featurize_eval(variables, jnp.asarray(x))
+        scores = self.model.apply(
+            variables, qfeat, self.full_feat, method=NWModel.head_scores
+        )  # (B, 1, S)
+        return np.asarray(jnp.argsort(scores[:, 0, :], axis=-1)[:, ::-1])
+
+    def support_influence(self, variables, x, y, mode: str = "full") -> np.ndarray:
+        """Leave-one-out influence of each support item on queries x
+        (vectorized; the reference computes this externally via
+        ``util/metric.py:23-50``)."""
+        qfeat = self._featurize_eval(variables, jnp.asarray(x))
+        sfeat, sy = self.support_eval.get_support(mode, x=np.asarray(qfeat))
+        probs, weights = self.model.apply(
+            variables,
+            qfeat,
+            jnp.asarray(sfeat),
+            jnp.asarray(sy, dtype=jnp.int32),
+            method=NWModel.head_probs_and_weights,
+        )
+        return np.asarray(
+            _influence_op(probs, jnp.asarray(np.asarray(y)), weights, jnp.asarray(sy))
+        )

@@ -1,0 +1,355 @@
+"""Fused Pallas TPU kernel for the NW head: distance -> online softmax ->
+label aggregation in one pass.
+
+This is the TPU-native replacement for the reference's materialize-then-
+softmax chain (``torch.cdist -> F.softmax -> torch.bmm``, ``nw.py:283-287``)
+and its legacy streaming variant (``legacy/model/net.py:53-72``): a
+flash-attention-style kernel that tiles the support axis, keeps running
+(max m, normalizer l, weighted label-sum acc) in VMEM, and never writes the
+``(B, S)`` score matrix to HBM. The value matrix of classic flash attention
+is replaced by the support-label one-hot, which is built on the fly inside
+the kernel from int32 labels — so HBM traffic per support tile is just the
+``(TS, D)`` features + ``TS`` labels.
+
+Kernel variants (resolved in the wrapper, so the kernel body has only two
+static modes):
+  * ``euclidean``              -> mode 'l2' on raw features
+  * ``hypersphere_euclidean``  -> mode 'l2' on L2-normalized features
+  * ``cosine``                 -> mode 'dot' on L2-normalized features
+  * ``dotproduct``             -> mode 'dot' on raw features
+  * ``clip``                   -> mode 'dot' on normalized features, scaled
+                                  by exp(logit_scale) (runtime scalar)
+
+Gradients: training differentiates through both query and support features
+(the reference trains the joint graph, ``nw.py:182-184``). The custom VJP
+backward recomputes scores in memory-bounded chunks with ``lax.scan`` —
+mathematically exact (same online-softmax renormalization) while the forward
+stays a single fused kernel. The support axis S must be padded to the tile
+size by the caller or via the provided ``pad_support``; padding is masked
+with -inf scores, which is exactly equivalent to a smaller support.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nwhead_tpu.ops.nw import LOG_FLOOR
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _nw_fwd_kernel(
+    scale_ref,  # (1, 1) SMEM — similarity scale (clip) or 1.0
+    q_ref,      # (TB, D) VMEM
+    s_ref,      # (TS, D) VMEM
+    sy_ref,     # (TS, 128) int32 VMEM (label broadcast along lanes)
+    mask_ref,   # (TS, 128) float32 VMEM (1 = valid, 0 = padding)
+    out_ref,    # (TB, C_pad) VMEM — final log-probs
+    m_ref,      # (TB, 128) f32 scratch — running max
+    l_ref,      # (TB, 128) f32 scratch — running normalizer
+    acc_ref,    # (TB, C_pad) f32 scratch — running weighted label sum
+    *,
+    mode: str,
+    n_s_tiles: int,
+    c_pad: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:].astype(jnp.float32)  # (TB, D)
+    s = s_ref[:].astype(jnp.float32)  # (TS, D)
+
+    dot = jax.lax.dot_general(
+        q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, TS)
+
+    if mode == "l2":
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)  # (TB, 1)
+        s2 = jnp.sum(s * s, axis=1, keepdims=True)  # (TS, 1)
+        d2 = jnp.maximum(q2 - 2.0 * dot + s2.T, 0.0)
+        score = -jnp.sqrt(d2)
+    else:  # 'dot'
+        score = dot * scale_ref[0, 0]
+
+    valid = mask_ref[:, :1].T > 0.0  # (1, TS)
+    score = jnp.where(valid, score, _NEG_INF)
+
+    m_prev = m_ref[:, :1]  # (TB, 1)
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(score, axis=1, keepdims=True))
+    # All-masked-so-far guard: keep exp() arguments finite.
+    m_safe = jnp.where(m_new > _NEG_INF / 2, m_new, 0.0)
+    alpha = jnp.where(
+        m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_safe), 0.0
+    )  # (TB, 1)
+    p = jnp.where(score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0)  # (TB, TS)
+
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    # One-hot of the support labels, built in-VMEM (TS, C_pad).
+    labels = sy_ref[:, :1]  # (TS, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (labels.shape[0], c_pad), 1)
+    onehot = (labels == col_ids).astype(jnp.float32)
+
+    pv = jax.lax.dot_general(
+        p, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, C_pad)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_s_tiles - 1)
+    def _finalize():
+        l_final = jnp.maximum(l_ref[:, :1], 1e-30)
+        probs = acc_ref[:] / l_final
+        out_ref[:] = jnp.log(probs + LOG_FLOOR)
+
+
+def _fwd_pallas(
+    q: jnp.ndarray,
+    s: jnp.ndarray,
+    sy: jnp.ndarray,
+    mask: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    mode: str,
+    n_classes: int,
+    block_b: int,
+    block_s: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    B, D = q.shape
+    S = s.shape[0]
+    c_pad = _round_up(n_classes, 128)
+    b_pad = _round_up(B, block_b)
+    s_pad = _round_up(S, block_s)
+
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, 0)))
+    s_p = jnp.pad(s, ((0, s_pad - S), (0, 0)))
+    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S))
+    mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
+
+    sy_b = jnp.broadcast_to(sy_p[:, None], (s_pad, 128))
+    mask_b = jnp.broadcast_to(mask_p[:, None], (s_pad, 128))
+
+    n_b = b_pad // block_b
+    n_s = s_pad // block_s
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_b, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, c_pad), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _nw_fwd_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad
+    )
+    flops = 2 * b_pad * s_pad * D + 2 * b_pad * s_pad * c_pad
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(b_pad * D + s_pad * D + s_pad * 2 * 128) * 4,
+            transcendentals=b_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(scale.reshape(1, 1), q_p, s_p, sy_b, mask_b)
+    return out[:B, :n_classes]
+
+
+# ---------------------------------------------------------------------------
+# Exact chunked reference (used for the VJP backward recompute)
+# ---------------------------------------------------------------------------
+
+def _chunked_probs(q, s, sy_onehot, mask, scale, *, mode, chunk):
+    """Online-softmax over support chunks with lax.scan — same math as the
+    kernel, differentiable by construction. Returns (probs, weights_fn)."""
+    B = q.shape[0]
+    S = s.shape[0]
+    n_chunks = S // chunk
+    C = sy_onehot.shape[1]
+
+    s_c = s.reshape(n_chunks, chunk, -1)
+    y_c = sy_onehot.reshape(n_chunks, chunk, C)
+    m_c = mask.reshape(n_chunks, chunk)
+
+    def scores_of(sc, mc):
+        dot = jnp.einsum("bd,sd->bs", q, sc, precision=jax.lax.Precision.HIGHEST)
+        if mode == "l2":
+            q2 = jnp.sum(q * q, axis=1, keepdims=True)
+            s2 = jnp.sum(sc * sc, axis=1)[None, :]
+            d2 = jnp.maximum(q2 - 2.0 * dot + s2, 0.0)
+            safe = jnp.where(d2 > 0, d2, 1.0)
+            sc_ = -jnp.where(d2 > 0, jnp.sqrt(safe), 0.0)
+        else:
+            sc_ = dot * scale
+        return jnp.where(mc[None, :] > 0, sc_, _NEG_INF)
+
+    def step(carry, xs):
+        m_prev, l_prev, acc = carry
+        sc, yc, mc = xs
+        score = scores_of(sc, mc)
+        m_new = jnp.maximum(m_prev, jnp.max(score, axis=1, keepdims=True))
+        m_safe = jnp.where(m_new > _NEG_INF / 2, m_new, 0.0)
+        alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_safe), 0.0)
+        p = jnp.where(score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + p @ yc
+        return (m_new, l_new, acc), None
+
+    init = (
+        jnp.full((B, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((B, 1), jnp.float32),
+        jnp.zeros((B, C), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(step, init, (s_c, y_c, m_c))
+    probs = acc / jnp.maximum(l, 1e-30)
+    return probs
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+DEFAULT_BLOCK_S = 512
+
+
+def _resolve_mode(kernel: str, kernel_params: Dict[str, Any], q, s):
+    """Reduce the 5 kernel variants to (mode, scale, q', s')."""
+    if kernel == "euclidean":
+        return "l2", jnp.float32(1.0), q, s
+    if kernel == "hypersphere_euclidean":
+        return "l2", jnp.float32(1.0), _l2_normalize(q), _l2_normalize(s)
+    if kernel == "cosine":
+        return "dot", jnp.float32(1.0), _l2_normalize(q), _l2_normalize(s)
+    if kernel == "dotproduct":
+        return "dot", jnp.float32(1.0), q, s
+    if kernel == "clip":
+        scale = jnp.exp(kernel_params["logit_scale"]).astype(jnp.float32)
+        return "dot", scale, _l2_normalize(q), _l2_normalize(s)
+    raise NotImplementedError(f"fused kernel does not support {kernel!r}")
+
+
+def nw_fused_log_probs(
+    qfeat: jnp.ndarray,
+    sfeat: jnp.ndarray,
+    sy: jnp.ndarray,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+    support_mask: Optional[jnp.ndarray] = None,
+    block_b: int = 128,
+    block_s: int = DEFAULT_BLOCK_S,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
+
+    Same contract as ``nw_log_probs`` restricted to 2-D shared support.
+    Differentiable wrt q, s, and clip's logit_scale.
+    """
+    kernel_params = kernel_params or {}
+    if support_mask is None:
+        support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
+    return _nw_fused_core(
+        qn,
+        sn,
+        scale,
+        sy,
+        support_mask.astype(jnp.float32),
+        mode,
+        n_classes,
+        block_b,
+        block_s,
+        interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _nw_fused_core(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret):
+    return _fwd_pallas(
+        q,
+        s,
+        sy,
+        mask,
+        scale,
+        mode=mode,
+        n_classes=n_classes,
+        block_b=block_b,
+        block_s=block_s,
+        interpret=interpret,
+    )
+
+
+def _core_fwd(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret):
+    out = _nw_fused_core(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret)
+    return out, (q, s, scale, sy, mask)
+
+
+def _core_bwd(mode, n_classes, block_b, block_s, interpret, residuals, g):
+    """Exact recompute backward via the differentiable chunked reference."""
+    q, s, scale, sy, mask = residuals
+    S = s.shape[0]
+    chunk = min(block_s, S)
+    s_pad = _round_up(S, chunk)
+    sy_onehot = jax.nn.one_hot(sy, n_classes, dtype=jnp.float32)
+
+    def f(q_, s_, scale_):
+        s_p = jnp.pad(s_, ((0, s_pad - S), (0, 0)))
+        y_p = jnp.pad(sy_onehot, ((0, s_pad - S), (0, 0)))
+        m_p = jnp.pad(mask, (0, s_pad - S))
+        probs = _chunked_probs(q_, s_p, y_p, m_p, scale_, mode=mode, chunk=chunk)
+        return jnp.log(probs + LOG_FLOOR)
+
+    _, vjp = jax.vjp(f, q, s, scale)
+    dq, ds, dscale = vjp(g)
+    return dq, ds, dscale, None, None
+
+
+_nw_fused_core.defvjp(_core_fwd, _core_bwd)

@@ -18,9 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
-# Persistent compilation cache makes repeat test runs much faster.
 import jax
 
+# This image's jaxlib force-registers the 'axon' TPU-tunnel platform even
+# when JAX_PLATFORMS=cpu is set; initializing it contends on the single
+# tunnel client and stalls for minutes. Hard-force CPU-only here.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache makes repeat test runs much faster.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

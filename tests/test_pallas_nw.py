@@ -1,0 +1,111 @@
+"""Fused NW kernel tests: fused == naive (values and grads), masking,
+all kernel variants, odd shapes. Runs in Pallas interpret mode on CPU; the
+same code path compiles on TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nwhead_tpu.ops.nw import nw_log_probs
+from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
+
+KERNELS = ["euclidean", "hypersphere_euclidean", "cosine", "dotproduct", "clip"]
+
+
+def _problem(rng, B=4, S=600, D=32, C=7):
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+    return q, s, sy, C
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_fused_matches_naive(rng, kernel):
+    q, s, sy, C = _problem(rng)
+    kparams = {"logit_scale": jnp.float32(np.log(1 / 0.07))} if kernel == "clip" else {}
+    got = np.asarray(
+        nw_fused_log_probs(q, s, sy, C, kernel=kernel, kernel_params=kparams, block_s=256)
+    )
+    want = np.asarray(nw_log_probs(q, s, sy, C, kernel=kernel, kernel_params=kparams))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)  # fp32 S-length aggregation noise
+
+
+def test_fused_non_divisible_shapes(rng):
+    """S and B not multiples of the block sizes — padding must be exact."""
+    q, s, sy, C = _problem(rng, B=5, S=333, D=24, C=3)
+    got = np.asarray(nw_fused_log_probs(q, s, sy, C, block_b=8, block_s=128))
+    want = np.asarray(nw_log_probs(q, s, sy, C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)  # fp32 S-length aggregation noise
+
+
+def test_fused_support_mask(rng):
+    q, s, sy, C = _problem(rng, S=512)
+    keep = 200
+    mask = jnp.asarray((np.arange(512) < keep).astype(np.float32))
+    got = np.asarray(nw_fused_log_probs(q, s, sy, C, support_mask=mask, block_s=128))
+    want = np.asarray(nw_log_probs(q[:, :], s[:keep], sy[:keep], C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)  # fp32 S-length aggregation noise
+
+
+def test_fused_grads_match_naive(rng):
+    q, s, sy, C = _problem(rng, B=3, S=300, D=16, C=4)
+    labels = jnp.asarray(np.arange(3) % C)
+
+    def loss_fused(q, s):
+        lp = nw_fused_log_probs(q, s, sy, C, block_s=128)
+        return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
+
+    def loss_naive(q, s):
+        lp = nw_log_probs(q, s, sy, C)
+        return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
+
+    gq_f, gs_f = jax.grad(loss_fused, argnums=(0, 1))(q, s)
+    gq_n, gs_n = jax.grad(loss_naive, argnums=(0, 1))(q, s)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_n), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_n), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_clip_scale_grad(rng):
+    """clip's logit_scale must receive gradient through the fused op."""
+    q, s, sy, C = _problem(rng, B=2, S=256, D=8, C=3)
+    labels = jnp.asarray([0, 1])
+
+    def loss(log_scale):
+        lp = nw_fused_log_probs(
+            q, s, sy, C, kernel="clip", kernel_params={"logit_scale": log_scale},
+            block_s=128,
+        )
+        return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
+
+    g = jax.grad(loss)(jnp.float32(np.log(1 / 0.07)))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+    # Against naive autodiff.
+    def loss_naive(log_scale):
+        from nwhead_tpu.ops.nw import nw_log_probs as naive
+
+        lp = naive(q, s, sy, C, kernel="clip", kernel_params={"logit_scale": log_scale})
+        return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
+
+    g_n = jax.grad(loss_naive)(jnp.float32(np.log(1 / 0.07)))
+    np.testing.assert_allclose(float(g), float(g_n), rtol=1e-3)
+
+
+def test_fused_under_jit(rng):
+    q, s, sy, C = _problem(rng, S=256)
+
+    @jax.jit
+    def f(q, s):
+        return nw_fused_log_probs(q, s, sy, C, block_s=128)
+
+    got = np.asarray(f(q, s))
+    want = np.asarray(nw_log_probs(q, s, sy, C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)  # fp32 S-length aggregation noise
+
+
+def test_probabilities_renormalize_exactly(rng):
+    """exp(out) must sum to 1 (+ C*1e-12) — online softmax is exact."""
+    q, s, sy, C = _problem(rng, S=1024)
+    out = np.asarray(nw_fused_log_probs(q, s, sy, C, block_s=256))
+    np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, rtol=1e-5)
