@@ -1,0 +1,356 @@
+"""Training/eval loops for NW-head and FC-head networks.
+
+Functional re-design of the reference trainer (``train.py:116-422``):
+  * optax SGD(momentum=0.9, nesterov) + decoupled-from-schedule L2 weight
+    decay added to the gradient (torch SGD semantics, ``train.py:243-247``);
+  * MultiStepLR: piecewise-constant schedule with milestone decays
+    (``train.py:248-250``), a pure function of the step -> resumes for free;
+  * NLL loss on log-probs (``train.py:242``);
+  * eval-before-train epoch order with per-mode NW eval
+    (random/full/cluster, ``train.py:287-297``), ECE over the epoch's
+    concatenated probabilities x100 (``train.py:373``), best-checkpoint
+    keyed on full-mode accuracy (``train.py:305-311``);
+  * ``freeze_featurizer`` via an optax mask (``train.py:218-220``).
+
+The device step is one jitted function; episodic support sampling and image
+gathering stay on the host (prefetchable via data.pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nwhead_tpu.ops import metrics as M
+from nwhead_tpu.nw.net import NWNet
+
+
+def multistep_lr(
+    base_lr: float, milestones: Sequence[int], gamma: float, steps_per_epoch: int
+) -> optax.Schedule:
+    """torch ``MultiStepLR`` on epoch milestones, expressed per-step."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(
+    lr: float,
+    milestones: Sequence[int],
+    gamma: float,
+    steps_per_epoch: int,
+    weight_decay: float = 1e-4,
+    momentum: float = 0.9,
+    nesterov: bool = True,
+    freeze_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """SGD + L2-in-gradient weight decay + milestone schedule (torch-style)."""
+    schedule = multistep_lr(lr, milestones, gamma, steps_per_epoch)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(schedule, momentum=momentum, nesterov=nesterov),
+    )
+    if freeze_mask is not None:
+        tx = optax.chain(optax.masked(optax.set_to_zero(), freeze_mask), tx)
+    return tx
+
+
+def featurizer_freeze_mask(params: Dict[str, Any]) -> Dict[str, Any]:
+    """True for featurizer params (frozen), False elsewhere
+    (``--freeze_featurizer``, ``train.py:218-220``)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(k, "key", None) == "featurizer" for k in path
+        ),
+        params,
+    )
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+class NWTrainer:
+    """Orchestrates NW episodic training + multi-mode eval."""
+
+    def __init__(
+        self,
+        net: NWNet,
+        train_dataset,
+        val_dataset,
+        lr: float = 1e-3,
+        batch_size: int = 1,
+        milestones: Sequence[int] = (100, 150),
+        gamma: float = 0.1,
+        weight_decay: float = 1e-4,
+        freeze_featurizer: bool = False,
+        eval_modes: Sequence[str] = ("random", "full", "cluster"),
+        seed: int = 0,
+    ) -> None:
+        self.net = net
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.batch_size = batch_size
+        self.eval_modes = tuple(eval_modes)
+        self.rng = np.random.default_rng(seed)
+        self.steps_per_epoch = max(1, len(train_dataset) // batch_size)
+
+        sample = jnp.asarray(train_dataset.gather(np.arange(min(batch_size, len(train_dataset)))))
+        variables = net.init(jax.random.PRNGKey(seed), sample)
+        mask = featurizer_freeze_mask(variables["params"]) if freeze_featurizer else None
+        self.tx = make_optimizer(
+            lr, milestones, gamma, self.steps_per_epoch, weight_decay,
+            freeze_mask=mask,
+        )
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+        self._train_step = jax.jit(self._train_step_impl)
+
+        # Metric accumulators (train.py:254-279).
+        self.metrics = {k: M.Metric() for k in ("loss:train", "acc:train")}
+        self.val_metrics = {
+            f"{name}:val:{mode}": M.Metric()
+            for mode in self.eval_modes
+            for name in ("loss", "acc", "ece")
+        }
+
+    # -- jitted step ----------------------------------------------------------
+
+    def _train_step_impl(self, params, batch_stats, opt_state, qimg, qy, simg, sy):
+        def loss_fn(p):
+            log_probs, updates = self.net.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                qimg,
+                simg,
+                sy,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = M.nll_loss(log_probs, qy)
+            return loss, (log_probs, updates["batch_stats"])
+
+        (loss, (log_probs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = M.acc(jnp.argmax(log_probs, -1), qy)
+        return new_params, new_stats, new_opt_state, loss, acc
+
+    # -- epochs ---------------------------------------------------------------
+
+    def train_epoch(self, num_steps: Optional[int] = None) -> None:
+        ds = self.train_dataset
+        n = len(ds)
+        order = self.rng.permutation(n)
+        stop = (n // self.batch_size) * self.batch_size
+        count = 0
+        for start in range(0, stop, self.batch_size):
+            if num_steps is not None and count >= num_steps:
+                break
+            qidx = order[start : start + self.batch_size]
+            qy = ds.targets[qidx]
+            sidx, sy, _ = self.net.support_train.get_support(qy)
+            qimg = jnp.asarray(ds.gather(qidx))
+            simg = jnp.asarray(self.net.support_dataset.gather(sidx))
+            (
+                self.state.params,
+                self.state.batch_stats,
+                self.state.opt_state,
+                loss,
+                acc,
+            ) = self._train_step(
+                self.state.params,
+                self.state.batch_stats,
+                self.state.opt_state,
+                qimg,
+                jnp.asarray(qy),
+                simg,
+                jnp.asarray(np.asarray(sy), dtype=jnp.int32),
+            )
+            self.state.step += 1
+            self.metrics["loss:train"].update_state(loss, len(qidx))
+            self.metrics["acc:train"].update_state(float(acc) * 100, len(qidx))
+            count += 1
+
+    def eval_epoch(self, mode: str = "random", num_steps: Optional[int] = None) -> float:
+        """One eval pass in the given inference mode; returns accuracy.
+        ECE is computed over the epoch's concatenated probabilities
+        (``train.py:352-379``)."""
+        ds = self.val_dataset
+        variables = self.state.variables()
+        probs_all: List[np.ndarray] = []
+        gts: List[np.ndarray] = []
+        n = len(ds)
+        stop = (n // self.batch_size) * self.batch_size
+        count = 0
+        for start in range(0, stop, self.batch_size):
+            if num_steps is not None and count >= num_steps:
+                break
+            idx = np.arange(start, start + self.batch_size)
+            label = ds.targets[idx]
+            img = jnp.asarray(ds.gather(idx))
+            output = self.net.predict(variables, img, mode)
+            if isinstance(output, tuple):
+                output = output[0]
+            loss = float(M.nll_loss(output, jnp.asarray(label)))
+            acc = float(M.acc(jnp.argmax(output, -1), jnp.asarray(label)))
+            self.val_metrics[f"loss:val:{mode}"].update_state(loss, len(idx))
+            self.val_metrics[f"acc:val:{mode}"].update_state(acc * 100, len(idx))
+            probs_all.append(np.asarray(jnp.exp(output)))
+            gts.append(label)
+            count += 1
+        ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
+        self.val_metrics[f"ece:val:{mode}"].update_state(ece, 1)
+        return self.val_metrics[f"acc:val:{mode}"].result()
+
+    def eval_all_modes(self, num_steps: Optional[int] = None) -> float:
+        """precompute + eval in each mode; returns full-mode accuracy (the
+        best-checkpoint key, ``train.py:289-297``)."""
+        self.net.precompute(self.state.variables())
+        acc_by_mode = {}
+        for mode in self.eval_modes:
+            acc_by_mode[mode] = self.eval_epoch(mode, num_steps)
+        return acc_by_mode.get("full", next(iter(acc_by_mode.values())))
+
+    def reset_metrics(self) -> None:
+        for m in self.metrics.values():
+            m.reset_state()
+        for m in self.val_metrics.values():
+            m.reset_state()
+
+
+class FCTrainer:
+    """Baseline FC-head trainer (``train.py:381-399`` step semantics)."""
+
+    def __init__(
+        self,
+        model,  # FCNet module
+        train_dataset,
+        val_dataset,
+        lr: float = 1e-3,
+        batch_size: int = 32,
+        milestones: Sequence[int] = (100, 150),
+        gamma: float = 0.1,
+        weight_decay: float = 1e-4,
+        freeze_featurizer: bool = False,
+        seed: int = 0,
+    ) -> None:
+        self.model = model
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.steps_per_epoch = max(1, len(train_dataset) // batch_size)
+
+        sample = jnp.asarray(train_dataset.gather(np.arange(min(batch_size, len(train_dataset)))))
+        variables = model.init(jax.random.PRNGKey(seed), sample, train=False)
+        mask = featurizer_freeze_mask(variables["params"]) if freeze_featurizer else None
+        self.tx = make_optimizer(
+            lr, milestones, gamma, self.steps_per_epoch, weight_decay,
+            freeze_mask=mask,
+        )
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(
+            lambda variables, img: self.model.apply(variables, img, train=False)
+        )
+        self.metrics = {k: M.Metric() for k in ("loss:train", "acc:train")}
+        self.val_metrics = {k: M.Metric() for k in ("loss:val", "acc:val", "ece:val")}
+
+    def _train_step_impl(self, params, batch_stats, opt_state, img, label):
+        def loss_fn(p):
+            log_probs, updates = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                img,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return M.nll_loss(log_probs, label), (log_probs, updates["batch_stats"])
+
+        (loss, (log_probs, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = M.acc(jnp.argmax(log_probs, -1), label)
+        return new_params, new_stats, new_opt_state, loss, acc
+
+    def train_epoch(self, num_steps: Optional[int] = None) -> None:
+        ds = self.train_dataset
+        n = len(ds)
+        order = self.rng.permutation(n)
+        stop = (n // self.batch_size) * self.batch_size
+        count = 0
+        for start in range(0, stop, self.batch_size):
+            if num_steps is not None and count >= num_steps:
+                break
+            idx = order[start : start + self.batch_size]
+            img = jnp.asarray(ds.gather(idx))
+            label = jnp.asarray(ds.targets[idx])
+            (
+                self.state.params,
+                self.state.batch_stats,
+                self.state.opt_state,
+                loss,
+                acc,
+            ) = self._train_step(
+                self.state.params, self.state.batch_stats, self.state.opt_state, img, label
+            )
+            self.state.step += 1
+            self.metrics["loss:train"].update_state(loss, len(idx))
+            self.metrics["acc:train"].update_state(float(acc) * 100, len(idx))
+            count += 1
+
+    def eval_epoch(self, num_steps: Optional[int] = None) -> float:
+        ds = self.val_dataset
+        variables = self.state.variables()
+        probs_all, gts = [], []
+        n = len(ds)
+        stop = (n // self.batch_size) * self.batch_size
+        count = 0
+        for start in range(0, stop, self.batch_size):
+            if num_steps is not None and count >= num_steps:
+                break
+            idx = np.arange(start, start + self.batch_size)
+            img = jnp.asarray(ds.gather(idx))
+            label = ds.targets[idx]
+            output = self._eval_step(variables, img)
+            self.val_metrics["loss:val"].update_state(
+                float(M.nll_loss(output, jnp.asarray(label))), len(idx)
+            )
+            self.val_metrics["acc:val"].update_state(
+                float(M.acc(jnp.argmax(output, -1), jnp.asarray(label))) * 100, len(idx)
+            )
+            probs_all.append(np.asarray(jnp.exp(output)))
+            gts.append(label)
+            count += 1
+        ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
+        self.val_metrics["ece:val"].update_state(ece, 1)
+        return self.val_metrics["acc:val"].result()
+
+    def reset_metrics(self) -> None:
+        for m in self.metrics.values():
+            m.reset_state()
+        for m in self.val_metrics.values():
+            m.reset_state()

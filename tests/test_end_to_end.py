@@ -1,0 +1,180 @@
+"""End-to-end tests: NW episodic training learns a separable synthetic set,
+all inference modes run, influence/neighbors work, checkpoints round-trip,
+and the FC baseline trains."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nwhead_tpu.data import make_synthetic_dataset
+from nwhead_tpu.models import load_model
+from nwhead_tpu.nw.fc import FCNet
+from nwhead_tpu.nw.net import NWNet
+from nwhead_tpu.train import FCTrainer, NWTrainer
+
+
+class TinyBackbone:
+    """Use the smallest real backbone for e2e speed."""
+
+    @staticmethod
+    def make():
+        import flax.linen as nn
+
+        class Tiny(nn.Module):
+            feat_dim: int = 16
+
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                x = nn.Conv(8, (3, 3), padding="SAME")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+                x = nn.relu(x)
+                x = jnp.mean(x, axis=(1, 2))
+                return nn.Dense(self.feat_dim)(x)
+
+        return Tiny()
+
+
+@pytest.fixture(scope="module")
+def nw_setup():
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=0)
+    val_ds = make_synthetic_dataset(n=16, n_classes=4, size=8, seed=1)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=4,
+        support_dataset=train_ds,
+        feat_dim=16,
+        n_shot=2,
+        n_way=3,
+        n_shot_full=5,
+        n_shot_cluster=2,
+        n_neighbors=3,
+        seed=0,
+    )
+    # batch_size must be <= n_way (episodic sampler contract, utils.py:124).
+    trainer = NWTrainer(
+        net, train_ds, val_ds, lr=0.05, batch_size=3, milestones=(100,), seed=0
+    )
+    return net, trainer, train_ds, val_ds
+
+
+def test_nw_training_learns(nw_setup):
+    net, trainer, train_ds, val_ds = nw_setup
+    for _ in range(6):
+        trainer.train_epoch()
+    acc = trainer.eval_all_modes()
+    # Synthetic classes are separable by mean intensity; a trained NW head
+    # must beat chance (25%) decisively in full mode.
+    assert acc > 60.0, f"full-mode acc {acc}"
+
+
+def test_all_predict_modes(nw_setup):
+    net, trainer, train_ds, val_ds = nw_setup
+    variables = trainer.state.variables()
+    net.precompute(variables)
+    x = jnp.asarray(val_ds.gather(np.arange(4)))
+    for mode in ["random", "full", "cluster", "ensemble", "knn", "hnsw"]:
+        out = net.predict(variables, x, mode)
+        assert out.shape == (4, 4), mode
+        np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_return_mask_predict(nw_setup):
+    net, trainer, train_ds, val_ds = nw_setup
+    net.return_mask = True
+    variables = trainer.state.variables()
+    net.precompute(variables)
+    x = jnp.asarray(val_ds.gather(np.arange(4)))
+    out, mask = net.predict(variables, x, "full")
+    assert mask.shape == (4,) and mask.all()
+    net.return_mask = False
+
+
+def test_forward_isin_mask(nw_setup):
+    net, trainer, train_ds, val_ds = nw_setup
+    variables = trainer.state.variables()
+    x = jnp.asarray(train_ds.gather(np.arange(3)))
+    y = train_ds.targets[:3]
+    log_probs, isin, new_stats = net.forward(variables, x, y)
+    assert log_probs.shape == (3, 4)
+    # n_way sampling guarantees query classes present in support.
+    assert isin.all()
+    assert new_stats is not None
+
+
+def test_get_neighbors_and_influence(nw_setup):
+    net, trainer, train_ds, val_ds = nw_setup
+    variables = trainer.state.variables()
+    net.precompute(variables)
+    x = jnp.asarray(val_ds.gather(np.arange(2)))
+    nbrs = net.get_neighbors(variables, x)
+    assert nbrs.shape == (2, len(net.full_y))
+    # Most-similar support of a class-0 query should be class 0 (trained net).
+    top_label = np.asarray(net.full_y)[nbrs[0, 0]]
+    assert top_label == val_ds.targets[0]
+
+    infl = net.support_influence(variables, x, val_ds.targets[:2], mode="full")
+    assert infl.shape == (2, len(net.full_y))
+    assert np.isfinite(infl).all()
+    # Same-class supports should on average help (positive influence).
+    same = np.asarray(net.full_y)[None, :] == val_ds.targets[:2][:, None]
+    assert infl[same].mean() > infl[~same].mean()
+
+
+def test_checkpoint_roundtrip(tmp_path, nw_setup):
+    from nwhead_tpu.train import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    net, trainer, train_ds, val_ds = nw_setup
+    state = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+        "opt_state": trainer.state.opt_state,
+    }
+    save_checkpoint(3, state, str(tmp_path), is_best=True)
+    path = latest_checkpoint(str(tmp_path))
+    assert path and path.endswith("model.0003")
+    restored = load_checkpoint(path, target=state)
+    assert int(restored["epoch"]) == 3
+    chex = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            state["params"],
+            restored["params"],
+        )
+    )
+    assert chex
+
+
+def test_fc_baseline_trains():
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=0)
+    val_ds = make_synthetic_dataset(n=16, n_classes=4, size=8, seed=1)
+    model = FCNet(featurizer=TinyBackbone.make(), num_classes=4)
+    trainer = FCTrainer(model, train_ds, val_ds, lr=0.05, batch_size=8, milestones=(100,))
+    for _ in range(8):
+        trainer.train_epoch()
+    acc = trainer.eval_epoch()
+    assert acc > 60.0, f"fc acc {acc}"
+
+
+def test_irm_training_runs():
+    train_ds = make_synthetic_dataset(n=48, n_classes=3, size=8, seed=0)
+    env = np.tile([0, 1], 24)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=3,
+        support_dataset=train_ds,
+        feat_dim=16,
+        train_type="irm",
+        n_shot=2,
+        env_array=env,
+        seed=0,
+    )
+    val_ds = make_synthetic_dataset(n=12, n_classes=3, size=8, seed=1)
+    trainer = NWTrainer(
+        net, train_ds, val_ds, lr=0.05, batch_size=3, milestones=(100,),
+        eval_modes=("random", "full", "ensemble"), seed=0,
+    )
+    trainer.train_epoch(num_steps=4)
+    acc = trainer.eval_all_modes(num_steps=2)
+    assert np.isfinite(acc)
