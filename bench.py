@@ -1,0 +1,150 @@
+"""Benchmark: CUB-200-scale full-mode NW inference, queries/sec/chip.
+
+Measures the headline number from BASELINE.md: full-mode prediction
+(ResNet-18 featurize + NW head over the S~=5,994 x 512 support bank,
+C=200 classes) on one TPU chip.
+
+Timing methodology: the axon TPU tunnel has ~30 ms round-trip latency and
+``block_until_ready`` does not wait for device completion, so every
+measurement (a) forces a scalar host readback and (b) uses the differential
+of two in-jit loop lengths to cancel fixed dispatch/readback overhead.
+
+``vs_baseline`` is the end-to-end speedup of our fused Pallas head over the
+reference-style materialized chain (cdist -> softmax -> bmm, as plain XLA
+ops) on the same chip — the honest on-chip proxy for the PyTorch reference
+implementation, which publishes no numbers of its own (BASELINE.md).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "queries/sec/chip", "vs_baseline": N, ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _loop_scalar(fn, n, init_args):
+    """Build a jitted fn running `fn` n times with a loop-carried dependency
+    (prevents hoisting) and a scalar output (forces full execution)."""
+
+    @jax.jit
+    def run(*args):
+        def body(i, acc):
+            out = fn(*args, carry=acc)
+            return acc + out
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(())).mean()
+
+    return run
+
+
+def _differential_time(make_loop, n1, n2, args):
+    f1, f2 = make_loop(n1), make_loop(n2)
+    float(f1(*args))  # compile + warm
+    float(f2(*args))
+    t = time.perf_counter()
+    float(f1(*args))
+    t1 = time.perf_counter() - t
+    t = time.perf_counter()
+    float(f2(*args))
+    t2 = time.perf_counter() - t
+    return (t2 - t1) / (n2 - n1)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu" or "TPU" in str(jax.devices()[0])
+    B, S, D, C = 64, 5994, 512, 200  # CUB-200 full mode (BASELINE.md)
+    IMG = 224 if on_tpu else 32
+    HEAD_N = (100, 300) if on_tpu else (1, 3)
+    FEAT_N = (2, 6) if on_tpu else (1, 2)
+
+    rng = np.random.default_rng(0)
+    q_img = jnp.asarray(rng.standard_normal((B, IMG, IMG, 3)).astype(np.float32))
+    bank = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    bank_y = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+    qfeat = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    # --- featurizer: headless ResNet-18 fwd ---------------------------------
+    from nwhead_tpu.models import load_model
+
+    model = load_model("resnet18")
+    variables = model.init(jax.random.PRNGKey(0), q_img[:1], train=False)
+
+    def feat_loop(n):
+        @jax.jit
+        def run(v, x):
+            def body(i, acc):
+                out = model.apply(v, x + 0.0 * acc, train=False)
+                return acc + out.mean()
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+        return run
+
+    t_feat = _differential_time(feat_loop, *FEAT_N, (variables, q_img))
+
+    # --- NW head: fused Pallas vs reference-style materialized chain --------
+    from nwhead_tpu.ops.nw import nw_log_probs
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
+
+    def head_loop_maker(head):
+        def make(n):
+            @jax.jit
+            def run(q, s):
+                def body(i, acc):
+                    out = head(q + 0.0 * acc, s)
+                    return acc + out.mean()
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+            return run
+
+        return make
+
+    t_fused = _differential_time(
+        head_loop_maker(lambda q, s: nw_fused_log_probs(q, s, bank_y, C)),
+        *HEAD_N,
+        (qfeat, bank),
+    )
+    t_naive = _differential_time(
+        head_loop_maker(lambda q, s: nw_log_probs(q, s, bank_y, C)),
+        *HEAD_N,
+        (qfeat, bank),
+    )
+
+    qps = B / (t_feat + t_fused)
+    qps_ref_style = B / (t_feat + t_naive)
+
+    # Roofline: the head must stream the whole bank from HBM once per batch.
+    bank_bytes = S * D * 4
+    hbm_bw = 820e9 if on_tpu else 50e9  # v5e HBM ~820 GB/s
+    head_roofline_frac = (bank_bytes / hbm_bw) / t_fused
+
+    print(
+        json.dumps(
+            {
+                "metric": "CUB-200 full-mode NW inference (resnet18 + fused head, S=5994, C=200)",
+                "value": round(qps, 1),
+                "unit": "queries/sec/chip",
+                "vs_baseline": round(qps / qps_ref_style, 3),
+                "baseline_def": "same chip, reference-style materialized cdist->softmax->bmm head",
+                "head_us_per_batch": round(t_fused * 1e6, 1),
+                "head_only_qps": round(B / t_fused, 1),
+                "head_speedup_vs_naive": round(t_naive / t_fused, 2),
+                "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
+                "head_hbm_roofline_frac": round(head_roofline_frac, 3),
+                "backend": backend,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,21 @@
+from nwhead_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated,
+    support_sharding,
+)
+from nwhead_tpu.parallel.sharded_bank import (
+    ShardedSupportBank,
+    merge_partials,
+    nw_partials,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "support_sharding",
+    "replicated",
+    "ShardedSupportBank",
+    "nw_partials",
+    "merge_partials",
+]

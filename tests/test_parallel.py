@@ -1,0 +1,108 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded full-mode predict
+must equal the single-device op exactly (modulo fp32), and data-parallel
+training steps must run with sharded batches."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nwhead_tpu.ops.nw import nw_log_probs
+from nwhead_tpu.parallel import ShardedSupportBank, make_mesh
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_full_mode_matches_single_device(rng, mesh_shape):
+    n_data, n_support = mesh_shape
+    mesh = make_mesh(n_data, n_support)
+    B, S, D, C = 8, 1000, 64, 11  # S not divisible by shards -> padding path
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    sy = rng.integers(0, C, size=S).astype(np.int32)
+
+    bank = ShardedSupportBank.build(s, sy, mesh, C)
+    predict = bank.predict_fn()
+    got = np.asarray(predict(jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))))
+
+    want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_kernel_variants(rng):
+    mesh = make_mesh(1, 8)
+    B, S, D, C = 4, 512, 32, 5
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    sy = rng.integers(0, C, size=S).astype(np.int32)
+    for kernel in ["euclidean", "cosine", "dotproduct", "hypersphere_euclidean"]:
+        bank = ShardedSupportBank.build(s, sy, mesh, C, kernel=kernel)
+        got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
+        want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C, kernel=kernel))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_data_parallel_train_step(rng):
+    """One NW training step with the batch sharded over 8 devices — grads
+    come back replicated and finite (XLA inserts the reductions)."""
+    import flax.linen as nn
+    import optax
+
+    from nwhead_tpu.nw.net import NWModel
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    mesh = make_mesh(8, 1)
+    model = NWModel(featurizer=Tiny(), n_classes=4)
+
+    B, S = 16, 8
+    qimg = rng.standard_normal((B, 8, 8, 3)).astype(np.float32)
+    simg = rng.standard_normal((S, 8, 8, 3)).astype(np.float32)
+    sy = rng.integers(0, 4, size=S).astype(np.int32)
+    qy = rng.integers(0, 4, size=B).astype(np.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(qimg), jnp.asarray(simg), jnp.asarray(sy), train=False)
+    tx = optax.sgd(0.1, momentum=0.9, nesterov=True)
+    opt_state = tx.init(variables["params"])
+
+    data_shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, qimg, qy, simg, sy):
+        def loss_fn(p):
+            lp, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                qimg, simg, sy, train=True, mutable=["batch_stats"],
+            )
+            picked = jnp.take_along_axis(lp, qy[:, None], axis=-1)
+            return -jnp.mean(picked), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    qimg_d = jax.device_put(jnp.asarray(qimg), data_shard)
+    qy_d = jax.device_put(jnp.asarray(qy), data_shard)
+    simg_d = jax.device_put(jnp.asarray(simg), repl)
+    sy_d = jax.device_put(jnp.asarray(sy), repl)
+
+    new_params, new_stats, new_opt, loss = step(
+        variables["params"], variables["batch_stats"], opt_state,
+        qimg_d, qy_d, simg_d, sy_d,
+    )
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(new_params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
