@@ -14,7 +14,7 @@ XLA way to trade FLOPs for HBM.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -30,11 +30,12 @@ class DenseLayer(nn.Module):
     bn_size: int = 4
     drop_rate: float = 0.0
     memory_efficient: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bottleneck(h):
-            h = _bn(train, name="norm1")(h)
+            h = _bn(train, name="norm1", dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Conv(
                 self.bn_size * self.growth_rate,
@@ -42,12 +43,13 @@ class DenseLayer(nn.Module):
                 padding="VALID",
                 use_bias=False,
                 kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
                 name="conv1",
             )(h)
             return h
 
         out = bottleneck(x)
-        out = _bn(train, name="norm2")(out)
+        out = _bn(train, name="norm2", dtype=self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.growth_rate,
@@ -55,6 +57,7 @@ class DenseLayer(nn.Module):
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
             name="conv2",
         )(out)
         if self.drop_rate > 0:
@@ -70,6 +73,7 @@ class DenseBlock(nn.Module):
     bn_size: int = 4
     drop_rate: float = 0.0
     memory_efficient: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -87,6 +91,7 @@ class DenseBlock(nn.Module):
                 bn_size=self.bn_size,
                 drop_rate=self.drop_rate,
                 memory_efficient=self.memory_efficient,
+                dtype=self.dtype,
                 name=f"denselayer{i + 1}",
             )(features, train)
             features = jnp.concatenate([features, new], axis=-1)
@@ -97,10 +102,11 @@ class Transition(nn.Module):
     """BN-ReLU-Conv1x1-AvgPool2 transition (``densenet.py:83-90``)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = _bn(train, name="norm")(x)
+        x = _bn(train, name="norm", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.features,
@@ -108,6 +114,7 @@ class Transition(nn.Module):
             padding="VALID",
             use_bias=False,
             kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -122,6 +129,7 @@ class DenseNet(nn.Module):
     bn_size: int = 4
     drop_rate: float = 0.0
     memory_efficient: bool = False
+    dtype: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -134,6 +142,8 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             self.num_init_features,
             (7, 7),
@@ -141,9 +151,10 @@ class DenseNet(nn.Module):
             padding=[(3, 3), (3, 3)],
             use_bias=False,
             kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
             name="conv0",
         )(x)
-        x = _bn(train, name="norm0")(x)
+        x = _bn(train, name="norm0", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -155,18 +166,20 @@ class DenseNet(nn.Module):
                 bn_size=self.bn_size,
                 drop_rate=self.drop_rate,
                 memory_efficient=self.memory_efficient,
+                dtype=self.dtype,
                 name=f"denseblock{i + 1}",
             )(x, train=train)
             num_features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
-                x = Transition(num_features // 2, name=f"transition{i + 1}")(
-                    x, train=train
-                )
+                x = Transition(
+                    num_features // 2, dtype=self.dtype, name=f"transition{i + 1}"
+                )(x, train=train)
                 num_features //= 2
 
-        x = _bn(train, name="norm5")(x)
+        x = _bn(train, name="norm5", dtype=self.dtype)(x)
         x = nn.relu(x)
-        return jnp.mean(x, axis=(1, 2))  # adaptive_avg_pool2d((1,1)) + flatten
+        # adaptive_avg_pool2d((1,1)) + flatten; pooled in f32.
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 class CIFAR_DenseNetModule(nn.Module):
@@ -175,6 +188,7 @@ class CIFAR_DenseNetModule(nn.Module):
     nblocks: Sequence[int] = (6, 12, 24, 16)
     growth_rate: int = 12
     reduction: float = 0.5
+    dtype: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -187,6 +201,8 @@ class CIFAR_DenseNetModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         num_planes = 2 * self.growth_rate
         x = nn.Conv(
             num_planes,
@@ -194,6 +210,7 @@ class CIFAR_DenseNetModule(nn.Module):
             padding=[(1, 1), (1, 1)],
             use_bias=False,
             kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
             name="conv1",
         )(x)
 
@@ -201,7 +218,7 @@ class CIFAR_DenseNetModule(nn.Module):
             for j in range(nb):
                 # Pre-act bottleneck: BN-ReLU-Conv1x1(4g) -> BN-ReLU-Conv3x3(g),
                 # concat input last (densenet3.py:18-22).
-                h = _bn(train, name=f"d{i}_{j}_bn1")(x)
+                h = _bn(train, name=f"d{i}_{j}_bn1", dtype=self.dtype)(x)
                 h = nn.relu(h)
                 h = nn.Conv(
                     4 * self.growth_rate,
@@ -209,9 +226,10 @@ class CIFAR_DenseNetModule(nn.Module):
                     padding="VALID",
                     use_bias=False,
                     kernel_init=kaiming_normal_out,
+                    dtype=self.dtype,
                     name=f"d{i}_{j}_conv1",
                 )(h)
-                h = _bn(train, name=f"d{i}_{j}_bn2")(h)
+                h = _bn(train, name=f"d{i}_{j}_bn2", dtype=self.dtype)(h)
                 h = nn.relu(h)
                 h = nn.Conv(
                     self.growth_rate,
@@ -219,13 +237,14 @@ class CIFAR_DenseNetModule(nn.Module):
                     padding=[(1, 1), (1, 1)],
                     use_bias=False,
                     kernel_init=kaiming_normal_out,
+                    dtype=self.dtype,
                     name=f"d{i}_{j}_conv2",
                 )(h)
                 x = jnp.concatenate([h, x], axis=-1)
             num_planes += nb * self.growth_rate
             if i != len(self.nblocks) - 1:
                 out_planes = int(math.floor(num_planes * self.reduction))
-                h = _bn(train, name=f"t{i}_bn")(x)
+                h = _bn(train, name=f"t{i}_bn", dtype=self.dtype)(x)
                 h = nn.relu(h)
                 h = nn.Conv(
                     out_planes,
@@ -233,14 +252,15 @@ class CIFAR_DenseNetModule(nn.Module):
                     padding="VALID",
                     use_bias=False,
                     kernel_init=kaiming_normal_out,
+                    dtype=self.dtype,
                     name=f"t{i}_conv",
                 )(h)
                 x = nn.avg_pool(h, (2, 2), strides=(2, 2))
                 num_planes = out_planes
 
-        x = _bn(train, name="bn_final")(x)
+        x = _bn(train, name="bn_final", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.avg_pool(x, (4, 4), strides=(4, 4))
+        x = nn.avg_pool(x.astype(jnp.float32), (4, 4), strides=(4, 4))
         return x.reshape(x.shape[0], -1)
 
 

@@ -35,7 +35,7 @@ kaiming_normal_out = nn.initializers.variance_scaling(
 )
 
 
-def conv3x3(features: int, stride: int = 1, groups: int = 1, name: str | None = None):
+def conv3x3(features: int, stride: int = 1, groups: int = 1, name: str | None = None, dtype=None):
     return nn.Conv(
         features,
         (3, 3),
@@ -44,11 +44,12 @@ def conv3x3(features: int, stride: int = 1, groups: int = 1, name: str | None = 
         feature_group_count=groups,
         use_bias=False,
         kernel_init=kaiming_normal_out,
+        dtype=dtype,
         name=name,
     )
 
 
-def conv1x1(features: int, stride: int = 1, name: str | None = None):
+def conv1x1(features: int, stride: int = 1, name: str | None = None, dtype=None):
     return nn.Conv(
         features,
         (1, 1),
@@ -56,17 +57,21 @@ def conv1x1(features: int, stride: int = 1, name: str | None = None):
         padding="VALID",
         use_bias=False,
         kernel_init=kaiming_normal_out,
+        dtype=dtype,
         name=name,
     )
 
 
-def _bn(train: bool, zero_init: bool = False, name: str | None = None):
-    """BatchNorm with torch semantics (momentum 0.1 -> flax momentum 0.9)."""
+def _bn(train: bool, zero_init: bool = False, name: str | None = None, dtype=None):
+    """BatchNorm with torch semantics (momentum 0.1 -> flax momentum 0.9).
+    ``dtype`` is the compute dtype (bf16 for mixed precision); params and
+    running statistics stay float32 (flax param_dtype default)."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
         scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+        dtype=dtype,
         name=name,
     )
 
@@ -81,21 +86,23 @@ class BasicBlock(nn.Module):
     base_width: int = 64
     zero_init_residual: bool = False
     expansion: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.groups == 1 and self.base_width == 64, (
             "BasicBlock only supports groups=1 and base_width=64"
         )
+        dt = self.dtype
         identity = x
-        out = conv3x3(self.planes, self.stride, name="conv1")(x)
-        out = _bn(train, name="bn1")(out)
+        out = conv3x3(self.planes, self.stride, name="conv1", dtype=dt)(x)
+        out = _bn(train, name="bn1", dtype=dt)(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, name="conv2")(out)
-        out = _bn(train, zero_init=self.zero_init_residual, name="bn2")(out)
+        out = conv3x3(self.planes, name="conv2", dtype=dt)(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn2", dtype=dt)(out)
         if self.downsample:
-            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv")(x)
-            identity = _bn(train, name="ds_bn")(identity)
+            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv", dtype=dt)(x)
+            identity = _bn(train, name="ds_bn", dtype=dt)(identity)
         return nn.relu(out + identity)
 
 
@@ -109,22 +116,24 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     zero_init_residual: bool = False
     expansion: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        dt = self.dtype
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = conv1x1(width, name="conv1")(x)
-        out = _bn(train, name="bn1")(out)
+        out = conv1x1(width, name="conv1", dtype=dt)(x)
+        out = _bn(train, name="bn1", dtype=dt)(out)
         out = nn.relu(out)
-        out = conv3x3(width, self.stride, self.groups, name="conv2")(out)
-        out = _bn(train, name="bn2")(out)
+        out = conv3x3(width, self.stride, self.groups, name="conv2", dtype=dt)(out)
+        out = _bn(train, name="bn2", dtype=dt)(out)
         out = nn.relu(out)
-        out = conv1x1(self.planes * self.expansion, name="conv3")(out)
-        out = _bn(train, zero_init=self.zero_init_residual, name="bn3")(out)
+        out = conv1x1(self.planes * self.expansion, name="conv3", dtype=dt)(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn3", dtype=dt)(out)
         if self.downsample:
-            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv")(x)
-            identity = _bn(train, name="ds_bn")(identity)
+            identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv", dtype=dt)(x)
+            identity = _bn(train, name="ds_bn", dtype=dt)(identity)
         return nn.relu(out + identity)
 
 
@@ -138,10 +147,12 @@ class PreActBlock(nn.Module):
     base_width: int = 64
     zero_init_residual: bool = False
     expansion: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = nn.relu(_bn(train, name="bn1")(x))
+        dt = self.dtype
+        out = nn.relu(_bn(train, name="bn1", dtype=dt)(x))
         if self.downsample:
             shortcut = nn.Conv(
                 self.planes * self.expansion,
@@ -150,12 +161,13 @@ class PreActBlock(nn.Module):
                 padding="VALID",
                 use_bias=False,
                 kernel_init=kaiming_normal_out,
+                dtype=dt,
                 name="shortcut",
             )(out)
         else:
             shortcut = x
-        out = conv3x3(self.planes, self.stride, name="conv1")(out)
-        out = conv3x3(self.planes, name="conv2")(nn.relu(_bn(train, name="bn2")(out)))
+        out = conv3x3(self.planes, self.stride, name="conv1", dtype=dt)(out)
+        out = conv3x3(self.planes, name="conv2", dtype=dt)(nn.relu(_bn(train, name="bn2", dtype=dt)(out)))
         return out + shortcut
 
 
@@ -168,6 +180,7 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     zero_init_residual: bool = False
+    dtype: Any = None  # compute dtype; bf16 for mixed precision (params f32)
 
     @property
     def feat_dim(self) -> int:
@@ -175,6 +188,8 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(
             64,
             (7, 7),
@@ -182,9 +197,10 @@ class ResNet(nn.Module):
             padding=[(3, 3), (3, 3)],
             use_bias=False,
             kernel_init=kaiming_normal_out,
+            dtype=self.dtype,
             name="conv1",
         )(x)
-        x = _bn(train, name="bn1")(x)
+        x = _bn(train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -203,11 +219,13 @@ class ResNet(nn.Module):
                     groups=self.groups,
                     base_width=self.width_per_group,
                     zero_init_residual=self.zero_init_residual,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
                 inplanes = planes * self.block.expansion
 
-        x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
+        # Pool in f32 regardless of compute dtype (cheap, avoids bf16 loss).
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return x
 
 
@@ -217,6 +235,7 @@ class CIFAR_ResNet(nn.Module):
 
     block: Type[nn.Module]
     num_blocks: Sequence[int]
+    dtype: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -224,8 +243,10 @@ class CIFAR_ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = conv3x3(64, name="conv1")(x)
-        x = _bn(train, name="bn1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = conv3x3(64, name="conv1", dtype=self.dtype)(x)
+        x = _bn(train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
 
         in_planes = 64
@@ -240,11 +261,12 @@ class CIFAR_ResNet(nn.Module):
                     planes=planes,
                     stride=s,
                     downsample=needs_ds,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
                 in_planes = planes * self.block.expansion
 
-        x = nn.avg_pool(x, (4, 4), strides=(4, 4))
+        x = nn.avg_pool(x.astype(jnp.float32), (4, 4), strides=(4, 4))
         return x.reshape(x.shape[0], -1)
 
 
