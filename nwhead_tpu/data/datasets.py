@@ -145,6 +145,57 @@ class StanfordDogDataset(ImageFileDataset):
         super().__init__(paths, targets, num_classes=120, transform=transform)
 
 
+class Flowers102Dataset(ImageFileDataset):
+    """Oxford Flowers-102 (the reference wires it via torchvision,
+    ``train.py:177-181``; labels 0-based like ``_labels``).
+
+    Expects the standard layout: ``jpg/image_XXXXX.jpg``,
+    ``imagelabels.mat``, ``setid.mat`` under ``root_path``.
+    """
+
+    def __init__(self, root_path: str, split: str = "train", transform=None) -> None:
+        from scipy.io import loadmat
+
+        labels = loadmat(os.path.join(root_path, "imagelabels.mat"))["labels"][0]
+        setid = loadmat(os.path.join(root_path, "setid.mat"))
+        ids = {
+            "train": setid["trnid"][0],
+            "val": setid["valid"][0],
+            "test": setid["tstid"][0],
+        }[split]
+        paths = [
+            os.path.join(root_path, "jpg", f"image_{i:05d}.jpg") for i in ids
+        ]
+        targets = [int(labels[i - 1]) - 1 for i in ids]
+        super().__init__(paths, targets, num_classes=102, transform=transform)
+
+
+class FGVCAircraftDataset(ImageFileDataset):
+    """FGVC-Aircraft variant-level classification (``train.py:182-186``).
+
+    Expects ``data/images/*.jpg`` and ``data/images_variant_{split}.txt``
+    manifests under ``root_path`` (splits: train, val, trainval, test).
+    """
+
+    def __init__(self, root_path: str, split: str = "trainval", transform=None) -> None:
+        data_dir = os.path.join(root_path, "data")
+        manifest = os.path.join(data_dir, f"images_variant_{split}.txt")
+        variants_file = os.path.join(data_dir, "variants.txt")
+        with open(variants_file) as f:
+            variants = [l.strip() for l in f if l.strip()]
+        v2id = {v: i for i, v in enumerate(variants)}
+        paths, targets = [], []
+        with open(manifest) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                img_id, variant = line.split(" ", 1)
+                paths.append(os.path.join(data_dir, "images", f"{img_id}.jpg"))
+                targets.append(v2id[variant])
+        super().__init__(paths, targets, num_classes=len(variants), transform=transform)
+
+
 def make_synthetic_dataset(
     n: int = 64,
     n_classes: int = 4,

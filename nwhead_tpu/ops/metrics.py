@@ -90,6 +90,22 @@ def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(picked)
 
 
+def nll_loss_onehot(log_probs: jnp.ndarray, targets_onehot: jnp.ndarray) -> jnp.ndarray:
+    """NLL on one-hot targets (legacy ``loss_ops.NLLLoss``,
+    ``legacy/loss/loss_ops.py:4-12``)."""
+    return -jnp.mean(jnp.sum(targets_onehot * log_probs, axis=-1))
+
+
+def label_smoothing_loss_onehot(
+    log_probs: jnp.ndarray, targets_onehot: jnp.ndarray, smoothing: float = 0.1
+) -> jnp.ndarray:
+    """Label-smoothing NLL on one-hot targets (legacy
+    ``loss_ops.LabelSmoothingLoss``, ``legacy/loss/loss_ops.py:14-28``)."""
+    n_classes = log_probs.shape[-1]
+    smoothed = targets_onehot * (1.0 - smoothing) + smoothing / n_classes
+    return -jnp.mean(jnp.sum(smoothed * log_probs, axis=-1))
+
+
 def smooth_nll_loss(
     log_probs: jnp.ndarray,
     targets: jnp.ndarray,
