@@ -18,6 +18,7 @@ import flax.linen as nn
 
 from nwhead_tpu.models import resnet as _resnet
 from nwhead_tpu.models import densenet as _densenet
+from nwhead_tpu.models import vit as _vit
 
 _REGISTRY = {
     "resnet10": _resnet.resnet10,
@@ -36,6 +37,11 @@ _REGISTRY = {
     "densenet169": _densenet.densenet169,
     "densenet201": _densenet.densenet201,
     "CIFAR_DenseNet121": _densenet.CIFAR_DenseNet121,
+    "vit_s14": _vit.vit_s14,  # the reference's dinov2_vits14 arch (feat 384)
+    "dinov2_vits14": _vit.vit_s14,
+    "vit_b14": _vit.vit_b14,
+    "vit_l14": _vit.vit_l14,
+    "vit_s16": _vit.vit_s16,
 }
 
 MODEL_NAMES = tuple(_REGISTRY)

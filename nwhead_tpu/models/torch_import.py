@@ -116,13 +116,71 @@ def convert_state_dict(
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_vit_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Dict[str, Any]]:
+    """Convert a DINOv2-format ViT ``state_dict`` into our
+    ``VisionTransformer`` params (no batch stats — ViT has none).
+
+    Key mapping: ``blocks.i.attn.qkv`` -> ``block{i}/attn/qkv`` (Dense
+    kernels transposed to (in, out)), ``ls1.gamma`` -> ``ls1_gamma``,
+    ``patch_embed.proj`` -> ``patch_embed`` (OIHW -> HWIO), top-level
+    ``cls_token`` / ``pos_embed`` / ``norm`` passed through.
+    """
+    params: Dict[str, Any] = {}
+
+    def put(path, arr):
+        _assign(params, path, np.asarray(arr))
+
+    for key, t in state_dict.items():
+        arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        parts = key.split(".")
+        if key == "cls_token":
+            put(("cls_token",), arr)
+        elif key == "pos_embed":
+            put(("pos_embed",), arr)
+        elif key == "mask_token":
+            continue  # SSL-only artifact
+        elif key.startswith("patch_embed.proj."):
+            if parts[-1] == "weight":
+                put(("patch_embed", "kernel"), arr.transpose(2, 3, 1, 0))
+            else:
+                put(("patch_embed", "bias"), arr)
+        elif key.startswith("norm."):
+            put(("norm", "scale" if parts[-1] == "weight" else "bias"), arr)
+        elif parts[0] == "blocks":
+            i = int(parts[1])
+            blk = f"block{i}"
+            rest = parts[2:]
+            if rest[0] in ("norm1", "norm2"):
+                put((blk, rest[0], "scale" if rest[1] == "weight" else "bias"), arr)
+            elif rest[0] == "attn":
+                leaf = "kernel" if rest[2] == "weight" else "bias"
+                put(
+                    (blk, "attn", rest[1], leaf),
+                    arr.T if leaf == "kernel" else arr,
+                )
+            elif rest[0] in ("ls1", "ls2"):
+                put((blk, f"{rest[0]}_gamma"), arr)
+            elif rest[0] == "mlp":
+                leaf = "kernel" if rest[2] == "weight" else "bias"
+                put((blk, "mlp", rest[1], leaf), arr.T if leaf == "kernel" else arr)
+            else:
+                raise KeyError(key)
+        elif key.startswith("head."):
+            continue  # headless
+        else:
+            raise KeyError(f"Unhandled ViT key {key}")
+    return {"params": params}
+
+
 def load_pretrained(variables: Dict[str, Any], state_dict: Mapping[str, Any], arch: str):
     """Merge converted torch weights into an initialized variable tree,
     strict=False style: keys present in both are replaced, extra reference
     keys are ignored, missing ones keep their initialization."""
-    import jax
-
-    converted = convert_state_dict(state_dict, arch)
+    if arch.startswith("vit"):
+        converted = convert_vit_state_dict(state_dict)
+        converted.setdefault("batch_stats", {})
+    else:
+        converted = convert_state_dict(state_dict, arch)
 
     def merge(init_tree, conv_tree):
         out = {}
@@ -138,7 +196,9 @@ def load_pretrained(variables: Dict[str, Any], state_dict: Mapping[str, Any], ar
                 out[k] = v
         return out
 
-    return {
-        "params": merge(variables["params"], converted["params"]),
-        "batch_stats": merge(variables["batch_stats"], converted["batch_stats"]),
-    }
+    out = {"params": merge(variables["params"], converted["params"])}
+    if "batch_stats" in variables:
+        out["batch_stats"] = merge(
+            variables["batch_stats"], converted.get("batch_stats", {})
+        )
+    return out

@@ -103,3 +103,43 @@ def test_registry_rejects_unknown():
     with pytest.raises(KeyError):
         load_model("nope")
     assert "resnet18" in MODEL_NAMES
+
+
+def test_vit_matches_torch_oracle():
+    """ViT parity through the DINOv2-format checkpoint converter."""
+    import torch
+    from torch_oracles import TorchViT
+    from nwhead_tpu.models.vit import VisionTransformer
+    from nwhead_tpu.models.torch_import import load_pretrained
+
+    torch.manual_seed(0)
+    oracle = TorchViT(patch=14, dim=96, depth=3, heads=4, img_size=56)
+    oracle.eval()
+
+    model = VisionTransformer(
+        patch_size=14, embed_dim=96, depth=3, num_heads=4, img_size=56
+    )
+    x = np.random.default_rng(0).standard_normal((2, 56, 56, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = load_pretrained(variables, oracle.state_dict(), "vit_custom")
+
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_vit_pos_embed_interpolation():
+    """Input size different from the stored pos-embed grid must still work."""
+    from nwhead_tpu.models import load_model
+
+    m = load_model("vit_s16")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    out = m.apply(v, jnp.zeros((2, 160, 160, 3)), train=False)
+    assert out.shape == (2, 384)
+
+
+def test_vit_registry():
+    from nwhead_tpu.models import feature_dim
+
+    assert feature_dim("dinov2_vits14") == 384  # train.py:212-214

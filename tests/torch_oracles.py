@@ -179,3 +179,66 @@ class TorchDenseNet(nn.Module):
 
 def torch_densenet121():
     return TorchDenseNet(32, (6, 12, 24, 16), 64)
+
+
+class TorchViTBlock(nn.Module):
+    """DINOv2-style pre-norm block with LayerScale, dinov2 state_dict naming."""
+
+    def __init__(self, dim, num_heads, mlp_ratio=4.0, ls_init=1e-5):
+        super().__init__()
+        self.num_heads = num_heads
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, dim * 3)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.ls1 = nn.Module()
+        self.ls1.gamma = nn.Parameter(torch.full((dim,), ls_init))
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+        self.ls2 = nn.Module()
+        self.ls2.gamma = nn.Parameter(torch.full((dim,), ls_init))
+
+    def _attn(self, x):
+        B, N, D = x.shape
+        hd = D // self.num_heads
+        qkv = self.attn.qkv(x).reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        att = torch.einsum("bnhd,bmhd->bhnm", q, k) / (hd ** 0.5)
+        att = att.softmax(-1)
+        out = torch.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, D)
+        return self.attn.proj(out)
+
+    def forward(self, x):
+        x = x + self.ls1.gamma * self._attn(self.norm1(x))
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + self.ls2.gamma * h
+
+
+class TorchViT(nn.Module):
+    """Minimal DINOv2-format ViT oracle (headless, CLS-token output)."""
+
+    def __init__(self, patch=14, dim=384, depth=4, heads=6, img_size=56):
+        super().__init__()
+        self.patch = patch
+        n = (img_size // patch) ** 2
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.blocks = nn.ModuleList(
+            [TorchViTBlock(dim, heads) for _ in range(depth)]
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x)  # (B, D, h, w)
+        x = x.flatten(2).transpose(1, 2)  # (B, N, D)
+        x = x + self.pos_embed[:, 1:]
+        cls = (self.cls_token + self.pos_embed[:, :1]).expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)[:, 0]
