@@ -113,12 +113,19 @@ class NWNet:
         use_fused: bool = True,
         seed: int = 0,
         precompute_batch: int = 128,
+        mesh=None,
     ) -> None:
         self.n_classes = n_classes
         self.debug_mode = debug_mode
         self.return_mask = return_mask
         self.support_dataset = support_dataset
         self.precompute_batch = precompute_batch
+        self.kernel_type = kernel_type
+        # Optional ('data', 'support') mesh: full-mode inference then runs
+        # over a support-sharded bank with the distributed online-softmax
+        # merge (parallel.ShardedSupportBank).
+        self.mesh = mesh
+        self.sharded_bank = None
 
         self.model = NWModel(
             featurizer=featurizer,
@@ -250,6 +257,16 @@ class NWNet:
         self.support_eval.build_infer_iters(
             full_feat, full_y, full_meta, feats_env, y_env, meta_env
         )
+        if self.mesh is not None:
+            from nwhead_tpu.parallel import ShardedSupportBank
+
+            self.sharded_bank = ShardedSupportBank.build(
+                full_feat, full_y, self.mesh, self.n_classes, kernel=self.kernel_type
+            )
+            # Trained kernel params (clip's logit_scale) ride along.
+            kparams = variables["params"].get("head", {})
+            kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
+            self._sharded_predict = self.sharded_bank.predict_fn(kernel_params=kparams)
 
     def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
         bs = self.precompute_batch
@@ -271,10 +288,17 @@ class NWNet:
         """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an
         all-True mask if ``return_mask`` (``nw.py:152,158``)."""
         qfeat = self._featurize_eval(variables, jnp.asarray(x))
-        sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if self.debug_mode:
             print("qx shape:", x.shape)
+
+        if mode == "full" and self.sharded_bank is not None:
+            output = self._sharded_predict(qfeat)
+            if self.return_mask:
+                return output, np.full((len(x),), True)
+            return output
+
+        sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if mode == "ensemble":
             sfeat_env, sy_env = sdata

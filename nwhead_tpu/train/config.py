@@ -65,6 +65,7 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--train_method", default="nwhead")
         self.add_bool_arg("freeze_featurizer", False)
         self.add_bool_arg("resume", False)  # wired resume (reference lacks it)
+        self.add_bool_arg("bf16", False)  # bf16 compute dtype for the backbone
 
         # NW head
         self.add_argument("--kernel_type", type=str, default="euclidean")

@@ -155,20 +155,31 @@ class NWTrainer:
 
     # -- epochs ---------------------------------------------------------------
 
-    def train_epoch(self, num_steps: Optional[int] = None) -> None:
-        ds = self.train_dataset
-        n = len(ds)
-        order = self.rng.permutation(n)
-        stop = (n // self.batch_size) * self.batch_size
-        count = 0
-        for start in range(0, stop, self.batch_size):
-            if num_steps is not None and count >= num_steps:
-                break
-            qidx = order[start : start + self.batch_size]
-            qy = ds.targets[qidx]
-            sidx, sy, _ = self.net.support_train.get_support(qy)
-            qimg = jnp.asarray(ds.gather(qidx))
-            simg = jnp.asarray(self.net.support_dataset.gather(sidx))
+    def train_epoch(self, num_steps: Optional[int] = None, prefetch: int = 2) -> None:
+        """One training epoch. Host work (episodic sampling + image decode)
+        runs in a background thread ``prefetch`` batches ahead of the device
+        step — the reference pays this cost on the critical path every step
+        (SURVEY.md §3.1)."""
+        from nwhead_tpu.data.pipeline import EpisodicBatcher, prefetch_to_device
+
+        batcher = EpisodicBatcher(
+            self.train_dataset,
+            self.net.support_train,
+            self.batch_size,
+            seed=int(self.rng.integers(0, 2**31 - 1)),
+        )
+
+        def host_batches():
+            for qimg, qy, simg, sy, _sm in batcher.epoch(num_steps):
+                yield (
+                    qimg.astype(np.float32),
+                    qy.astype(np.int32),
+                    simg.astype(np.float32),
+                    np.asarray(sy).astype(np.int32),
+                )
+
+        for qimg, qy, simg, sy in prefetch_to_device(host_batches(), size=prefetch):
+            bs = qimg.shape[0]
             (
                 self.state.params,
                 self.state.batch_stats,
@@ -180,14 +191,13 @@ class NWTrainer:
                 self.state.batch_stats,
                 self.state.opt_state,
                 qimg,
-                jnp.asarray(qy),
+                qy,
                 simg,
-                jnp.asarray(np.asarray(sy), dtype=jnp.int32),
+                sy,
             )
             self.state.step += 1
-            self.metrics["loss:train"].update_state(loss, len(qidx))
-            self.metrics["acc:train"].update_state(float(acc) * 100, len(qidx))
-            count += 1
+            self.metrics["loss:train"].update_state(loss, bs)
+            self.metrics["acc:train"].update_state(float(acc) * 100, bs)
 
     def eval_epoch(self, mode: str = "random", num_steps: Optional[int] = None) -> float:
         """One eval pass in the given inference mode; returns accuracy.

@@ -106,3 +106,42 @@ def test_data_parallel_train_step(rng):
     assert np.isfinite(float(loss))
     flat = jax.tree_util.tree_leaves(new_params)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_nwnet_with_mesh_full_mode(rng):
+    """NWNet(mesh=...) must produce identical full-mode predictions through
+    the sharded bank as without a mesh."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=0)
+    mesh = make_mesh(2, 4)
+
+    def build(mesh_arg):
+        net = NWNet(
+            Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+            n_shot=1, n_shot_full=5, seed=0, mesh=mesh_arg,
+        )
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2))))
+        net.precompute(variables)
+        return net, variables
+
+    net_s, var_s = build(mesh)
+    net_u, var_u = build(None)
+    assert net_s.sharded_bank is not None and net_u.sharded_bank is None
+
+    x = jnp.asarray(ds.gather(np.arange(4)))
+    got = np.asarray(net_s.predict(var_s, x, "full"))
+    want = np.asarray(net_u.predict(var_u, x, "full"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -82,16 +82,19 @@ def _load_cifar(data_dir, name, t_train, t_test):
 
 def build_network(args, train_dataset):
     """Backbone + network construction (``train.py:199-237`` semantics)."""
+    import jax.numpy as jnp
+
     is_cifar = args.dataset in ("cifar10", "cifar100")
     if args.arch == "resnet18":
         name = "CIFAR_ResNet18" if is_cifar else "resnet18"
     elif args.arch == "densenet121":
         name = "CIFAR_DenseNet121" if is_cifar else "densenet121"
-    elif args.arch in ("resnet50", "resnet34", "resnet10"):
+    elif args.arch in ("resnet50", "resnet34", "resnet10", "dinov2_vits14", "vit_s14", "vit_s16"):
         name = args.arch
     else:
         raise NotImplementedError(args.arch)
-    featurizer = load_model(name)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    featurizer = load_model(name, dtype=dtype)
     feat_dim = featurizer.feat_dim
 
     if args.train_method == "fchead":
