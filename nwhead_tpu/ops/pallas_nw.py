@@ -61,8 +61,7 @@ def _nw_fwd_kernel(
     scale_ref,  # (1, 1) SMEM — similarity scale (clip) or 1.0
     q_ref,      # (TB, D) VMEM
     s_ref,      # (TS, D) VMEM
-    sy_ref,     # (TS, 128) int32 VMEM (label broadcast along lanes)
-    mask_ref,   # (TS, 128) float32 VMEM (1 = valid, 0 = padding)
+    sy_ref,     # (TS, 128) int32 VMEM — labels with -1 = masked/padding
     out_ref,    # (TB, C_pad) VMEM — final log-probs
     m_ref,      # (TB, 128) f32 scratch — running max
     l_ref,      # (TB, 128) f32 scratch — running normalizer
@@ -80,22 +79,33 @@ def _nw_fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[:].astype(jnp.float32)  # (TB, D)
-    s = s_ref[:].astype(jnp.float32)  # (TS, D)
+    # Inputs may be f32 (exact) or bf16 (bandwidth-optimized bank): the MXU
+    # dot runs at the input precision with f32 accumulation; norms and all
+    # softmax statistics are always f32.
+    q = q_ref[:]  # (TB, D)
+    s = s_ref[:]  # (TS, D)
 
     dot = jax.lax.dot_general(
         q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TB, TS)
+    )  # (TB, TS) f32
 
     if mode == "l2":
-        q2 = jnp.sum(q * q, axis=1, keepdims=True)  # (TB, 1)
-        s2 = jnp.sum(s * s, axis=1, keepdims=True)  # (TS, 1)
+        qf = q.astype(jnp.float32)
+        sf = s.astype(jnp.float32)
+        q2 = jnp.sum(qf * qf, axis=1, keepdims=True)  # (TB, 1)
+        s2 = jnp.sum(sf * sf, axis=1, keepdims=True)  # (TS, 1)
         d2 = jnp.maximum(q2 - 2.0 * dot + s2.T, 0.0)
         score = -jnp.sqrt(d2)
     else:  # 'dot'
         score = dot * scale_ref[0, 0]
 
-    valid = mask_ref[:, :1].T > 0.0  # (1, TS)
+    # Masked/padding positions carry label -1: they get score -inf AND match
+    # no one-hot column, so a single aux array serves both purposes. Labels
+    # ride as bf16 when n_classes <= 256 (exact small integers, half the
+    # bytes) and int32 otherwise.
+    # Upcast to f32 in-VMEM: Mosaic lacks packed-bf16 vector compares.
+    labels = sy_ref[:, :1].astype(jnp.float32)  # (TS, 1)
+    valid = labels.T >= 0.0  # (1, TS)
     score = jnp.where(valid, score, _NEG_INF)
 
     m_prev = m_ref[:, :1]  # (TB, 1)
@@ -111,9 +121,10 @@ def _nw_fwd_kernel(
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     # One-hot of the support labels, built in-VMEM (TS, C_pad).
-    labels = sy_ref[:, :1]  # (TS, 1)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (labels.shape[0], c_pad), 1)
-    onehot = (labels == col_ids).astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (labels.shape[0], c_pad), 1
+    ).astype(jnp.float32)
+    onehot = (labels == col_ids).astype(jnp.float32)  # exact: ints <= 256
 
     pv = jax.lax.dot_general(
         p, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -151,11 +162,15 @@ def _fwd_pallas(
 
     q_p = jnp.pad(q, ((0, b_pad - B), (0, 0)))
     s_p = jnp.pad(s, ((0, s_pad - S), (0, 0)))
-    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S))
+    if q_p.dtype != s_p.dtype:  # bf16 bank with f32 queries -> bf16 dot
+        q_p = q_p.astype(s_p.dtype)
+    # Labels with -1 sentinel where masked (padding included). bf16 holds
+    # integers exactly up to 256 — half the label traffic for C <= 256.
+    label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
+    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S), constant_values=-1)
     mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
-
+    sy_p = jnp.where(mask_p > 0, sy_p, -1).astype(label_dtype)
     sy_b = jnp.broadcast_to(sy_p[:, None], (s_pad, 128))
-    mask_b = jnp.broadcast_to(mask_p[:, None], (s_pad, 128))
 
     n_b = b_pad // block_b
     n_s = s_pad // block_s
@@ -167,7 +182,6 @@ def _fwd_pallas(
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
             pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
             pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
@@ -191,11 +205,12 @@ def _fwd_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(b_pad * D + s_pad * D + s_pad * 2 * 128) * 4,
+            bytes_accessed=(b_pad * D + s_pad * D) * q_p.dtype.itemsize
+            + s_pad * 128 * 4,
             transcendentals=b_pad * s_pad,
         ),
         interpret=interpret,
-    )(scale.reshape(1, 1), q_p, s_p, sy_b, mask_b)
+    )(scale.reshape(1, 1), q_p, s_p, sy_b)
     return out[:B, :n_classes]
 
 
@@ -253,7 +268,7 @@ def _chunked_probs(q, s, sy_onehot, mask, scale, *, mode, chunk):
 # Public op with custom VJP
 # ---------------------------------------------------------------------------
 
-DEFAULT_BLOCK_S = 512
+DEFAULT_BLOCK_S = 1024
 
 
 def _resolve_mode(kernel: str, kernel_params: Dict[str, Any], q, s):
@@ -281,21 +296,34 @@ def nw_fused_log_probs(
     kernel: str = "euclidean",
     kernel_params: Optional[Dict[str, Any]] = None,
     support_mask: Optional[jnp.ndarray] = None,
-    block_b: int = 128,
+    block_b: Optional[int] = None,
     block_s: int = DEFAULT_BLOCK_S,
     interpret: Optional[bool] = None,
+    precision: str = "f32",
 ) -> jnp.ndarray:
     """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
 
     Same contract as ``nw_log_probs`` restricted to 2-D shared support.
     Differentiable wrt q, s, and clip's logit_scale.
+
+    precision: 'f32' (exact, default) or 'bf16' (cast features to bf16 —
+    half the HBM traffic and a single-pass MXU dot; log-prob error ~1e-2,
+    fine for throughput-critical serving, not for calibration-sensitive
+    eval).
     """
     kernel_params = kernel_params or {}
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if precision == "bf16":
+        # Bandwidth-optimized inference: bf16 features halve HBM traffic and
+        # run the distance dot in one MXU pass; softmax stats stay f32.
+        qfeat = qfeat.astype(jnp.bfloat16)
+        sfeat = sfeat.astype(jnp.bfloat16)
 
+    if block_b is None:  # avoid padding small batches up to a huge tile
+        block_b = min(128, _round_up(qfeat.shape[0], 8))
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     return _nw_fused_core(
         qn,
