@@ -126,6 +126,14 @@ def main():
         *HEAD_N,
         (qfeat, bank),
     )
+    # Bandwidth-optimized serving mode (bf16 bank; argmax-identical at CUB scale).
+    t_bf16 = _differential_time(
+        head_loop_maker(
+            lambda q, s: nw_fused_log_probs(q, s, bank_y, C, precision="bf16")
+        ),
+        *HEAD_N,
+        (qfeat, bank),
+    )
 
     qps = B / (t_feat + t_fused)
     qps_ref_style = B / (t_feat + t_naive)
@@ -145,6 +153,8 @@ def main():
                 "baseline_def": "same chip, reference-style materialized cdist->softmax->bmm head",
                 "head_us_per_batch": round(t_fused * 1e6, 1),
                 "head_only_qps": round(B / t_fused, 1),
+                "head_bf16_us_per_batch": round(t_bf16 * 1e6, 1),
+                "head_bf16_qps": round(B / t_bf16, 1),
                 "head_speedup_vs_naive": round(t_naive / t_fused, 2),
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
                 "head_hbm_roofline_frac": round(head_roofline_frac, 3),

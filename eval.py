@@ -1,0 +1,147 @@
+"""NW-head evaluation CLI.
+
+The reference's legacy README describes an ``eval.py`` (feature-bank
+precompute + multi-mode evaluation + explainability dumps,
+``legacy/README.md:110-124``) but the file is absent from the snapshot.
+This is that tool: load a checkpoint, precompute (or load a cached) support
+bank, evaluate any subset of the six inference modes, and optionally dump
+support-influence rankings for a batch of queries.
+
+Example:
+    python eval.py --dataset bird --data_dir <cub_root> --arch resnet18 \
+        --ckpt runs/.../checkpoints/model.best --modes random full cluster \
+        --influence_queries 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="NW Head Evaluation (TPU)")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default="./")
+    p.add_argument("--arch", type=str, default="resnet18")
+    p.add_argument("--ckpt", type=str, default=None, help="checkpoint path (optional)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--modes", nargs="+", default=["random", "full", "cluster"],
+                   choices=["random", "full", "cluster", "ensemble", "knn", "hnsw"])
+    p.add_argument("--kernel_type", type=str, default="euclidean")
+    p.add_argument("--proj_dim", type=int, default=0)
+    p.add_argument("--n_shot_full", type=int, default=100)
+    p.add_argument("--n_shot_random", type=int, default=1)
+    p.add_argument("--n_shot_cluster", type=int, default=1)
+    p.add_argument("--n_neighbors", type=int, default=10)
+    p.add_argument("--num_val_steps", type=int, default=10**9)
+    p.add_argument("--bank_cache", type=str, default=None,
+                   help="directory to save/load the precomputed feature bank")
+    p.add_argument("--influence_queries", type=int, default=0,
+                   help="dump support-influence rankings for the first N queries")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    import train as train_cli
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.ops import metrics as M
+    from nwhead_tpu.train import load_checkpoint
+
+    ds_args = argparse.Namespace(dataset=args.dataset, data_dir=args.data_dir, seed=args.seed)
+    train_ds, val_ds = train_cli.build_datasets(ds_args)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    is_cifar = args.dataset in ("cifar10", "cifar100")
+    name = {"resnet18": "CIFAR_ResNet18" if is_cifar else "resnet18",
+            "densenet121": "CIFAR_DenseNet121" if is_cifar else "densenet121"}.get(args.arch, args.arch)
+    featurizer = load_model(name, dtype=dtype)
+
+    net = NWNet(
+        featurizer,
+        train_ds.num_classes,
+        support_dataset=train_ds,
+        feat_dim=featurizer.feat_dim,
+        proj_dim=args.proj_dim,
+        kernel_type=args.kernel_type,
+        n_shot_full=args.n_shot_full,
+        n_shot_random=args.n_shot_random,
+        n_shot_cluster=args.n_shot_cluster,
+        n_neighbors=args.n_neighbors,
+        seed=args.seed,
+    )
+    sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
+    variables = net.init(jax.random.PRNGKey(args.seed), sample)
+    if args.ckpt:
+        restored = load_checkpoint(args.ckpt, target={
+            "params": variables["params"], "batch_stats": variables["batch_stats"]})
+        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+        print(f"Loaded checkpoint {args.ckpt}")
+
+    # Precompute (or restore) the support bank.
+    from nwhead_tpu.data import FeatureBankCache
+
+    cache = FeatureBankCache(args.bank_cache) if args.bank_cache else None
+    if cache is not None and cache.exists():
+        emb, lbl, meta = cache.load()
+        meta = meta if meta is not None else np.zeros(len(lbl))
+        net.support_eval.build_infer_iters(emb, lbl, meta, [emb], [lbl], [meta])
+        net.full_feat, net.full_y = jnp.asarray(emb), jnp.asarray(lbl)
+        print(f"Loaded cached bank from {args.bank_cache} ({len(lbl)} items)")
+    else:
+        net.precompute(variables)
+        if cache is not None:
+            cache.save(np.asarray(net.full_feat), np.asarray(net.full_y))
+            print(f"Saved bank to {args.bank_cache}")
+
+    results = {}
+    bs = args.batch_size
+    n = (len(val_ds) // bs) * bs
+    for mode in args.modes:
+        probs_all, gts = [], []
+        correct = total = 0
+        loss_sum = 0.0
+        for start in range(0, min(n, args.num_val_steps * bs), bs):
+            idx = np.arange(start, start + bs)
+            img = jnp.asarray(val_ds.gather(idx))
+            label = val_ds.targets[idx]
+            out = net.predict(variables, img, mode)
+            if isinstance(out, tuple):
+                out = out[0]
+            loss_sum += float(M.nll_loss(out, jnp.asarray(label))) * bs
+            correct += int((np.asarray(out).argmax(-1) == label).sum())
+            total += bs
+            probs_all.append(np.exp(np.asarray(out)))
+            gts.append(label)
+        ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
+        results[mode] = {
+            "acc": 100.0 * correct / total,
+            "nll": loss_sum / total,
+            "ece": ece,
+            "n": total,
+        }
+        print(f"[{mode}] acc={results[mode]['acc']:.3f}% nll={results[mode]['nll']:.4f} ece={ece:.3f}")
+
+    if args.influence_queries > 0:
+        nq = args.influence_queries
+        img = jnp.asarray(val_ds.gather(np.arange(nq)))
+        infl = net.support_influence(variables, img, val_ds.targets[:nq], mode="full")
+        order = np.argsort(-infl, axis=-1)
+        print("Top-5 most helpful support items per query (index: influence):")
+        for i in range(nq):
+            tops = ", ".join(f"{j}:{infl[i, j]:+.4f}" for j in order[i, :5])
+            print(f"  query {i} (y={val_ds.targets[i]}): {tops}")
+
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,52 @@ def _clip_init() -> Dict[str, Any]:
     return {"logit_scale": jnp.asarray(math.log(1.0 / 0.07), dtype=jnp.float32)}
 
 
+class RelationNetwork:
+    """Learned conv relation kernel (parity with the reference's
+    ``RelationNetwork``, ``kernel.py:46-78`` — defined there but commented
+    out of the factory ``kernel.py:91-94``; likewise not registered here).
+
+    Scores feature-map pairs with a small conv net:
+    ``score(x, y) = -sigmoid(MLP(conv(|x - y|)))`` when ``symmetric``.
+    Operates on 4-D feature maps (n, h, w, c), not pooled vectors.
+    """
+
+    def __init__(self, in_ch_size: int, input_size: int, hidden_size: int, symmetric: bool = True):
+        import flax.linen as nn
+
+        class _Relation(nn.Module):
+            hidden: int
+
+            @nn.compact
+            def __call__(self, d, train: bool = True):
+                for _ in range(2):
+                    d = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])(d)
+                    d = nn.BatchNorm(use_running_average=not train, momentum=0.0)(d)
+                    d = nn.relu(d)
+                    d = nn.max_pool(d, (2, 2), strides=(2, 2))
+                d = d.reshape(d.shape[0], -1)
+                d = nn.relu(nn.Dense(self.hidden)(d))
+                return jax.nn.sigmoid(nn.Dense(1)(d))
+
+        self.module = _Relation(hidden=hidden_size)
+        self.symmetric = symmetric
+
+    def apply(self, variables, x, y, train: bool = False):
+        """x: (bs, nq, h, w, c), y: (bs, ns, h, w, c) -> (bs, nq, ns)."""
+        assert self.symmetric, "only the symmetric |x - y| variant is defined"
+        bs, nq = x.shape[:2]
+        ns = y.shape[1]
+        diff = jnp.abs(x[:, :, None] - y[:, None, :, :])  # (bs, nq, ns, h, w, c)
+        flat = diff.reshape(-1, *diff.shape[3:])
+        scores = -self.module.apply(variables, flat, train=train)
+        return scores.reshape(bs, nq, ns)
+
+    def init(self, rng, x, y):
+        bs, nq = x.shape[:2]
+        diff = jnp.abs(x[:, :1] - y[:, :1])
+        return self.module.init(rng, diff.reshape(-1, *diff.shape[2:]), train=False)
+
+
 _KERNELS: Dict[str, Tuple[KernelFn, Callable[[], Dict[str, Any]]]] = {
     "euclidean": (euclidean, dict),
     "hypersphere_euclidean": (hypersphere_euclidean, dict),
