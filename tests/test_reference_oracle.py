@@ -1,0 +1,244 @@
+"""End-to-end parity vs. the actual reference implementation.
+
+Imports the PyTorch reference from /root/reference (read-only, used purely
+as a test oracle — none of its code ships in the framework), feeds both
+stacks the same synthetic dataset and the same converted weights, and
+requires matching outputs on the deterministic paths:
+
+  * full-mode predict (deterministic balanced bank, same ordering);
+  * knn-mode predict (deterministic given features);
+  * episodic training forward with an explicitly pinned support episode;
+  * support influence on identical probabilities/weights.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    torch = pytest.importorskip("torch")
+    # The reference imports hnswlib at module scope; stub it (we compare the
+    # exact-knn path, not hnsw).
+    if "hnswlib" not in sys.modules:
+        stub = types.ModuleType("hnswlib")
+
+        class _Index:
+            def __init__(self, space, dim):
+                self.dim = dim
+
+            def init_index(self, max_elements, ef_construction, M):
+                pass
+
+            def add_items(self, data):
+                self.data = np.asarray(data)
+
+            def knn_query(self, x, k):
+                d = ((np.asarray(x)[:, None] - self.data[None]) ** 2).sum(-1)
+                idx = np.argsort(d, -1)[:, :k]
+                return idx, np.take_along_axis(d, idx, -1)
+
+        stub.Index = _Index
+        sys.modules["hnswlib"] = stub
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    ref_nw = importlib.import_module("nwhead.nw")
+    ref_metric = importlib.import_module("util.metric")
+    return ref_nw, ref_metric
+
+
+class TorchSyntheticDataset:
+    """Reference-protocol dataset: __getitem__ -> (NCHW tensor, label)."""
+
+    def __init__(self, images_nhwc, targets):
+        import torch
+
+        self.images = torch.from_numpy(images_nhwc.transpose(0, 3, 1, 2)).float()
+        self.targets = np.asarray(targets)
+        self.num_classes = int(self.targets.max()) + 1
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        import torch
+
+        return self.images[idx], torch.tensor(self.targets[idx])
+
+
+@pytest.fixture(scope="module")
+def parity_setup(reference_modules):
+    import torch
+    from torch_oracles import torch_resnet18
+
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.torch_import import load_pretrained
+    from nwhead_tpu.nw.net import NWNet
+
+    ref_nw, ref_metric = reference_modules
+
+    rng = np.random.default_rng(0)
+    N, C, HW = 64, 4, 32
+    targets = np.tile(np.arange(C), N // C)
+    images = rng.normal(0, 0.4, size=(N, HW, HW, 3)).astype(np.float32)
+    images += (targets / C)[:, None, None, None].astype(np.float32)
+
+    torch.manual_seed(0)
+    t_feat = torch_resnet18()
+    # Randomized running stats so eval-mode BN is non-trivial.
+    sd = t_feat.state_dict()
+    g = torch.Generator().manual_seed(1)
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) * 0.5 + 0.75
+    t_feat.load_state_dict(sd)
+
+    t_ds = TorchSyntheticDataset(images, targets)
+    ref_net = ref_nw.NWNet(
+        t_feat, C, support_dataset=t_ds, feat_dim=512,
+        n_shot=2, n_shot_full=8, n_shot_cluster=2, n_neighbors=3,
+        device="cpu",
+    )
+    ref_net.eval()
+
+    j_ds = ArrayDataset(images, targets, num_classes=C)
+    j_feat = load_model("resnet18")
+    net = NWNet(
+        j_feat, C, support_dataset=j_ds, feat_dim=512,
+        n_shot=2, n_shot_full=8, n_shot_cluster=2, n_neighbors=3, seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(images[:2]))
+    feat_vars = {
+        "params": variables["params"]["featurizer"],
+        "batch_stats": variables["batch_stats"]["featurizer"],
+    }
+    feat_vars = load_pretrained(feat_vars, t_feat.state_dict(), "resnet18")
+    variables = {
+        "params": {**variables["params"], "featurizer": feat_vars["params"]},
+        "batch_stats": {**variables["batch_stats"], "featurizer": feat_vars["batch_stats"]},
+    }
+
+    import torch as _t
+
+    with _t.no_grad():
+        ref_net.precompute()
+    net.precompute(variables)
+    return ref_net, net, variables, images, targets
+
+
+def test_full_bank_matches(parity_setup):
+    ref_net, net, variables, images, targets = parity_setup
+    ref_feat = ref_net.full_feat.numpy()
+    our_feat = np.asarray(net.full_feat)
+    assert ref_feat.shape == our_feat.shape
+    np.testing.assert_array_equal(ref_net.full_y.numpy(), np.asarray(net.full_y))
+    np.testing.assert_allclose(our_feat, ref_feat, rtol=1e-2, atol=2e-3)
+
+
+def test_full_mode_predict_matches(parity_setup):
+    import torch
+
+    ref_net, net, variables, images, targets = parity_setup
+    x = images[:8]
+    with torch.no_grad():
+        want = ref_net.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)), "full").numpy()
+    got = np.asarray(net.predict(variables, jnp.asarray(x), "full"))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+    # Class decisions must agree exactly.
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_knn_mode_predict_matches(parity_setup):
+    import torch
+
+    ref_net, net, variables, images, targets = parity_setup
+    x = images[:4]
+    with torch.no_grad():
+        want = ref_net.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)), "knn").numpy()
+    got = np.asarray(net.predict(variables, jnp.asarray(x), "knn"))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_train_forward_matches_with_pinned_support(parity_setup):
+    """Episodic forward with the SAME support episode: the train-mode BN
+    (joint query+support batch) and joint-graph head must agree."""
+    import torch
+
+    ref_net, net, variables, images, targets = parity_setup
+    q = images[:3]
+    qy = targets[:3]
+    sidx = np.array([0, 1, 4, 5, 8, 9])  # classes 0,1,0,1,0,1
+    sy = targets[sidx]
+    sx = images[sidx]
+
+    ref_net.train()
+    with torch.no_grad():
+        want = ref_net.forward(
+            torch.from_numpy(q.transpose(0, 3, 1, 2)),
+            torch.from_numpy(qy),
+            support_data=(
+                torch.from_numpy(sx.transpose(0, 3, 1, 2)),
+                torch.from_numpy(sy),
+                torch.zeros(len(sy)),
+            ),
+        ).numpy()
+    ref_net.eval()
+
+    got, isin, _ = net.forward(
+        variables, jnp.asarray(q), qy,
+        support_data=(jnp.asarray(sx), sy, None),
+    )
+    got = np.asarray(got)
+    np.testing.assert_array_equal(isin, np.isin(qy, sy))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-2)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_support_influence_matches_reference_fn(parity_setup):
+    """Our vectorized influence vs the reference's loop implementation, on
+    identical probability/weight inputs."""
+    import torch
+
+    ref_net, net, variables, images, targets = parity_setup
+    _, ref_metric = None, sys.modules["util.metric"]
+
+    from nwhead_tpu.ops.influence import support_influence
+    from nwhead_tpu.ops.nw import nw_probs_and_weights
+
+    qfeat = np.asarray(net._featurize_eval(variables, jnp.asarray(images[:1])))
+    sfeat = np.asarray(net.full_feat)
+    sy = np.asarray(net.full_y)
+    probs, weights = nw_probs_and_weights(
+        jnp.asarray(qfeat), jnp.asarray(sfeat), jnp.asarray(sy), net.n_classes
+    )
+    got = np.asarray(
+        support_influence(probs, jnp.asarray(targets[:1]), weights, jnp.asarray(sy))
+    )
+
+    qlabel_oh = torch.nn.functional.one_hot(
+        torch.from_numpy(targets[:1]).long(), net.n_classes
+    ).float()
+    slabel_oh = torch.nn.functional.one_hot(
+        torch.from_numpy(sy).long(), net.n_classes
+    ).float()[None]
+    want = ref_metric.support_influence(
+        torch.from_numpy(np.asarray(probs)),
+        qlabel_oh,
+        torch.from_numpy(np.asarray(weights)),
+        slabel_oh,
+    ).numpy()
+    np.testing.assert_allclose(got[0], want.reshape(-1), rtol=1e-3, atol=1e-4)
