@@ -63,6 +63,8 @@ def _nw_fwd_kernel(
     s_ref,      # (TS, D) VMEM
     sy_ref,     # (TS, 128) int32 VMEM — labels with -1 = masked/padding
     out_ref,    # (TB, C_pad) VMEM — final log-probs
+    mstat_ref,  # (TB, 128) VMEM out — softmax max (saved for backward)
+    lstat_ref,  # (TB, 128) VMEM out — softmax normalizer (saved for backward)
     m_ref,      # (TB, 128) f32 scratch — running max
     l_ref,      # (TB, 128) f32 scratch — running normalizer
     acc_ref,    # (TB, C_pad) f32 scratch — running weighted label sum
@@ -139,6 +141,8 @@ def _nw_fwd_kernel(
         l_final = jnp.maximum(l_ref[:, :1], 1e-30)
         probs = acc_ref[:] / l_final
         out_ref[:] = jnp.log(probs + LOG_FLOOR)
+        mstat_ref[:] = m_ref[:]
+        lstat_ref[:] = l_ref[:]
 
 
 def _fwd_pallas(
@@ -184,7 +188,11 @@ def _fwd_pallas(
             pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
             pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+        out_specs=(
+            pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, 128), jnp.float32),
@@ -196,10 +204,14 @@ def _fwd_pallas(
         _nw_fwd_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad
     )
     flops = 2 * b_pad * s_pad * D + 2 * b_pad * s_pad * c_pad
-    out = pl.pallas_call(
+    out, m_stat, l_stat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -211,11 +223,232 @@ def _fwd_pallas(
         ),
         interpret=interpret,
     )(scale.reshape(1, 1), q_p, s_p, sy_b)
-    return out[:B, :n_classes]
+    return out[:B, :n_classes], m_stat[:, :1], l_stat[:, :1]
 
 
 # ---------------------------------------------------------------------------
-# Exact chunked reference (used for the VJP backward recompute)
+# Backward kernels (flash-style: recompute tile scores from saved (m, l))
+# ---------------------------------------------------------------------------
+
+def _bwd_tile_dscore(scale, q, s, labels_f, u, r, m, l, *, mode, c_pad):
+    """Shared per-tile recompute: returns (dscore (TB, TS), aux) where aux is
+    the l2 distance (for the chain rule) or the raw dot (for dscale)."""
+    dot = jax.lax.dot_general(
+        q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, TS)
+    if mode == "l2":
+        qf = q.astype(jnp.float32)
+        sf = s.astype(jnp.float32)
+        q2 = jnp.sum(qf * qf, axis=1, keepdims=True)
+        s2 = jnp.sum(sf * sf, axis=1, keepdims=True)
+        d2 = jnp.maximum(q2 - 2.0 * dot + s2.T, 0.0)
+        dist = jnp.sqrt(d2)
+        score = -dist
+        aux = dist
+    else:
+        score = dot * scale
+        aux = dot
+
+    valid = labels_f.T >= 0.0  # (1, TS)
+    score = jnp.where(valid, score, _NEG_INF)
+
+    m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)  # (TB, 1)
+    w = jnp.where(
+        score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0
+    ) / jnp.maximum(l, 1e-30)  # (TB, TS)
+
+    # u_{i, y_j}: gather via one-hot matmul on the MXU.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (labels_f.shape[0], c_pad), 1).astype(
+        jnp.float32
+    )
+    onehot = (labels_f == col_ids).astype(jnp.float32)  # (TS, C_pad)
+    uy = jax.lax.dot_general(
+        u, onehot, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TB, TS)
+
+    dscore = w * (uy - r)  # (TB, TS)
+    return dscore, aux
+
+
+def _nw_bwd_dq_kernel(
+    scale_ref, q_ref, s_ref, sy_ref, u_ref, r_ref, m_ref, l_ref,
+    dq_ref, acc_ref,
+    *, mode: str, n_s_tiles: int, c_pad: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    labels_f = sy_ref[:, :1].astype(jnp.float32)
+    dscore, aux = _bwd_tile_dscore(
+        scale_ref[0, 0], q_ref[:], s_ref[:], labels_f,
+        u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
+        mode=mode, c_pad=c_pad,
+    )
+    if mode == "l2":
+        # dq_i += sum_j (dscore/d) * (s_j - q_i)
+        t = jnp.where(aux > 0.0, dscore / jnp.where(aux > 0.0, aux, 1.0), 0.0)
+        ts = jax.lax.dot_general(
+            t, s_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TB, D)
+        acc_ref[:] += ts - q_ref[:].astype(jnp.float32) * jnp.sum(
+            t, axis=1, keepdims=True
+        )
+    else:
+        ds_s = jax.lax.dot_general(
+            dscore, s_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += scale_ref[0, 0] * ds_s
+
+    @pl.when(j == n_s_tiles - 1)
+    def _finalize():
+        dq_ref[:] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _nw_bwd_ds_kernel(
+    scale_ref, q_ref, s_ref, sy_ref, u_ref, r_ref, m_ref, l_ref,
+    ds_ref, acc_ref,
+    *, mode: str, n_b_tiles: int, c_pad: int,
+):
+    i = pl.program_id(1)  # batch tiles innermost
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    labels_f = sy_ref[:, :1].astype(jnp.float32)
+    dscore, aux = _bwd_tile_dscore(
+        scale_ref[0, 0], q_ref[:], s_ref[:], labels_f,
+        u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
+        mode=mode, c_pad=c_pad,
+    )
+    if mode == "l2":
+        # ds_j += sum_i (dscore/d) * (q_i - s_j)
+        t = jnp.where(aux > 0.0, dscore / jnp.where(aux > 0.0, aux, 1.0), 0.0)
+        tq = jax.lax.dot_general(
+            t, q_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TS, D)
+        # Column sums as a matmul with a ones vector: (TS, TB) x (TB, 1)
+        # — avoids a (1, TS) -> (TS, 1) relayout Mosaic can't do cheaply.
+        ones = jnp.ones((t.shape[0], 1), jnp.float32)
+        colsum = jax.lax.dot_general(
+            t, ones, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TS, 1)
+        acc_ref[:] += tq - s_ref[:].astype(jnp.float32) * colsum
+    else:
+        dq_t = jax.lax.dot_general(
+            dscore, q_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TS, D)
+        acc_ref[:] += scale_ref[0, 0] * dq_t
+
+    @pl.when(i == n_b_tiles - 1)
+    def _finalize():
+        ds_ref[:] = acc_ref[:].astype(ds_ref.dtype)
+
+
+def _bwd_pallas(
+    q, s, sy, mask, scale, u, r, m_stat, l_stat,
+    *, mode, n_classes, block_b, block_s, interpret,
+):
+    B, D = q.shape
+    S = s.shape[0]
+    c_pad = _round_up(n_classes, 128)
+    b_pad = _round_up(B, block_b)
+    s_pad = _round_up(S, block_s)
+
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, 0)))
+    s_p = jnp.pad(s, ((0, s_pad - S), (0, 0)))
+    if q_p.dtype != s_p.dtype:
+        q_p = q_p.astype(s_p.dtype)
+    label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
+    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S), constant_values=-1)
+    mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
+    sy_p = jnp.where(mask_p > 0, sy_p, -1).astype(label_dtype)
+    sy_b = jnp.broadcast_to(sy_p[:, None], (s_pad, 128))
+
+    u_p = jnp.pad(u.astype(jnp.float32), ((0, b_pad - B), (0, c_pad - u.shape[1])))
+    r_p = jnp.broadcast_to(
+        jnp.pad(r.astype(jnp.float32), ((0, b_pad - B), (0, 0))), (b_pad, 128)
+    )
+    m_p = jnp.broadcast_to(m_stat, (b_pad, 128))
+    l_p = jnp.broadcast_to(l_stat, (b_pad, 128))
+
+    n_b = b_pad // block_b
+    n_s = s_pad // block_s
+    scale2d = scale.reshape(1, 1)
+
+    # dq: grid (B tiles, S tiles), S innermost (accumulate over S).
+    dq = pl.pallas_call(
+        functools.partial(_nw_bwd_dq_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_b, n_s),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
+                pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_b, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:B]
+
+    # ds: grid (S tiles, B tiles), B innermost (accumulate over B).
+    ds = pl.pallas_call(
+        functools.partial(_nw_bwd_ds_kernel, mode=mode, n_b_tiles=n_b, c_pad=c_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_s, n_b),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((block_b, D), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
+                pl.BlockSpec((block_s, 128), lambda j, i: (j, 0)),
+                pl.BlockSpec((block_b, c_pad), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
+            scratch_shapes=[pltpu.VMEM((block_s, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_pad, D), s.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:S]
+
+    # dscale (clip): for 'dot' mode, score = scale * dot  =>
+    # d/dscale = sum_ij dscore_ij dot_ij = <q, dq> / scale (since
+    # dq = scale * dscore @ s). For 'l2', scale is unused.
+    if mode == "dot":
+        dscale = (
+            jnp.sum(q.astype(jnp.float32) * dq.astype(jnp.float32)) / scale
+        ).astype(scale.dtype)
+    else:
+        dscale = jnp.zeros_like(scale)
+    return dq, ds, dscale
+
+
+# ---------------------------------------------------------------------------
+# Exact chunked reference (kept as a cross-check oracle for the backward)
 # ---------------------------------------------------------------------------
 
 def _chunked_probs(q, s, sy_onehot, mask, scale, *, mode, chunk):
@@ -341,7 +574,7 @@ def nw_fused_log_probs(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _nw_fused_core(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret):
-    return _fwd_pallas(
+    out, _, _ = _fwd_pallas(
         q,
         s,
         sy,
@@ -353,30 +586,32 @@ def _nw_fused_core(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, int
         block_s=block_s,
         interpret=interpret,
     )
+    return out
 
 
 def _core_fwd(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret):
-    out = _nw_fused_core(q, s, scale, sy, mask, mode, n_classes, block_b, block_s, interpret)
-    return out, (q, s, scale, sy, mask)
+    out, m_stat, l_stat = _fwd_pallas(
+        q, s, sy, mask, scale,
+        mode=mode, n_classes=n_classes,
+        block_b=block_b, block_s=block_s, interpret=interpret,
+    )
+    return out, (q, s, scale, sy, mask, out, m_stat, l_stat)
 
 
 def _core_bwd(mode, n_classes, block_b, block_s, interpret, residuals, g):
-    """Exact recompute backward via the differentiable chunked reference."""
-    q, s, scale, sy, mask = residuals
-    S = s.shape[0]
-    chunk = min(block_s, S)
-    s_pad = _round_up(S, chunk)
-    sy_onehot = jax.nn.one_hot(sy, n_classes, dtype=jnp.float32)
+    """Flash-style backward: recompute tile scores from the saved softmax
+    stats (m, l) in two Pallas kernels (dq and ds), one pass each."""
+    q, s, scale, sy, mask, out, m_stat, l_stat = residuals
+    # out = log(o + eps)  =>  dL/do = g * exp(-out) (exact);
+    # r_i = sum_c u_ic * o_ic with o = exp(out) - eps.
+    u = g * jnp.exp(-out)
+    r = jnp.sum(u * (jnp.exp(out) - LOG_FLOOR), axis=-1, keepdims=True)
 
-    def f(q_, s_, scale_):
-        s_p = jnp.pad(s_, ((0, s_pad - S), (0, 0)))
-        y_p = jnp.pad(sy_onehot, ((0, s_pad - S), (0, 0)))
-        m_p = jnp.pad(mask, (0, s_pad - S))
-        probs = _chunked_probs(q_, s_p, y_p, m_p, scale_, mode=mode, chunk=chunk)
-        return jnp.log(probs + LOG_FLOOR)
-
-    _, vjp = jax.vjp(f, q, s, scale)
-    dq, ds, dscale = vjp(g)
+    dq, ds, dscale = _bwd_pallas(
+        q, s, sy, mask, scale, u, r, m_stat, l_stat,
+        mode=mode, n_classes=n_classes,
+        block_b=block_b, block_s=block_s, interpret=interpret,
+    )
     return dq, ds, dscale, None, None
 
 
