@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nwhead_tpu.ops.nw import LOG_FLOOR
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+DEFAULT_BLOCK_S = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,6 +73,7 @@ def _nw_fwd_kernel(
     mode: str,
     n_s_tiles: int,
     c_pad: int,
+    partials: bool = False,
 ):
     j = pl.program_id(1)
 
@@ -138,9 +140,14 @@ def _nw_fwd_kernel(
 
     @pl.when(j == n_s_tiles - 1)
     def _finalize():
-        l_final = jnp.maximum(l_ref[:, :1], 1e-30)
-        probs = acc_ref[:] / l_final
-        out_ref[:] = jnp.log(probs + LOG_FLOOR)
+        if partials:
+            # Support-sharded mode: emit raw (acc, m, l) partials for the
+            # cross-device online-softmax merge instead of finalizing.
+            out_ref[:] = acc_ref[:]
+        else:
+            l_final = jnp.maximum(l_ref[:, :1], 1e-30)
+            probs = acc_ref[:] / l_final
+            out_ref[:] = jnp.log(probs + LOG_FLOOR)
         mstat_ref[:] = m_ref[:]
         lstat_ref[:] = l_ref[:]
 
@@ -157,6 +164,7 @@ def _fwd_pallas(
     block_b: int,
     block_s: int,
     interpret: bool,
+    partials: bool = False,
 ) -> jnp.ndarray:
     B, D = q.shape
     S = s.shape[0]
@@ -201,7 +209,7 @@ def _fwd_pallas(
     )
 
     kernel = functools.partial(
-        _nw_fwd_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad
+        _nw_fwd_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad, partials=partials
     )
     flops = 2 * b_pad * s_pad * D + 2 * b_pad * s_pad * c_pad
     out, m_stat, l_stat = pl.pallas_call(
@@ -223,7 +231,47 @@ def _fwd_pallas(
         ),
         interpret=interpret,
     )(scale.reshape(1, 1), q_p, s_p, sy_b)
+    if partials:
+        return out[:B, :n_classes], m_stat[:B, :1], l_stat[:B, :1]
     return out[:B, :n_classes], m_stat[:, :1], l_stat[:, :1]
+
+
+def nw_fused_partials(
+    qfeat: jnp.ndarray,
+    sfeat: jnp.ndarray,
+    sy: jnp.ndarray,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+    support_mask: Optional[jnp.ndarray] = None,
+    block_b: Optional[int] = None,
+    block_s: int = DEFAULT_BLOCK_S,
+    interpret: Optional[bool] = None,
+    precision: str = "f32",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-shard online-softmax partials via the fused kernel:
+    returns ``(m (B, 1), l (B, 1), acc (B, C))`` — the quantities the
+    support-sharded distributed merge combines (``parallel.merge_partials``).
+    Inference-only (no VJP)."""
+    kernel_params = kernel_params or {}
+    if support_mask is None:
+        support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if precision == "bf16":
+        qfeat = qfeat.astype(jnp.bfloat16)
+        sfeat = sfeat.astype(jnp.bfloat16)
+    if block_b is None:
+        block_b = min(128, _round_up(qfeat.shape[0], 8))
+    block_s = min(block_s, _round_up(sfeat.shape[0], 128))
+    mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
+    acc, m, l = _fwd_pallas(
+        qn, sn, sy, support_mask.astype(jnp.float32), scale,
+        mode=mode, n_classes=n_classes,
+        block_b=block_b, block_s=block_s, interpret=interpret, partials=True,
+    )
+    return m, l, acc
 
 
 # ---------------------------------------------------------------------------
@@ -500,8 +548,6 @@ def _chunked_probs(q, s, sy_onehot, mask, scale, *, mode, chunk):
 # ---------------------------------------------------------------------------
 # Public op with custom VJP
 # ---------------------------------------------------------------------------
-
-DEFAULT_BLOCK_S = 1024
 
 
 def _resolve_mode(kernel: str, kernel_params: Dict[str, Any], q, s):

@@ -45,12 +45,25 @@ def nw_partials(
     *,
     kernel: str = "euclidean",
     kernel_params: Optional[Dict[str, Any]] = None,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-shard online-softmax partials for a local support shard.
 
     qfeat: (B, D); sfeat: (S_loc, D); sy: (S_loc,) int; mask: (S_loc,).
     Returns (m (B, 1), l (B, 1), acc (B, C)).
+
+    use_fused: run the fused Pallas kernel per shard (default on TPU; the
+    materialized jnp path elsewhere — both are exact).
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    if use_fused:
+        from nwhead_tpu.ops.pallas_nw import nw_fused_partials
+
+        return nw_fused_partials(
+            qfeat, sfeat, sy, n_classes,
+            kernel=kernel, kernel_params=kernel_params, support_mask=mask,
+        )
     kernel_fn, init_params = get_kernel(kernel)
     kparams = kernel_params if kernel_params is not None else init_params
     scores = kernel_fn(kparams, qfeat[:, None, :], sfeat[None])[  # (B, 1, S)

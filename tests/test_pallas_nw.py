@@ -109,3 +109,31 @@ def test_probabilities_renormalize_exactly(rng):
     q, s, sy, C = _problem(rng, S=1024)
     out = np.asarray(nw_fused_log_probs(q, s, sy, C, block_s=256))
     np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fused_partials_match_merge(rng):
+    """Partials from the fused kernel, merged across fake shards, must equal
+    the single-shot op (the distributed full-mode path)."""
+    from nwhead_tpu.ops.pallas_nw import nw_fused_partials
+    from nwhead_tpu.parallel.sharded_bank import _NEG_INF as NEG
+
+    B, S, D, C = 4, 512, 32, 7
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s = np.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    sy = np.asarray(rng.integers(0, C, size=S).astype(np.int32))
+
+    # Two "shards".
+    parts = []
+    for sl in (slice(0, 256), slice(256, 512)):
+        m, l, acc = nw_fused_partials(
+            q, jnp.asarray(s[sl]), jnp.asarray(sy[sl]), C, block_s=128
+        )
+        parts.append((np.asarray(m), np.asarray(l), np.asarray(acc)))
+
+    m_g = np.maximum(parts[0][0], parts[1][0])
+    l_g = sum(p[1] * np.exp(p[0] - m_g) for p in parts)
+    acc_g = sum(p[2] * np.exp(p[0] - m_g) for p in parts)
+    got = np.log(acc_g / np.maximum(l_g, 1e-30) + 1e-12)
+
+    want = np.asarray(nw_log_probs(q, jnp.asarray(s), jnp.asarray(sy), C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
