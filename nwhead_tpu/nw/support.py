@@ -102,12 +102,23 @@ class EpisodicSampler:
             assert qy is not None, "n_way sampling needs the query labels"
             qy = np.asarray(qy)
             assert len(qy) <= self.n_way, "qy must be smaller than n_way"
-            probs = np.ones(self.n_classes)
-            probs[qy] = 0
-            probs /= probs.sum()
-            subclasses = self.rng.choice(
-                self.n_classes, size=self.n_way - len(qy), replace=False, p=probs
-            )
+            n_extra = self.n_way - len(qy)
+            if n_extra > 0:
+                probs = np.ones(self.n_classes)
+                probs[qy] = 0
+                total = probs.sum()
+                if total == 0:
+                    # Every class is already a query class (n_way ==
+                    # n_classes with full coverage): fall back to uniform
+                    # over all classes. (The reference divides by zero here.)
+                    probs[:] = 1.0 / self.n_classes
+                else:
+                    probs /= total
+                subclasses = self.rng.choice(
+                    self.n_classes, size=n_extra, replace=False, p=probs
+                )
+            else:
+                subclasses = np.empty(0, dtype=np.int64)
             subclasses = np.concatenate([subclasses, qy])
             class_rows = [self.indices[i] for i in subclasses]
         else:

@@ -224,3 +224,17 @@ def test_knn_indices_exact(rng):
     d2 = ((q[:, None, :] - bank[None, :, :]) ** 2).sum(-1)
     want = np.argsort(d2, axis=-1)[:, :5]
     np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+def test_episodic_sampler_n_way_equals_n_classes():
+    """n_way == n_classes with full query coverage must not divide by zero
+    (the reference crashes here)."""
+    t = np.repeat(np.arange(4), 6)
+    s = EpisodicSampler(t, n_shot=2, n_way=4, seed=0)
+    idx, labels = s.sample(np.array([0, 1, 2, 3]))
+    assert len(idx) == 8
+    uniq, counts = np.unique(labels, return_counts=True)
+    assert len(uniq) == 4 and (counts == 2).all()
+    # Partial coverage with duplicates also works.
+    idx, labels = s.sample(np.array([0, 0, 1]))
+    assert len(idx) == 4 * 2
