@@ -31,11 +31,12 @@ class DenseLayer(nn.Module):
     drop_rate: float = 0.0
     memory_efficient: bool = False
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bottleneck(h):
-            h = _bn(train, name="norm1", dtype=self.dtype)(h)
+            h = _bn(train, name="norm1", dtype=self.dtype, axis_name=self.bn_axis_name)(h)
             h = nn.relu(h)
             h = nn.Conv(
                 self.bn_size * self.growth_rate,
@@ -49,7 +50,7 @@ class DenseLayer(nn.Module):
             return h
 
         out = bottleneck(x)
-        out = _bn(train, name="norm2", dtype=self.dtype)(out)
+        out = _bn(train, name="norm2", dtype=self.dtype, axis_name=self.bn_axis_name)(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.growth_rate,
@@ -74,6 +75,7 @@ class DenseBlock(nn.Module):
     drop_rate: float = 0.0
     memory_efficient: bool = False
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -92,6 +94,7 @@ class DenseBlock(nn.Module):
                 drop_rate=self.drop_rate,
                 memory_efficient=self.memory_efficient,
                 dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
                 name=f"denselayer{i + 1}",
             )(features, train)
             features = jnp.concatenate([features, new], axis=-1)
@@ -103,10 +106,11 @@ class Transition(nn.Module):
 
     features: int
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = _bn(train, name="norm", dtype=self.dtype)(x)
+        x = _bn(train, name="norm", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.features,
@@ -130,6 +134,7 @@ class DenseNet(nn.Module):
     drop_rate: float = 0.0
     memory_efficient: bool = False
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -154,7 +159,7 @@ class DenseNet(nn.Module):
             dtype=self.dtype,
             name="conv0",
         )(x)
-        x = _bn(train, name="norm0", dtype=self.dtype)(x)
+        x = _bn(train, name="norm0", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -167,16 +172,18 @@ class DenseNet(nn.Module):
                 drop_rate=self.drop_rate,
                 memory_efficient=self.memory_efficient,
                 dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
                 name=f"denseblock{i + 1}",
             )(x, train=train)
             num_features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 x = Transition(
-                    num_features // 2, dtype=self.dtype, name=f"transition{i + 1}"
+                    num_features // 2, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name, name=f"transition{i + 1}"
                 )(x, train=train)
                 num_features //= 2
 
-        x = _bn(train, name="norm5", dtype=self.dtype)(x)
+        x = _bn(train, name="norm5", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         # adaptive_avg_pool2d((1,1)) + flatten; pooled in f32.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -189,6 +196,7 @@ class CIFAR_DenseNetModule(nn.Module):
     growth_rate: int = 12
     reduction: float = 0.5
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -218,7 +226,7 @@ class CIFAR_DenseNetModule(nn.Module):
             for j in range(nb):
                 # Pre-act bottleneck: BN-ReLU-Conv1x1(4g) -> BN-ReLU-Conv3x3(g),
                 # concat input last (densenet3.py:18-22).
-                h = _bn(train, name=f"d{i}_{j}_bn1", dtype=self.dtype)(x)
+                h = _bn(train, name=f"d{i}_{j}_bn1", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
                 h = nn.relu(h)
                 h = nn.Conv(
                     4 * self.growth_rate,
@@ -229,7 +237,7 @@ class CIFAR_DenseNetModule(nn.Module):
                     dtype=self.dtype,
                     name=f"d{i}_{j}_conv1",
                 )(h)
-                h = _bn(train, name=f"d{i}_{j}_bn2", dtype=self.dtype)(h)
+                h = _bn(train, name=f"d{i}_{j}_bn2", dtype=self.dtype, axis_name=self.bn_axis_name)(h)
                 h = nn.relu(h)
                 h = nn.Conv(
                     self.growth_rate,
@@ -244,7 +252,7 @@ class CIFAR_DenseNetModule(nn.Module):
             num_planes += nb * self.growth_rate
             if i != len(self.nblocks) - 1:
                 out_planes = int(math.floor(num_planes * self.reduction))
-                h = _bn(train, name=f"t{i}_bn", dtype=self.dtype)(x)
+                h = _bn(train, name=f"t{i}_bn", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
                 h = nn.relu(h)
                 h = nn.Conv(
                     out_planes,
@@ -258,7 +266,7 @@ class CIFAR_DenseNetModule(nn.Module):
                 x = nn.avg_pool(h, (2, 2), strides=(2, 2))
                 num_planes = out_planes
 
-        x = _bn(train, name="bn_final", dtype=self.dtype)(x)
+        x = _bn(train, name="bn_final", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.avg_pool(x.astype(jnp.float32), (4, 4), strides=(4, 4))
         return x.reshape(x.shape[0], -1)

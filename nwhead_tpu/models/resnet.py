@@ -62,16 +62,21 @@ def conv1x1(features: int, stride: int = 1, name: str | None = None, dtype=None)
     )
 
 
-def _bn(train: bool, zero_init: bool = False, name: str | None = None, dtype=None):
+def _bn(train: bool, zero_init: bool = False, name: str | None = None, dtype=None,
+        axis_name=None):
     """BatchNorm with torch semantics (momentum 0.1 -> flax momentum 0.9).
     ``dtype`` is the compute dtype (bf16 for mixed precision); params and
-    running statistics stay float32 (flax param_dtype default)."""
+    running statistics stay float32 (flax param_dtype default).
+    ``axis_name`` enables cross-device (sync) batch statistics for
+    data-parallel training — per-replica stats otherwise (torch DDP's
+    default behavior)."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
         scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
         dtype=dtype,
+        axis_name=axis_name,
         name=name,
     )
 
@@ -87,6 +92,7 @@ class BasicBlock(nn.Module):
     zero_init_residual: bool = False
     expansion: int = 1
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -96,13 +102,13 @@ class BasicBlock(nn.Module):
         dt = self.dtype
         identity = x
         out = conv3x3(self.planes, self.stride, name="conv1", dtype=dt)(x)
-        out = _bn(train, name="bn1", dtype=dt)(out)
+        out = _bn(train, name="bn1", dtype=dt, axis_name=self.bn_axis_name)(out)
         out = nn.relu(out)
         out = conv3x3(self.planes, name="conv2", dtype=dt)(out)
-        out = _bn(train, zero_init=self.zero_init_residual, name="bn2", dtype=dt)(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn2", dtype=dt, axis_name=self.bn_axis_name)(out)
         if self.downsample:
             identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv", dtype=dt)(x)
-            identity = _bn(train, name="ds_bn", dtype=dt)(identity)
+            identity = _bn(train, name="ds_bn", dtype=dt, axis_name=self.bn_axis_name)(identity)
         return nn.relu(out + identity)
 
 
@@ -117,6 +123,7 @@ class Bottleneck(nn.Module):
     zero_init_residual: bool = False
     expansion: int = 4
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -124,16 +131,16 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
         out = conv1x1(width, name="conv1", dtype=dt)(x)
-        out = _bn(train, name="bn1", dtype=dt)(out)
+        out = _bn(train, name="bn1", dtype=dt, axis_name=self.bn_axis_name)(out)
         out = nn.relu(out)
         out = conv3x3(width, self.stride, self.groups, name="conv2", dtype=dt)(out)
-        out = _bn(train, name="bn2", dtype=dt)(out)
+        out = _bn(train, name="bn2", dtype=dt, axis_name=self.bn_axis_name)(out)
         out = nn.relu(out)
         out = conv1x1(self.planes * self.expansion, name="conv3", dtype=dt)(out)
-        out = _bn(train, zero_init=self.zero_init_residual, name="bn3", dtype=dt)(out)
+        out = _bn(train, zero_init=self.zero_init_residual, name="bn3", dtype=dt, axis_name=self.bn_axis_name)(out)
         if self.downsample:
             identity = conv1x1(self.planes * self.expansion, self.stride, name="ds_conv", dtype=dt)(x)
-            identity = _bn(train, name="ds_bn", dtype=dt)(identity)
+            identity = _bn(train, name="ds_bn", dtype=dt, axis_name=self.bn_axis_name)(identity)
         return nn.relu(out + identity)
 
 
@@ -148,11 +155,12 @@ class PreActBlock(nn.Module):
     zero_init_residual: bool = False
     expansion: int = 1
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         dt = self.dtype
-        out = nn.relu(_bn(train, name="bn1", dtype=dt)(x))
+        out = nn.relu(_bn(train, name="bn1", dtype=dt, axis_name=self.bn_axis_name)(x))
         if self.downsample:
             shortcut = nn.Conv(
                 self.planes * self.expansion,
@@ -167,7 +175,7 @@ class PreActBlock(nn.Module):
         else:
             shortcut = x
         out = conv3x3(self.planes, self.stride, name="conv1", dtype=dt)(out)
-        out = conv3x3(self.planes, name="conv2", dtype=dt)(nn.relu(_bn(train, name="bn2", dtype=dt)(out)))
+        out = conv3x3(self.planes, name="conv2", dtype=dt)(nn.relu(_bn(train, name="bn2", dtype=dt, axis_name=self.bn_axis_name)(out)))
         return out + shortcut
 
 
@@ -181,6 +189,7 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     zero_init_residual: bool = False
     dtype: Any = None  # compute dtype; bf16 for mixed precision (params f32)
+    bn_axis_name: Any = None  # sync-BN axis for data-parallel training
 
     @property
     def feat_dim(self) -> int:
@@ -200,7 +209,7 @@ class ResNet(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = _bn(train, name="bn1", dtype=self.dtype)(x)
+        x = _bn(train, name="bn1", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -220,6 +229,7 @@ class ResNet(nn.Module):
                     base_width=self.width_per_group,
                     zero_init_residual=self.zero_init_residual,
                     dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
                 inplanes = planes * self.block.expansion
@@ -236,6 +246,7 @@ class CIFAR_ResNet(nn.Module):
     block: Type[nn.Module]
     num_blocks: Sequence[int]
     dtype: Any = None
+    bn_axis_name: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -246,7 +257,7 @@ class CIFAR_ResNet(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = conv3x3(64, name="conv1", dtype=self.dtype)(x)
-        x = _bn(train, name="bn1", dtype=self.dtype)(x)
+        x = _bn(train, name="bn1", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
 
         in_planes = 64
@@ -262,6 +273,7 @@ class CIFAR_ResNet(nn.Module):
                     stride=s,
                     downsample=needs_ds,
                     dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
                 in_planes = planes * self.block.expansion

@@ -145,3 +145,31 @@ def test_nwnet_with_mesh_full_mode(rng):
     got = np.asarray(net_s.predict(var_s, x, "full"))
     want = np.asarray(net_u.predict(var_u, x, "full"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sync_batchnorm_matches_single_device(rng):
+    """bn_axis_name='data' inside shard_map: per-device BN stats reduced
+    across the mesh must equal single-device full-batch BN."""
+    from nwhead_tpu.models import load_model
+
+    mesh = make_mesh(8, 1)
+    model = load_model("CIFAR_ResNet10", bn_axis_name="data")
+    model_ref = load_model("CIFAR_ResNet10")
+
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    variables = model_ref.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]), train=False)
+
+    want = np.asarray(model_ref.apply(variables, jnp.asarray(x), train=True,
+                                      mutable=["batch_stats"])[0])
+
+    def local(v, xs):
+        out, _ = model.apply(v, xs, train=True, mutable=["batch_stats"])
+        return out
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+    )
+    got = np.asarray(mapped(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
