@@ -61,6 +61,63 @@ def _differential_time(make_loop, n1, n2, args, repeats=3):
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+def _train_step_time(on_tpu, img):
+    """Episodic NW train step (fwd+bwd+SGD) at the canonical CUB recipe
+    shape: batch 8, n_way=10 x n_shot=1 support (README.md:140-152)."""
+    import optax
+
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWModel
+
+    rng = np.random.default_rng(1)
+    B, S_ep, C = 8, 10, 200
+    qimg = jnp.asarray(rng.standard_normal((B, img, img, 3)).astype(np.float32))
+    simg = jnp.asarray(rng.standard_normal((S_ep, img, img, 3)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, C, size=S_ep).astype(np.int32))
+    qy = jnp.asarray(rng.integers(0, C, size=B).astype(np.int32))
+
+    model = NWModel(
+        featurizer=load_model("resnet18", dtype=jnp.bfloat16 if on_tpu else None),
+        n_classes=C,
+    )
+    variables = model.init(jax.random.PRNGKey(0), qimg, simg, sy, train=False)
+    tx = optax.chain(
+        optax.add_decayed_weights(1e-4),
+        optax.sgd(1e-2, momentum=0.9, nesterov=True),
+    )
+    opt_state = tx.init(variables["params"])
+
+    def make(n):
+        @jax.jit
+        def run(params, batch_stats, opt_state, qimg):
+            def body(i, carry):
+                params, batch_stats, opt_state, acc = carry
+
+                def loss_fn(p):
+                    lp, upd = model.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        qimg + 0.0 * acc, simg, sy,
+                        train=True, mutable=["batch_stats"],
+                    )
+                    picked = jnp.take_along_axis(lp, qy[:, None], axis=-1)
+                    return -jnp.mean(picked), upd["batch_stats"]
+
+                (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_stats, new_opt, acc + loss)
+
+            out = jax.lax.fori_loop(
+                0, n, body, (params, batch_stats, opt_state, jnp.zeros(()))
+            )
+            return out[3]
+
+        return run
+
+    n1, n2 = (3, 9) if on_tpu else (1, 2)
+    args = (variables["params"], variables["batch_stats"], opt_state, qimg)
+    return _differential_time(make, n1, n2, args)
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -138,6 +195,9 @@ def main():
     qps = B / (t_feat + t_fused)
     qps_ref_style = B / (t_feat + t_naive)
 
+    # --- episodic training step (the README recipe shape: bs=8, n_way=10) ---
+    t_train = _train_step_time(on_tpu, IMG)
+
     # Roofline: the head must stream the whole bank from HBM once per batch.
     bank_bytes = S * D * 4
     hbm_bw = 820e9 if on_tpu else 50e9  # v5e HBM ~820 GB/s
@@ -157,6 +217,8 @@ def main():
                 "head_bf16_qps": round(B / t_bf16, 1),
                 "head_speedup_vs_naive": round(t_naive / t_fused, 2),
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
+                "train_step_ms": round(t_train * 1e3, 2),
+                "train_steps_per_sec": round(1.0 / t_train, 2),
                 "head_hbm_roofline_frac": round(head_roofline_frac, 3),
                 "backend": backend,
             }

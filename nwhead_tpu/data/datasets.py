@@ -57,7 +57,13 @@ class ArrayDataset:
 
 
 class ImageFileDataset:
-    """Dataset over image files on disk (PIL decode at gather time)."""
+    """Dataset over image files on disk.
+
+    PIL decode (libjpeg, GIL-released) runs across a thread pool at gather
+    time — the host-side worker-pool equivalent of the reference's
+    DataLoader workers (``train.py:190-196``), composed with the prefetching
+    pipeline so decode overlaps device compute.
+    """
 
     def __init__(
         self,
@@ -65,12 +71,15 @@ class ImageFileDataset:
         targets: Sequence[int],
         num_classes: int,
         transform: Optional[Callable] = None,
+        workers: int = 8,
     ) -> None:
         assert len(paths) == len(targets)
         self.paths = list(paths)
         self.targets = np.asarray(targets)
         self.num_classes = num_classes
         self.transform = transform
+        self.workers = workers
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -82,7 +91,14 @@ class ImageFileDataset:
         return self.transform(img) if self.transform is not None else to_float(img)
 
     def gather(self, indices) -> np.ndarray:
-        return np.stack([self._load(int(i)) for i in np.asarray(indices)])
+        indices = np.asarray(indices)
+        if self.workers > 1 and len(indices) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            return np.stack(list(self._pool.map(self._load, indices.tolist())))
+        return np.stack([self._load(int(i)) for i in indices])
 
 
 def to_float(img: np.ndarray) -> np.ndarray:

@@ -18,7 +18,7 @@ too so device steps receive ready tensors. Randomness uses a
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -121,17 +121,31 @@ def random_crop_padded(
 
 @dataclass
 class Transform:
-    """Composable image transform. Call with an HWC uint8/float image."""
+    """Composable image transform. Call with an HWC uint8/float image.
+
+    Thread-safe: each decode-pool thread gets its own Generator spawned from
+    the seed sequence (numpy Generators are not safe to share across
+    threads)."""
 
     kind: str  # 'imagenet_train' | 'imagenet_eval' | 'cifar_train' | 'cifar_eval'
     size: int = 224
     mean: Sequence[float] = IMAGENET_MEAN
     std: Sequence[float] = IMAGENET_STD
     seed: Optional[int] = None
-    rng: np.random.Generator = field(init=False, repr=False)
 
     def __post_init__(self):
-        self.rng = np.random.default_rng(self.seed)
+        import threading
+
+        self._seed_seq = np.random.SeedSequence(self.seed)
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        if not hasattr(self._local, "rng"):
+            with self._lock:
+                self._local.rng = np.random.default_rng(self._seed_seq.spawn(1)[0])
+        return self._local.rng
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         if self.kind == "imagenet_train":
