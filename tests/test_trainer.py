@@ -1,0 +1,66 @@
+"""Trainer-layer unit tests: milestone LR schedule, featurizer freeze mask,
+CLI resume round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_multistep_lr_matches_torch_semantics():
+    """MultiStepLR: lr * gamma^(#milestones passed), stepped per epoch
+    (train.py:248-250)."""
+    from nwhead_tpu.train import multistep_lr
+
+    sched = multistep_lr(0.1, milestones=(2, 4), gamma=0.1, steps_per_epoch=5)
+    # epoch 0-1 (steps 0..9): 0.1 ; epochs 2-3: 0.01 ; epoch 4+: 0.001
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(9)) == pytest.approx(0.1)
+    assert float(sched(10)) == pytest.approx(0.01)
+    assert float(sched(19)) == pytest.approx(0.01)
+    assert float(sched(20)) == pytest.approx(0.001)
+
+
+def test_featurizer_freeze_mask_zeroes_updates():
+    import flax.linen as nn
+    import optax
+
+    from nwhead_tpu.train import featurizer_freeze_mask, make_optimizer
+
+    params = {
+        "featurizer": {"conv": {"kernel": jnp.ones((3, 3))}},
+        "head": {"dense": {"kernel": jnp.ones((3, 3))}},
+    }
+    mask = featurizer_freeze_mask(params)
+    assert mask["featurizer"]["conv"]["kernel"] is True
+    assert mask["head"]["dense"]["kernel"] is False
+
+    tx = make_optimizer(0.1, (10,), 0.1, 1, weight_decay=0.0, freeze_mask=mask)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["featurizer"]["conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["head"]["dense"]["kernel"]).max()) > 0.0
+
+
+def test_cli_resume_roundtrip(tmp_path):
+    """train.py --resume restores state and continues at the right epoch."""
+    import train as T
+
+    common = [
+        "--dataset", "synthetic", "--models_dir", str(tmp_path),
+        "--batch_size", "3", "--n_way", "3",
+        "--n_shot", "1", "--lr", "0.05", "--log_interval", "1",
+        "--num_steps_per_epoch", "2", "--num_val_steps_per_epoch", "1",
+    ]
+    T.main(common + ["--num_epochs", "2"])
+    # Continue for 2 more epochs from the checkpoints.
+    T.main(common + ["--num_epochs", "4", "--resume"])
+
+    import os
+
+    run_dir = next(p for p in tmp_path.iterdir() if p.is_dir())
+    ckpts = sorted(os.listdir(run_dir / "checkpoints"))
+    # epochs 1..4 checkpointed (+ best copy)
+    assert "model.0004" in ckpts
