@@ -12,7 +12,7 @@ environment has no network egress).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 

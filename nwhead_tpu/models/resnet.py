@@ -20,8 +20,7 @@ TPU-first choices: NHWC layout (XLA's preferred conv layout), BatchNorm with
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence, Type
+from typing import Any, Sequence, Type
 
 import flax.linen as nn
 import jax.numpy as jnp

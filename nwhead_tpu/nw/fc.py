@@ -6,10 +6,7 @@ reusable across FC and NW training (``fc.py:17``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class FCHead(nn.Module):

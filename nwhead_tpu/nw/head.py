@@ -16,7 +16,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from nwhead_tpu.ops import nw as nw_ops
-from nwhead_tpu.ops.kernels import get_kernel
 
 
 class NWHead(nn.Module):

@@ -19,7 +19,7 @@ equivalents, all yielding numpy index arrays that the data layer gathers:
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

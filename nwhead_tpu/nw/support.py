@@ -25,8 +25,8 @@ balance, no replacement), not its bit-exact numpy legacy-RNG streams
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

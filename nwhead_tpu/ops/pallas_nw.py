@@ -22,11 +22,10 @@ static modes):
 
 Gradients: training differentiates through both query and support features
 (the reference trains the joint graph, ``nw.py:182-184``). The custom VJP
-backward recomputes scores in memory-bounded chunks with ``lax.scan`` —
-mathematically exact (same online-softmax renormalization) while the forward
-stays a single fused kernel. The support axis S must be padded to the tile
-size by the caller or via the provided ``pad_support``; padding is masked
-with -inf scores, which is exactly equivalent to a smaller support.
+backward is two more Pallas kernels (dq and ds) that recompute tile scores
+from the saved softmax statistics (m, l) — one flash-style pass each.
+Shapes are padded to the tile sizes internally; padding is masked to
+score = -inf, exactly equivalent to a smaller support.
 """
 
 from __future__ import annotations

@@ -9,7 +9,7 @@ The framework's two parallel axes (SURVEY.md §2.5):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ streaming loop ``legacy/model/net.py:53-72``.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 

@@ -48,8 +48,10 @@ def reference_modules():
 
         stub.Index = _Index
         sys.modules["hnswlib"] = stub
+    # APPEND (not prepend): the reference also has a top-level train.py and
+    # would shadow this repo's train.py for later tests.
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     import importlib
 
     ref_nw = importlib.import_module("nwhead.nw")
