@@ -41,11 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 from nwhead_tpu.ops.nw import LOG_FLOOR
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
-DEFAULT_BLOCK_S = 1024
+DEFAULT_BLOCK_S = 2048
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
+    """Pick the support tile size: the whole (padded) bank as ONE tile when
+    it fits a conservative VMEM budget (no pipelining overhead — measured
+    fastest), else the empirically best multi-tile size (2048)."""
+    s_pad = _round_up(S, 128)
+    label_itemsize = 2 if c_pad <= 256 else 4
+    row_bytes = D * itemsize + 128 * label_itemsize
+    if s_pad * row_bytes <= 9_500_000:
+        return s_pad
+    return DEFAULT_BLOCK_S
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
@@ -245,7 +257,7 @@ def nw_fused_partials(
     kernel_params: Optional[Dict[str, Any]] = None,
     support_mask: Optional[jnp.ndarray] = None,
     block_b: Optional[int] = None,
-    block_s: int = DEFAULT_BLOCK_S,
+    block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
     precision: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -263,6 +275,11 @@ def nw_fused_partials(
         sfeat = sfeat.astype(jnp.bfloat16)
     if block_b is None:
         block_b = min(128, _round_up(qfeat.shape[0], 8))
+    if block_s is None:
+        block_s = _auto_block_s(
+            sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
+            _round_up(n_classes, 128),
+        )
     block_s = min(block_s, _round_up(sfeat.shape[0], 128))
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     acc, m, l = _fwd_pallas(
@@ -575,7 +592,7 @@ def nw_fused_log_probs(
     kernel_params: Optional[Dict[str, Any]] = None,
     support_mask: Optional[jnp.ndarray] = None,
     block_b: Optional[int] = None,
-    block_s: int = DEFAULT_BLOCK_S,
+    block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
     precision: str = "f32",
 ) -> jnp.ndarray:
@@ -602,6 +619,11 @@ def nw_fused_log_probs(
 
     if block_b is None:  # avoid padding small batches up to a huge tile
         block_b = min(128, _round_up(qfeat.shape[0], 8))
+    if block_s is None:
+        block_s = _auto_block_s(
+            sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
+            _round_up(n_classes, 128),
+        )
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     return _nw_fused_core(
         qn,
