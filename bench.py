@@ -195,6 +195,31 @@ def main():
     qps = B / (t_feat + t_fused)
     qps_ref_style = B / (t_feat + t_naive)
 
+    # --- larger serving batch: amortizes the featurizer better -------------
+    B2 = 256
+    if on_tpu:
+        q_img2 = jnp.asarray(
+            rng.standard_normal((B2, IMG, IMG, 3)).astype(np.float32)
+        )
+        t_feat2 = _differential_time(feat_loop, *FEAT_N, (variables, q_img2))
+        qfeat2 = jnp.asarray(rng.standard_normal((B2, D)).astype(np.float32))
+
+        def head_loop2(n):
+            @jax.jit
+            def run(q, s):
+                def body(i, acc):
+                    out = nw_fused_log_probs(q + 0.0 * acc, s, bank_y, C)
+                    return acc + out.mean()
+
+                return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+            return run
+
+        t_head2 = _differential_time(head_loop2, *HEAD_N, (qfeat2, bank))
+        qps_b256 = B2 / (t_feat2 + t_head2)
+    else:
+        qps_b256 = None
+
     # --- episodic training step (the README recipe shape: bs=8, n_way=10) ---
     t_train = _train_step_time(on_tpu, IMG)
 
@@ -219,6 +244,7 @@ def main():
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
                 "train_step_ms": round(t_train * 1e3, 2),
                 "train_steps_per_sec": round(1.0 / t_train, 2),
+                "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,
                 "head_hbm_roofline_frac": round(head_roofline_frac, 3),
                 "backend": backend,
             }
