@@ -64,11 +64,21 @@ class NWModel(nn.Module):
         return f
 
     def __call__(self, qx, sx, sy, train: bool = True):
-        """Episodic training forward: joint featurizer batch, then the head."""
+        """Episodic training forward: joint featurizer batch, then the head.
+
+        sx may be shared, (S, H, W, C), or per-query, (B, S, H, W, C) — the
+        latter is the legacy per-batch-item support path
+        (``legacy/model/net.py:34-42``); either way query+support share one
+        featurizer batch (BN sees both, ``nw.py:182-183``).
+        """
         batch_size = qx.shape[0]
-        inputs = jnp.concatenate([qx, sx], axis=0)
+        per_query = sx.ndim == qx.ndim + 1
+        sx_flat = sx.reshape(-1, *sx.shape[-3:]) if per_query else sx
+        inputs = jnp.concatenate([qx, sx_flat], axis=0)
         feats = self.featurize(inputs, train=train)
         qfeat, sfeat = feats[:batch_size], feats[batch_size:]
+        if per_query:
+            sfeat = sfeat.reshape(batch_size, sx.shape[1], -1)
         return self.head(qfeat, sfeat, sy)
 
     def predict_from_feats(self, qfeat, sfeat, sy, support_mask=None):

@@ -178,3 +178,28 @@ def test_irm_training_runs():
     trainer.train_epoch(num_steps=4)
     acc = trainer.eval_all_modes(num_steps=2)
     assert np.isfinite(acc)
+
+
+def test_per_query_support_images():
+    """Legacy 5-D per-batch-item support path (legacy/model/net.py:34-42):
+    each query gets its own support episode of images."""
+    from nwhead_tpu.nw.net import NWModel
+
+    model = NWModel(featurizer=TinyBackbone.make(), n_classes=3)
+    rng = np.random.default_rng(0)
+    B, S = 2, 6
+    qx = jnp.asarray(rng.standard_normal((B, 8, 8, 3)).astype(np.float32))
+    sx = jnp.asarray(rng.standard_normal((B, S, 8, 8, 3)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, 3, size=(B, S)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), qx, sx, sy, train=False)
+    out = model.apply(variables, qx, sx, sy, train=False)
+    assert out.shape == (B, 3)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-4)
+
+    # Per-query result must equal running each item separately vs its own
+    # shared support (eval mode avoids cross-item BN coupling).
+    for b in range(B):
+        solo = model.apply(variables, qx[b : b + 1], sx[b], sy[b], train=False)
+        np.testing.assert_allclose(
+            np.asarray(out[b : b + 1]), np.asarray(solo), rtol=1e-3, atol=1e-4
+        )
