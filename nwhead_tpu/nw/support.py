@@ -306,10 +306,15 @@ class SupportSetEval:
         sy_env: List[np.ndarray],
         smeta_env: List[np.ndarray],
     ) -> None:
+        import jax.numpy as jnp
+
         from nwhead_tpu.ops.kmeans import compute_clusters
 
-        self.full_feat = np.asarray(sfeat)
-        self.full_y = np.asarray(sy)
+        # The full bank is device-resident (HBM) so full-mode predict never
+        # re-uploads it (the reference ships the CPU bank to device on every
+        # predict call, nw.py:156,226).
+        self.full_feat = jnp.asarray(sfeat)
+        self.full_y = jnp.asarray(np.asarray(sy))
         self.full_meta = np.asarray(smeta)
         self.full_feat_sep = [np.asarray(f) for f in sfeat_env]
         self.full_y_sep = [np.asarray(y) for y in sy_env]
@@ -321,9 +326,10 @@ class SupportSetEval:
         )
 
         # Random: episodic sampler over the precomputed features
-        # (support.py:126-129).
+        # (support.py:126-129). Index math stays host-side (numpy).
+        self._full_y_np = np.asarray(sy)
         self.random_sampler = EpisodicSampler(
-            self.full_y, self.n_shot_random, seed=self.seed
+            self._full_y_np, self.n_shot_random, seed=self.seed
         )
 
         # KNN / HNSW indexes (support.py:132-133).

@@ -207,21 +207,26 @@ class NWTrainer:
         probs_all: List[np.ndarray] = []
         gts: List[np.ndarray] = []
         n = len(ds)
-        stop = (n // self.batch_size) * self.batch_size
         count = 0
-        for start in range(0, stop, self.batch_size):
+        for start in range(0, n, self.batch_size):
             if num_steps is not None and count >= num_steps:
                 break
-            idx = np.arange(start, start + self.batch_size)
+            idx = np.arange(start, min(start + self.batch_size, n))
+            real = len(idx)
             label = ds.targets[idx]
-            img = jnp.asarray(ds.gather(idx))
-            output = self.net.predict(variables, img, mode)
+            img = np.asarray(ds.gather(idx))
+            pad = self.batch_size - real
+            if pad:  # pad the tail batch to keep jit shapes static;
+                # padded rows are dropped from every metric below.
+                img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)])
+            output = self.net.predict(variables, jnp.asarray(img), mode)
             if isinstance(output, tuple):
                 output = output[0]
+            output = output[:real]
             loss = float(M.nll_loss(output, jnp.asarray(label)))
             acc = float(M.acc(jnp.argmax(output, -1), jnp.asarray(label)))
-            self.val_metrics[f"loss:val:{mode}"].update_state(loss, len(idx))
-            self.val_metrics[f"acc:val:{mode}"].update_state(acc * 100, len(idx))
+            self.val_metrics[f"loss:val:{mode}"].update_state(loss, real)
+            self.val_metrics[f"acc:val:{mode}"].update_state(acc * 100, real)
             probs_all.append(np.asarray(jnp.exp(output)))
             gts.append(label)
             count += 1

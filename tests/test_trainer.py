@@ -64,3 +64,29 @@ def test_cli_resume_roundtrip(tmp_path):
     ckpts = sorted(os.listdir(run_dir / "checkpoints"))
     # epochs 1..4 checkpointed (+ best copy)
     assert "model.0004" in ckpts
+
+
+def test_eval_covers_tail_batch():
+    """Eval must include the last partial batch (the reference evaluates
+    every sample)."""
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.train import NWTrainer
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(4, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            return jnp.mean(nn.relu(x), axis=(1, 2))
+
+    train_ds = make_synthetic_dataset(n=20, n_classes=2, size=8, seed=0)
+    val_ds = make_synthetic_dataset(n=7, n_classes=2, size=8, seed=1)  # 7 % 3 != 0
+    net = NWNet(Tiny(), n_classes=2, support_dataset=train_ds, feat_dim=4,
+                n_shot=1, n_shot_full=3, n_shot_cluster=1, seed=0)
+    trainer = NWTrainer(net, train_ds, val_ds, batch_size=3,
+                        eval_modes=("full",), seed=0)
+    net.precompute(trainer.state.variables())
+    trainer.eval_epoch("full")
+    assert trainer.val_metrics["acc:val:full"].num_samples == 7
