@@ -17,9 +17,41 @@ __version__ = "0.1.0"
 from nwhead_tpu.ops.kernels import get_kernel, KERNEL_NAMES
 from nwhead_tpu.ops.nw import nw_log_probs
 
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import nwhead_tpu` light)."""
+    if name in ("NWNet", "NWModel"):
+        from nwhead_tpu.nw import net
+
+        return getattr(net, name)
+    if name == "NWHead":
+        from nwhead_tpu.nw.head import NWHead
+
+        return NWHead
+    if name == "FCNet":
+        from nwhead_tpu.nw.fc import FCNet
+
+        return FCNet
+    if name == "load_model":
+        from nwhead_tpu.models import load_model
+
+        return load_model
+    if name == "nw_fused_log_probs":
+        from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
+
+        return nw_fused_log_probs
+    raise AttributeError(name)
+
+
 __all__ = [
     "get_kernel",
     "KERNEL_NAMES",
     "nw_log_probs",
+    "nw_fused_log_probs",
+    "NWNet",
+    "NWModel",
+    "NWHead",
+    "FCNet",
+    "load_model",
     "__version__",
 ]

@@ -341,20 +341,23 @@ class FCTrainer:
         variables = self.state.variables()
         probs_all, gts = [], []
         n = len(ds)
-        stop = (n // self.batch_size) * self.batch_size
         count = 0
-        for start in range(0, stop, self.batch_size):
+        for start in range(0, n, self.batch_size):
             if num_steps is not None and count >= num_steps:
                 break
-            idx = np.arange(start, start + self.batch_size)
-            img = jnp.asarray(ds.gather(idx))
+            idx = np.arange(start, min(start + self.batch_size, n))
+            real = len(idx)
+            img = np.asarray(ds.gather(idx))
             label = ds.targets[idx]
-            output = self._eval_step(variables, img)
+            pad = self.batch_size - real
+            if pad:  # pad the tail batch; padded rows excluded from metrics
+                img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)])
+            output = self._eval_step(variables, jnp.asarray(img))[:real]
             self.val_metrics["loss:val"].update_state(
-                float(M.nll_loss(output, jnp.asarray(label))), len(idx)
+                float(M.nll_loss(output, jnp.asarray(label))), real
             )
             self.val_metrics["acc:val"].update_state(
-                float(M.acc(jnp.argmax(output, -1), jnp.asarray(label))) * 100, len(idx)
+                float(M.acc(jnp.argmax(output, -1), jnp.asarray(label))) * 100, real
             )
             probs_all.append(np.asarray(jnp.exp(output)))
             gts.append(label)
