@@ -182,11 +182,15 @@ def _fwd_pallas(
     c_pad = _round_up(n_classes, 128)
     b_pad = _round_up(B, block_b)
     s_pad = _round_up(S, block_s)
+    # Zero-pad the feature dim to the lane width: zero columns change
+    # neither dots nor norms, so every kernel variant is unaffected.
+    d_pad = _round_up(D, 128)
 
-    q_p = jnp.pad(q, ((0, b_pad - B), (0, 0)))
-    s_p = jnp.pad(s, ((0, s_pad - S), (0, 0)))
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, d_pad - D)))
+    s_p = jnp.pad(s, ((0, s_pad - S), (0, d_pad - D)))
     if q_p.dtype != s_p.dtype:  # bf16 bank with f32 queries -> bf16 dot
         q_p = q_p.astype(s_p.dtype)
+    D = d_pad
     # Labels with -1 sentinel where masked (padding included). bf16 holds
     # integers exactly up to 256 — half the label traffic for C <= 256.
     label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
@@ -420,14 +424,15 @@ def _bwd_pallas(
     q, s, sy, mask, scale, u, r, m_stat, l_stat,
     *, mode, n_classes, block_b, block_s, interpret,
 ):
-    B, D = q.shape
+    B, D0 = q.shape
     S = s.shape[0]
     c_pad = _round_up(n_classes, 128)
     b_pad = _round_up(B, block_b)
     s_pad = _round_up(S, block_s)
+    D = _round_up(D0, 128)  # zero feature-padding (gradients of zeros = 0)
 
-    q_p = jnp.pad(q, ((0, b_pad - B), (0, 0)))
-    s_p = jnp.pad(s, ((0, s_pad - S), (0, 0)))
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
+    s_p = jnp.pad(s, ((0, s_pad - S), (0, D - D0)))
     if q_p.dtype != s_p.dtype:
         q_p = q_p.astype(s_p.dtype)
     label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
@@ -471,7 +476,7 @@ def _bwd_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:B]
+    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:B, :D0]
 
     # ds: grid (S tiles, B tiles), B innermost (accumulate over B).
     ds = pl.pallas_call(
@@ -497,7 +502,7 @@ def _bwd_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:S]
+    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:S, :D0]
 
     # dscale (clip): for 'dot' mode, score = scale * dot  =>
     # d/dscale = sum_ij dscore_ij dot_ij = <q, dq> / scale (since

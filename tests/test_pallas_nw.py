@@ -137,3 +137,25 @@ def test_fused_partials_match_merge(rng):
 
     want = np.asarray(nw_log_probs(q, jnp.asarray(s), jnp.asarray(sy), C))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_unaligned_feature_dim(rng):
+    """D not a multiple of the 128-lane width (e.g. proj_dim=100) must work,
+    values and grads."""
+    q, s, sy, C = _problem(rng, B=3, S=260, D=100, C=5)
+    got = np.asarray(nw_fused_log_probs(q, s, sy, C, block_s=128))
+    want = np.asarray(nw_log_probs(q, s, sy, C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    labels = jnp.asarray(np.arange(3) % C)
+
+    def loss(head):
+        def f(q, s):
+            lp = head(q, s)
+            return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
+        return f
+
+    gq_f, gs_f = jax.grad(loss(lambda q, s: nw_fused_log_probs(q, s, sy, C, block_s=128)), argnums=(0, 1))(q, s)
+    gq_n, gs_n = jax.grad(loss(lambda q, s: nw_log_probs(q, s, sy, C)), argnums=(0, 1))(q, s)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_n), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_n), rtol=1e-3, atol=1e-5)
