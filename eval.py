@@ -103,21 +103,25 @@ def main(argv=None):
 
     results = {}
     bs = args.batch_size
-    n = (len(val_ds) // bs) * bs
+    n = len(val_ds)
     for mode in args.modes:
         probs_all, gts = [], []
         correct = total = 0
         loss_sum = 0.0
         for start in range(0, min(n, args.num_val_steps * bs), bs):
-            idx = np.arange(start, start + bs)
-            img = jnp.asarray(val_ds.gather(idx))
+            idx = np.arange(start, min(start + bs, n))
+            real = len(idx)
+            img = np.asarray(val_ds.gather(idx))
             label = val_ds.targets[idx]
-            out = net.predict(variables, img, mode)
+            if real < bs:  # pad tail batch, keep jit shapes static
+                img = np.concatenate([img, np.zeros((bs - real, *img.shape[1:]), img.dtype)])
+            out = net.predict(variables, jnp.asarray(img), mode)
             if isinstance(out, tuple):
                 out = out[0]
-            loss_sum += float(M.nll_loss(out, jnp.asarray(label))) * bs
+            out = out[:real]
+            loss_sum += float(M.nll_loss(out, jnp.asarray(label))) * real
             correct += int((np.asarray(out).argmax(-1) == label).sum())
-            total += bs
+            total += real
             probs_all.append(np.exp(np.asarray(out)))
             gts.append(label)
         ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
