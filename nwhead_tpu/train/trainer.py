@@ -97,7 +97,12 @@ class NWTrainer:
         freeze_featurizer: bool = False,
         eval_modes: Sequence[str] = ("random", "full", "cluster"),
         seed: int = 0,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional ('data', 'support') mesh — query batches shard
+        over 'data' (XLA reduces the grads), the support episode replicates,
+        and full-mode eval runs over the support-sharded bank (pass the same
+        mesh to the NWNet). batch_size must divide the data axis."""
         self.net = net
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
@@ -105,6 +110,15 @@ class NWTrainer:
         self.eval_modes = tuple(eval_modes)
         self.rng = np.random.default_rng(seed)
         self.steps_per_epoch = max(1, len(train_dataset) // batch_size)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert batch_size % mesh.shape["data"] == 0, (
+                "batch_size must divide the data mesh axis"
+            )
+            self._data_shard = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
 
         sample = jnp.asarray(train_dataset.gather(np.arange(min(batch_size, len(train_dataset)))))
         variables = net.init(jax.random.PRNGKey(seed), sample)
@@ -178,6 +192,11 @@ class NWTrainer:
                 )
 
         for qimg, qy, simg, sy in prefetch_to_device(host_batches(), size=prefetch):
+            if self.mesh is not None:
+                qimg = jax.device_put(qimg, self._data_shard)
+                qy = jax.device_put(qy, self._data_shard)
+                simg = jax.device_put(simg, self._replicated)
+                sy = jax.device_put(sy, self._replicated)
             bs = qimg.shape[0]
             (
                 self.state.params,

@@ -173,3 +173,40 @@ def test_sync_batchnorm_matches_single_device(rng):
     )
     got = np.asarray(mapped(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_mesh_aware_trainer_end_to_end(rng):
+    """NWTrainer(mesh=...): data-parallel episodic training + support-sharded
+    full-mode eval on the virtual 8-device mesh, end to end."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.train import NWTrainer
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    mesh = make_mesh(4, 2)
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=0)
+    val_ds = make_synthetic_dataset(n=16, n_classes=4, size=8, seed=1)
+    net = NWNet(
+        Tiny(), n_classes=4, support_dataset=train_ds, feat_dim=16,
+        n_shot=1, n_way=4, n_shot_full=5, seed=0, mesh=mesh,
+    )
+    trainer = NWTrainer(
+        net, train_ds, val_ds, lr=0.05, batch_size=4, milestones=(100,),
+        eval_modes=("full",), seed=0, mesh=mesh,
+    )
+    for _ in range(5):
+        trainer.train_epoch()
+        trainer.reset_metrics()
+    acc = trainer.eval_all_modes()
+    assert net.sharded_bank is not None  # full mode went through the mesh
+    assert acc > 60.0, acc
