@@ -279,7 +279,17 @@ class NWNet:
             self._sharded_predict = self.sharded_bank.predict_fn(kernel_params=kparams)
 
     def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
+        """Batched featurizer pass over the bank. With a mesh attached, each
+        batch shards across ALL mesh devices (distributed precompute — the
+        bank build scales with the pod instead of one chip)."""
         bs = self.precompute_batch
+        shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            if bs % n_dev == 0:
+                shard = NamedSharding(self.mesh, P(("data", "support")))
         out = []
         n = len(bank_idx)
         for start in range(0, n, bs):
@@ -288,7 +298,10 @@ class NWNet:
             pad = bs - len(chunk)
             if pad:  # static shape for jit; padded rows are discarded
                 imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
-            f = self._featurize_eval(variables, jnp.asarray(imgs))
+            imgs = jnp.asarray(imgs)
+            if shard is not None:
+                imgs = jax.device_put(imgs, shard)
+            f = self._featurize_eval(variables, imgs)
             out.append(np.asarray(f[: len(chunk)]))
         return np.concatenate(out, axis=0)
 

@@ -210,3 +210,34 @@ def test_mesh_aware_trainer_end_to_end(rng):
     acc = trainer.eval_all_modes()
     assert net.sharded_bank is not None  # full mode went through the mesh
     assert acc > 60.0, acc
+
+
+def test_distributed_precompute_matches_single_device(rng):
+    """With a mesh attached, the bank featurization shards over all devices
+    and must produce the same features."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=0)
+
+    def build(mesh_arg):
+        net = NWNet(Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+                    n_shot=1, n_shot_full=5, seed=0, mesh=mesh_arg,
+                    precompute_batch=16)
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2))))
+        net.precompute(v)
+        return np.asarray(net.full_feat)
+
+    mesh = make_mesh(4, 2)
+    np.testing.assert_allclose(build(mesh), build(None), rtol=1e-5, atol=1e-5)
