@@ -56,3 +56,50 @@ def test_resnet18_nw_learns_on_tpu():
         trainer.reset_metrics()
     acc1 = trainer.eval_all_modes()
     assert acc1 > acc0 + 15, (acc0, acc1)
+
+
+def test_cli_full_path_on_disk_dataset(tmp_path):
+    """The complete CLI path over a real on-disk image dataset: CUB-format
+    manifests -> JPEG decode -> RandomResizedCrop/flip/normalize -> episodic
+    NW training -> 3-mode eval -> checkpoints. Runs on the default backend."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    # Build a small CUB-format tree: 4 classes x 16 images, 64x64 JPEGs with
+    # class-colored patterns.
+    root = tmp_path / "cub"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    patterns = rng.integers(40, 216, size=(4, 8, 8, 3))
+    lines_split, lines_img, lines_lbl = [], [], []
+    i = 0
+    for c in range(4):
+        for k in range(16):
+            i += 1
+            name = f"{c + 1:03d}.C/{i}.jpg"
+            os.makedirs(root / "images" / f"{c + 1:03d}.C", exist_ok=True)
+            img = np.kron(patterns[c], np.ones((8, 8, 1))).astype(np.float64)
+            img += rng.normal(0, 25, img.shape)
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                root / "images" / name, quality=90
+            )
+            lines_img.append(f"{i} {name}")
+            lines_lbl.append(f"{i} {c + 1}")
+            lines_split.append(f"{i} {0 if k < 12 else 1}")  # 12 train / 4 test
+    (root / "images.txt").write_text("\n".join(lines_img))
+    (root / "image_class_labels.txt").write_text("\n".join(lines_lbl))
+    (root / "train_test_split.txt").write_text("\n".join(lines_split))
+
+    import train as T
+
+    T.main([
+        "--dataset", "bird", "--data_dir", str(root),
+        "--models_dir", str(tmp_path / "runs"),
+        "--num_epochs", "2", "--batch_size", "4", "--n_way", "4", "--n_shot", "2",
+        "--lr", "5e-3", "--log_interval", "2", "--bf16",
+        "--num_val_steps_per_epoch", "4",
+    ])
+    run_dir = next(p for p in (tmp_path / "runs").iterdir() if p.is_dir())
+    assert (run_dir / "checkpoints" / "model.0002").exists()
