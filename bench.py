@@ -42,23 +42,23 @@ def _loop_scalar(fn, n, init_args):
     return run
 
 
-def _differential_time(make_loop, n1, n2, args, repeats=3):
-    """Median-of-repeats differential timing: cancels the ~30 ms tunnel
-    round-trip and dispatch overheads."""
+def _differential_time(make_loop, n1, n2, args, repeats=5):
+    """Median of per-repeat differential estimates: cancels the ~30 ms
+    tunnel round-trip and dispatch overheads, and is robust to the
+    occasional jittered repeat (min-of-medians was not)."""
     f1, f2 = make_loop(n1), make_loop(n2)
     float(f1(*args))  # compile + warm
     float(f2(*args))
-    t1s, t2s = [], []
+    diffs = []
     for _ in range(repeats):
         t = time.perf_counter()
         float(f1(*args))
-        t1s.append(time.perf_counter() - t)
+        t1 = time.perf_counter() - t
         t = time.perf_counter()
         float(f2(*args))
-        t2s.append(time.perf_counter() - t)
-    t1 = sorted(t1s)[len(t1s) // 2]
-    t2 = sorted(t2s)[len(t2s) // 2]
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+        t2 = time.perf_counter() - t
+        diffs.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    return sorted(diffs)[len(diffs) // 2]
 
 
 def _train_step_time(on_tpu, img):
@@ -125,7 +125,7 @@ def main():
     on_tpu = backend == "tpu" or "TPU" in str(jax.devices()[0])
     B, S, D, C = 64, 5994, 512, 200  # CUB-200 full mode (BASELINE.md)
     IMG = 224 if on_tpu else 32
-    HEAD_N = (100, 300) if on_tpu else (1, 3)
+    HEAD_N = (100, 500) if on_tpu else (1, 3)
     FEAT_N = (4, 12) if on_tpu else (1, 2)
 
     rng = np.random.default_rng(0)
