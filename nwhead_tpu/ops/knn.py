@@ -34,6 +34,43 @@ def knn_indices(x: jnp.ndarray, bank: jnp.ndarray, k: int) -> jnp.ndarray:
     return idx
 
 
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_indices_chunked(
+    x: jnp.ndarray, bank: jnp.ndarray, k: int, chunk: int = 65536
+) -> jnp.ndarray:
+    """Exact k-NN over banks too large to materialize a (B, S) distance
+    matrix: lax.scan over bank chunks with a running top-k merge —
+    O(B * chunk) memory regardless of S. Bank must be padded to a chunk
+    multiple by the caller (pad rows at +inf distance via zero-masking is
+    unnecessary: use knn_indices for small banks instead).
+    """
+    B = x.shape[0]
+    S = bank.shape[0]
+    assert S % chunk == 0, "pad the bank to a chunk multiple"
+    n_chunks = S // chunk
+    bank_c = bank.reshape(n_chunks, chunk, -1)
+
+    def step(carry, inputs):
+        best_scores, best_idx = carry  # (B, k) each
+        chunk_bank, chunk_start = inputs
+        d2 = pairwise_sqdist(x[None], chunk_bank[None])[0]  # (B, chunk)
+        s, i = jax.lax.top_k(-d2, k)  # best within this chunk
+        i = i + chunk_start
+        merged_s = jnp.concatenate([best_scores, s], axis=1)  # (B, 2k)
+        merged_i = jnp.concatenate([best_idx, i], axis=1)
+        top_s, pos = jax.lax.top_k(merged_s, k)
+        top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+    )
+    (scores, idx), _ = jax.lax.scan(step, init, (bank_c, starts))
+    return idx
+
+
 class ExactKNN:
     """Callable mirroring the reference ``KNN`` interface: ``knn(x) ->
     (support_features (B * k, d), support_labels (B * k,))``."""

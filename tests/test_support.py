@@ -238,3 +238,14 @@ def test_episodic_sampler_n_way_equals_n_classes():
     # Partial coverage with duplicates also works.
     idx, labels = s.sample(np.array([0, 0, 1]))
     assert len(idx) == 4 * 2
+
+
+def test_knn_indices_chunked_matches_exact(rng):
+    import jax.numpy as jnp
+    from nwhead_tpu.ops.knn import knn_indices, knn_indices_chunked
+
+    bank = rng.standard_normal((512, 16)).astype(np.float32)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    a = np.asarray(knn_indices(jnp.asarray(q), jnp.asarray(bank), 7))
+    b = np.asarray(knn_indices_chunked(jnp.asarray(q), jnp.asarray(bank), 7, chunk=128))
+    np.testing.assert_array_equal(np.sort(a, -1), np.sort(b, -1))
