@@ -159,3 +159,11 @@ def test_fused_unaligned_feature_dim(rng):
     gq_n, gs_n = jax.grad(loss(lambda q, s: nw_log_probs(q, s, sy, C)), argnums=(0, 1))(q, s)
     np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_n), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_n), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_many_classes_int32_labels(rng):
+    """C > 256 takes the int32 label path (bf16 packing only covers <=256)."""
+    q, s, sy, C = _problem(rng, B=3, S=300, D=16, C=300)
+    got = np.asarray(nw_fused_log_probs(q, s, sy, C, block_s=128))
+    want = np.asarray(nw_log_probs(q, s, sy, C))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
