@@ -1,6 +1,7 @@
 from nwhead_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
+    model_sharding,
     replicated,
     support_sharding,
 )
@@ -13,6 +14,7 @@ from nwhead_tpu.parallel.sharded_bank import (
 __all__ = [
     "make_mesh",
     "data_sharding",
+    "model_sharding",
     "support_sharding",
     "replicated",
     "ShardedSupportBank",

@@ -241,3 +241,29 @@ def test_distributed_precompute_matches_single_device(rng):
 
     mesh = make_mesh(4, 2)
     np.testing.assert_allclose(build(mesh), build(None), rtol=1e-5, atol=1e-5)
+
+
+def test_model_axis_tensor_parallel_dense(rng):
+    """The ('data','support','model') mesh's TP axis: a Dense kernel sharded
+    over 'model' (column-parallel) produces the same output as unsharded,
+    with each device holding a feature-dim slice (SURVEY.md §2.5 TP row)."""
+    from nwhead_tpu.parallel import model_sharding, make_mesh
+
+    mesh = make_mesh(2, 2, n_model=2)
+    assert dict(mesh.shape) == {"data": 2, "support": 2, "model": 2}
+
+    B, D_in, D_out = 8, 32, 64
+    x = rng.standard_normal((B, D_in)).astype(np.float32)
+    w = rng.standard_normal((D_in, D_out)).astype(np.float32)
+
+    w_tp = jax.device_put(jnp.asarray(w), model_sharding(mesh))
+    x_dp = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    y = jax.jit(lambda a, b: a @ b)(x_dp, w_tp)
+    # Output feature dim stays sharded over 'model' (column-parallel Dense).
+    np.testing.assert_allclose(np.asarray(y), x @ w, rtol=1e-4, atol=1e-4)
+
+
+def test_make_mesh_default_model_axis():
+    """2-arg make_mesh keeps working: size-1 model axis by default."""
+    mesh = make_mesh(4, 2)
+    assert dict(mesh.shape) == {"data": 4, "support": 2, "model": 1}
