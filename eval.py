@@ -47,6 +47,11 @@ def main(argv=None):
                    help="dump support-influence rankings for the first N queries")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--pretrained_path", type=str, default=None,
+                   help="local torch checkpoint imported into the backbone")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'N_DATA,N_SUPPORT[,N_MODEL]' mesh for sharded full-mode eval")
     args = p.parse_args(argv)
 
     import train as train_cli
@@ -55,14 +60,16 @@ def main(argv=None):
     from nwhead_tpu.ops import metrics as M
     from nwhead_tpu.train import load_checkpoint
 
-    ds_args = argparse.Namespace(dataset=args.dataset, data_dir=args.data_dir, seed=args.seed)
+    ds_args = argparse.Namespace(dataset=args.dataset, data_dir=args.data_dir,
+                                 seed=args.seed, workers=args.workers)
     train_ds, val_ds = train_cli.build_datasets(ds_args)
+    mesh = train_cli.build_mesh(args)
 
     dtype = jnp.bfloat16 if args.bf16 else None
     is_cifar = args.dataset in ("cifar10", "cifar100")
     name = {"resnet18": "CIFAR_ResNet18" if is_cifar else "resnet18",
             "densenet121": "CIFAR_DenseNet121" if is_cifar else "densenet121"}.get(args.arch, args.arch)
-    featurizer = load_model(name, dtype=dtype)
+    featurizer = load_model(name, pretrained=args.pretrained_path or False, dtype=dtype)
 
     net = NWNet(
         featurizer,

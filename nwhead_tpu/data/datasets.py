@@ -124,7 +124,7 @@ def _read_two_column(path: str):
 class Cub200Dataset(ImageFileDataset):
     """CUB-200-2011 (``data/bird.py:7-50`` semantics)."""
 
-    def __init__(self, root_path: str, is_train: bool, transform=None) -> None:
+    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8) -> None:
         split_ids, split_vals = _read_two_column(
             os.path.join(root_path, "train_test_split.txt")
         )
@@ -141,13 +141,13 @@ class Cub200Dataset(ImageFileDataset):
             if i in keep
         ]
         targets = [int(v) - 1 for i, v in zip(lbl_ids, lbl_vals) if i in keep]
-        super().__init__(paths, targets, num_classes=200, transform=transform)
+        super().__init__(paths, targets, num_classes=200, transform=transform, workers=workers)
 
 
 class StanfordDogDataset(ImageFileDataset):
     """Stanford Dogs (``data/dog.py:7-38`` semantics)."""
 
-    def __init__(self, root_path: str, is_train: bool, transform=None) -> None:
+    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8) -> None:
         name = "train_list.csv" if is_train else "test_list.csv"
         paths, targets = [], []
         with open(os.path.join(root_path, name)) as f:
@@ -158,7 +158,7 @@ class StanfordDogDataset(ImageFileDataset):
                 p, lbl = line.rsplit(",", 1)
                 paths.append(os.path.join(root_path, "Images", p))
                 targets.append(int(lbl) - 1)
-        super().__init__(paths, targets, num_classes=120, transform=transform)
+        super().__init__(paths, targets, num_classes=120, transform=transform, workers=workers)
 
 
 class Flowers102Dataset(ImageFileDataset):
@@ -169,7 +169,7 @@ class Flowers102Dataset(ImageFileDataset):
     ``imagelabels.mat``, ``setid.mat`` under ``root_path``.
     """
 
-    def __init__(self, root_path: str, split: str = "train", transform=None) -> None:
+    def __init__(self, root_path: str, split: str = "train", transform=None, workers: int = 8) -> None:
         from scipy.io import loadmat
 
         labels = loadmat(os.path.join(root_path, "imagelabels.mat"))["labels"][0]
@@ -183,7 +183,7 @@ class Flowers102Dataset(ImageFileDataset):
             os.path.join(root_path, "jpg", f"image_{i:05d}.jpg") for i in ids
         ]
         targets = [int(labels[i - 1]) - 1 for i in ids]
-        super().__init__(paths, targets, num_classes=102, transform=transform)
+        super().__init__(paths, targets, num_classes=102, transform=transform, workers=workers)
 
 
 class FGVCAircraftDataset(ImageFileDataset):
@@ -193,7 +193,7 @@ class FGVCAircraftDataset(ImageFileDataset):
     manifests under ``root_path`` (splits: train, val, trainval, test).
     """
 
-    def __init__(self, root_path: str, split: str = "trainval", transform=None) -> None:
+    def __init__(self, root_path: str, split: str = "trainval", transform=None, workers: int = 8) -> None:
         data_dir = os.path.join(root_path, "data")
         manifest = os.path.join(data_dir, f"images_variant_{split}.txt")
         variants_file = os.path.join(data_dir, "variants.txt")
@@ -209,7 +209,7 @@ class FGVCAircraftDataset(ImageFileDataset):
                 img_id, variant = line.split(" ", 1)
                 paths.append(os.path.join(data_dir, "images", f"{img_id}.jpg"))
                 targets.append(v2id[variant])
-        super().__init__(paths, targets, num_classes=len(variants), transform=transform)
+        super().__init__(paths, targets, num_classes=len(variants), transform=transform, workers=workers)
 
 
 def make_synthetic_dataset(

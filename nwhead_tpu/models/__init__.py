@@ -47,19 +47,27 @@ _REGISTRY = {
 MODEL_NAMES = tuple(_REGISTRY)
 
 
-def load_model(name: str, pretrained: bool = False, **kwargs: Any) -> nn.Module:
-    """Build a backbone by name. ``pretrained`` may be False or a path to a
-    local torchvision-format checkpoint (see ``torch_import.load_pretrained``)."""
+def load_model(name: str, pretrained: Any = False, **kwargs: Any) -> nn.Module:
+    """Build a backbone by name (``model/__init__.py:5-8`` registry).
+
+    ``pretrained`` may be False (random init) or a path to a local
+    torchvision/DINOv2-format checkpoint (``.pth``/``.pt``/``.npz``). With a
+    path, the returned module carries ``pretrained_path`` and every init
+    entry point (``NWNet.init``, the trainers, ``FCNet`` via trainers) merges
+    the converted weights into the fresh variable tree, strict=False style —
+    the reference's pretrained workflow (``model/resnet.py:259-267``,
+    ``train.py:212-214``) without network egress.
+    """
     if name not in _REGISTRY:
         raise KeyError(f"Unknown model {name!r}; valid: {MODEL_NAMES}")
-    model = _REGISTRY[name](**kwargs)
-    if pretrained:
+    if pretrained is True:
         raise ValueError(
-            "Pass pretrained=False and use "
-            "nwhead_tpu.models.torch_import.load_pretrained(model, path) to "
-            "import a local torchvision checkpoint (no network egress here)."
+            "pretrained=True needs a checkpoint path (no network egress "
+            "here): load_model(name, pretrained='/path/to/weights.pth')"
         )
-    return model
+    if pretrained:
+        kwargs = dict(kwargs, pretrained_path=str(pretrained))
+    return _REGISTRY[name](**kwargs)
 
 
 def feature_dim(name: str, **kwargs: Any) -> int:

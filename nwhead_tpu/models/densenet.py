@@ -135,6 +135,7 @@ class DenseNet(nn.Module):
     memory_efficient: bool = False
     dtype: Any = None
     bn_axis_name: Any = None
+    pretrained_path: Any = None  # local torchvision checkpoint, merged at init
 
     @property
     def feat_dim(self) -> int:
@@ -197,6 +198,7 @@ class CIFAR_DenseNetModule(nn.Module):
     reduction: float = 0.5
     dtype: Any = None
     bn_axis_name: Any = None
+    pretrained_path: Any = None
 
     @property
     def feat_dim(self) -> int:

@@ -189,6 +189,10 @@ class ResNet(nn.Module):
     zero_init_residual: bool = False
     dtype: Any = None  # compute dtype; bf16 for mixed precision (params f32)
     bn_axis_name: Any = None  # sync-BN axis for data-parallel training
+    # Optional local torchvision checkpoint; merged into the variable tree at
+    # init time (NWNet.init / trainers) — the reference's pretrained=True
+    # path (``model/resnet.py:259-267``) without network egress.
+    pretrained_path: Any = None
 
     @property
     def feat_dim(self) -> int:
@@ -246,6 +250,8 @@ class CIFAR_ResNet(nn.Module):
     num_blocks: Sequence[int]
     dtype: Any = None
     bn_axis_name: Any = None
+    pretrained_path: Any = None  # (no torchvision CIFAR checkpoints exist,
+    # but the field keeps the zoo interface uniform)
 
     @property
     def feat_dim(self) -> int:

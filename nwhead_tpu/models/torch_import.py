@@ -172,6 +172,57 @@ def convert_vit_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Dict[str,
     return {"params": params}
 
 
+def arch_kind(module) -> str:
+    """Map a backbone module instance to the converter family name."""
+    name = type(module).__name__
+    if "ResNet" in name:
+        return "resnet"
+    if "DenseNet" in name:
+        return "densenet"
+    if "VisionTransformer" in name or name.startswith("ViT"):
+        return "vit"
+    raise KeyError(f"No pretrained converter for module type {name}")
+
+
+def load_state_dict_file(path: str) -> Dict[str, Any]:
+    """Load a checkpoint file into a flat name->array dict. Supports torch
+    ``.pth``/``.pt`` files (``torch.load(map_location='cpu')``) and ``.npz``
+    archives (for torch-free environments)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return dict(obj)
+
+
+def merge_backbone_pretrained(variables: Dict[str, Any], featurizer) -> Dict[str, Any]:
+    """If ``featurizer.pretrained_path`` is set, merge the converted torch
+    weights into the ``featurizer`` subtree of a full-model variable tree
+    (NWModel/FCNet layout) and return the new tree; otherwise return
+    ``variables`` unchanged. This is the init-time hook behind
+    ``load_model(name, pretrained=<path>)``."""
+    path = getattr(featurizer, "pretrained_path", None)
+    if not path:
+        return variables
+    state_dict = load_state_dict_file(path)
+    sub = {"params": dict(variables["params"]["featurizer"])}
+    bs_all = variables.get("batch_stats", {})
+    if "featurizer" in bs_all:
+        sub["batch_stats"] = dict(bs_all["featurizer"])
+    merged = load_pretrained(sub, state_dict, arch_kind(featurizer))
+    out = dict(variables)
+    out["params"] = dict(variables["params"])
+    out["params"]["featurizer"] = merged["params"]
+    if "featurizer" in bs_all:
+        out["batch_stats"] = dict(bs_all)
+        out["batch_stats"]["featurizer"] = merged["batch_stats"]
+    return out
+
+
 def load_pretrained(variables: Dict[str, Any], state_dict: Mapping[str, Any], arch: str):
     """Merge converted torch weights into an initialized variable tree,
     strict=False style: keys present in both are replaced, extra reference

@@ -108,6 +108,9 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     img_size: int = 518  # grid the stored pos-embed corresponds to (DINOv2)
     dtype: Any = None
+    # Local DINOv2-format checkpoint; merged at init (the reference always
+    # hub-loads pretrained dinov2 weights, train.py:212-214).
+    pretrained_path: Any = None
 
     @property
     def feat_dim(self) -> int:

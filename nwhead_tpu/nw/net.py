@@ -191,15 +191,27 @@ class NWNet:
                 variables, qf, sf, sy, method=NWModel.predict_from_feats
             )
         )
+        # Ensemble: one compiled scan over the device-resident stacked env
+        # banks (prob-space env averaging, ``nw.py:143-154``) — no per-env
+        # recompiles, no per-call host->device bank uploads.
+        self._ensemble_from_feats = jax.jit(self._ensemble_from_feats_impl)
 
     # -- initialization ------------------------------------------------------
 
     def init(self, rng: jax.Array, sample_query: jnp.ndarray) -> Dict[str, Any]:
-        """Initialize variables from one example query batch."""
+        """Initialize variables from one example query batch. If the
+        featurizer was built with a pretrained checkpoint path
+        (``load_model(name, pretrained=path)``), the converted torch weights
+        are merged into the fresh tree here."""
         s_size = max(2, self.support_train.support_size()) if self.support_dataset is not None else 2
         sx = jnp.zeros((s_size, *sample_query.shape[1:]), sample_query.dtype)
         sy = jnp.zeros((s_size,), jnp.int32)
-        return self.model.init(rng, sample_query, sx, sy, train=False)
+        variables = self.model.init(rng, sample_query, sx, sy, train=False)
+        if getattr(self.model.featurizer, "pretrained_path", None):
+            from nwhead_tpu.models.torch_import import merge_backbone_pretrained
+
+            variables = merge_backbone_pretrained(variables, self.model.featurizer)
+        return variables
 
     # -- training forward ----------------------------------------------------
 
@@ -324,17 +336,10 @@ class NWNet:
         sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if mode == "ensemble":
-            sfeat_env, sy_env = sdata
-            outputs = 0.0
-            for env_feat, env_y in zip(sfeat_env, sy_env):
-                lp = self._head_from_feats(
-                    variables,
-                    qfeat,
-                    jnp.asarray(env_feat),
-                    jnp.asarray(env_y, dtype=jnp.int32),
-                )
-                outputs = outputs + jnp.exp(lp)
-            output = jnp.log(outputs / len(sfeat_env))
+            sfeat_env, sy_env, smask_env = sdata
+            output = self._ensemble_from_feats(
+                variables, qfeat, sfeat_env, sy_env, smask_env
+            )
         else:
             sfeat, sy = sdata
             output = self._head_from_feats(
@@ -343,6 +348,22 @@ class NWNet:
         if self.return_mask:
             return output, np.full((len(x),), True)
         return output
+
+    def _ensemble_from_feats_impl(self, variables, qfeat, sfeat_env, sy_env, smask_env):
+        """Prob-space average of per-env NW heads over stacked (E, S, D)
+        banks (``nw.py:143-154``), as one lax.scan — compiled once."""
+        n_envs = sfeat_env.shape[0]
+
+        def body(acc, xs):
+            sf, sy, sm = xs
+            lp = self.model.apply(
+                variables, qfeat, sf, sy, sm, method=NWModel.predict_from_feats
+            )
+            return acc + jnp.exp(lp), None
+
+        init = jnp.zeros((qfeat.shape[0], self.n_classes), jnp.float32)
+        total, _ = jax.lax.scan(body, init, (sfeat_env, sy_env, smask_env))
+        return jnp.log(total / n_envs)
 
     # -- explainability ------------------------------------------------------
 

@@ -320,6 +320,24 @@ class SupportSetEval:
         self.full_y_sep = [np.asarray(y) for y in sy_env]
         self.full_meta_sep = [np.asarray(m) for m in smeta_env]
 
+        # Ensemble mode: per-env banks padded to a common length and stacked
+        # DEVICE-resident, so ensemble predict is one compiled program with
+        # zero per-call host->device traffic (the reference re-ships each
+        # env bank per call, nw.py:143-154; padding rows are masked out).
+        n_envs = len(sfeat_env)
+        s_max = max(len(f) for f in sfeat_env)
+        d = np.asarray(sfeat).shape[-1]
+        ens_feat = np.zeros((n_envs, s_max, d), np.asarray(sfeat).dtype)
+        ens_y = np.zeros((n_envs, s_max), np.int32)
+        ens_mask = np.zeros((n_envs, s_max), np.float32)
+        for e, (f, y) in enumerate(zip(sfeat_env, sy_env)):
+            ens_feat[e, : len(f)] = f
+            ens_y[e, : len(y)] = y
+            ens_mask[e, : len(f)] = 1.0
+        self.ensemble_feat = jnp.asarray(ens_feat)
+        self.ensemble_y = jnp.asarray(ens_y)
+        self.ensemble_mask = jnp.asarray(ens_mask)
+
         # Cluster: per-class k-means centroids (support.py:123).
         self.cluster_feat, self.cluster_y = compute_clusters(
             self.full_feat, self.full_y, self.n_shot_cluster
@@ -354,7 +372,8 @@ class SupportSetEval:
             if mode == "cluster":
                 return self.cluster_feat, self.cluster_y
             if mode == "ensemble":
-                return self.full_feat_sep, self.full_y_sep
+                # Device-resident stacked env banks + validity mask.
+                return self.ensemble_feat, self.ensemble_y, self.ensemble_mask
             if mode == "knn":
                 return self.knn(x)
             if mode == "hnsw":

@@ -76,12 +76,13 @@ class ExactKNN:
     (support_features (B * k, d), support_labels (B * k,))``."""
 
     def __init__(self, data: np.ndarray, labels: np.ndarray, n_neighbors: int = 20):
-        self.data = jnp.asarray(data)  # device copy: the search runs on-chip
-        self._data_np = np.asarray(data)  # host copy: neighbor gathering
+        self.data = jnp.asarray(data)  # single device-resident bank: the
+        # search AND the neighbor gather both run on-chip (no host mirror —
+        # 1x memory for large banks).
         self.labels = np.asarray(labels)
         self.n_neighbors = n_neighbors
 
-    def __call__(self, x) -> Tuple[np.ndarray, np.ndarray]:
+    def __call__(self, x) -> Tuple[jnp.ndarray, np.ndarray]:
         idx = np.asarray(knn_indices(jnp.asarray(x), self.data, self.n_neighbors))
         flat = idx.reshape(-1)  # flat-concat union support (utils.py:191-192)
-        return self._data_np[flat], self.labels[flat]
+        return jnp.take(self.data, jnp.asarray(flat), axis=0), self.labels[flat]

@@ -47,7 +47,10 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--models_dir", default="./", type=str)
         self.add_argument("--data_dir", default="./", type=str)
         self.add_argument("--log_interval", type=int, default=25)
-        self.add_argument("--workers", type=int, default=0)
+        # Host image-decode threads (the reference's DataLoader worker count,
+        # train.py:32-33; default 8 here — TPU steps are fast enough that
+        # synchronous decode starves the device).
+        self.add_argument("--workers", type=int, default=8)
         self.add_bool_arg("debug_mode", False)
 
         # ML
@@ -62,6 +65,13 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--seed", type=int, default=0)
         self.add_argument("--weight_decay", type=float, default=1e-4)
         self.add_argument("--arch", type=str, default="resnet18")
+        # Local pretrained checkpoint (.pth/.pt/.npz) imported into the
+        # backbone at init — the reference's torchvision/hub pretrained path
+        # (train.py:212-214) without network egress.
+        self.add_argument("--pretrained_path", type=str, default=None)
+        # Device mesh 'N_DATA,N_SUPPORT[,N_MODEL]' — enables data-parallel
+        # training + support-sharded full-mode eval (nwhead only).
+        self.add_argument("--mesh", type=str, default=None)
         self.add_argument("--train_method", default="nwhead")
         self.add_bool_arg("freeze_featurizer", False)
         self.add_bool_arg("resume", False)  # wired resume (reference lacks it)

@@ -294,6 +294,10 @@ class FCTrainer:
 
         sample = jnp.asarray(train_dataset.gather(np.arange(min(batch_size, len(train_dataset)))))
         variables = model.init(jax.random.PRNGKey(seed), sample, train=False)
+        if getattr(model.featurizer, "pretrained_path", None):
+            from nwhead_tpu.models.torch_import import merge_backbone_pretrained
+
+            variables = merge_backbone_pretrained(variables, model.featurizer)
         mask = featurizer_freeze_mask(variables["params"]) if freeze_featurizer else None
         self.tx = make_optimizer(
             lr, milestones, gamma, self.steps_per_epoch, weight_decay,

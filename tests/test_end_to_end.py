@@ -203,3 +203,50 @@ def test_per_query_support_images():
         np.testing.assert_allclose(
             np.asarray(out[b : b + 1]), np.asarray(solo), rtol=1e-3, atol=1e-4
         )
+
+
+def test_ensemble_device_resident_parity():
+    """Device-resident stacked ensemble banks (padded + masked) must equal
+    the per-env loop: mean over envs of exp(NW log-probs), in prob space
+    (``nw.py:143-154``) — including with UNEVEN env sizes."""
+    from nwhead_tpu.ops.nw import nw_log_probs
+
+    train_ds = make_synthetic_dataset(n=45, n_classes=3, size=8, seed=3)
+    # Uneven envs: 21 / 24 items -> padding path in the stacked banks.
+    env_array = np.array([0] * 21 + [1] * 24)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=3,
+        support_dataset=train_ds,
+        feat_dim=16,
+        n_shot=2,
+        n_shot_full=10,
+        env_array=env_array,
+        seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2))))
+    net.precompute(variables)
+
+    x = jnp.asarray(train_ds.gather(np.arange(4)))
+    got = np.asarray(net.predict(variables, x, "ensemble"))
+
+    qfeat = net._featurize_eval(variables, x)
+    total = 0.0
+    for f, y in zip(net.support_eval.full_feat_sep, net.support_eval.full_y_sep):
+        lp = nw_log_probs(qfeat, jnp.asarray(f), jnp.asarray(y), 3)
+        total = total + np.exp(np.asarray(lp))
+    want = np.log(total / len(net.support_eval.full_feat_sep))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_predict_no_host_transfer(nw_setup):
+    """After precompute, the stacked ensemble banks are device arrays and a
+    second predict call reuses the same compiled function (same shapes)."""
+    net, trainer, train_ds, val_ds = nw_setup
+    variables = trainer.state.variables()
+    net.precompute(variables)
+    assert isinstance(net.support_eval.ensemble_feat, jnp.ndarray)
+    x = jnp.asarray(val_ds.gather(np.arange(4)))
+    out1 = net.predict(variables, x, "ensemble")
+    out2 = net.predict(variables, x, "ensemble")
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))

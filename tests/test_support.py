@@ -177,8 +177,10 @@ class TestSupportSetEval:
             class_mean = feats[bank_y == c].mean(0)
             assert np.linalg.norm(centroid_mean - class_mean) < 5.0
 
-        env_f, env_y = se.get_support("ensemble")
-        assert isinstance(env_f, list) and len(env_f) == 1
+        env_f, env_y, env_m = se.get_support("ensemble")
+        # Stacked device-resident (E, S_max, D) banks + validity mask.
+        assert env_f.ndim == 3 and env_f.shape[0] == 1
+        assert env_m.shape == env_f.shape[:2] and float(env_m.min()) >= 0.0
 
         q = feats[:2] + 0.01
         sf, sy = se.get_support("knn", x=q)

@@ -21,6 +21,8 @@ import numpy as np
 from nwhead_tpu.data import (
     ArrayDataset,
     Cub200Dataset,
+    FGVCAircraftDataset,
+    Flowers102Dataset,
     StanfordDogDataset,
     make_synthetic_dataset,
 )
@@ -40,7 +42,10 @@ from nwhead_tpu.train import (
 
 
 def build_datasets(args):
-    """Dataset + transform wiring (``train.py:136-188`` semantics)."""
+    """Dataset + transform wiring (``train.py:136-188`` semantics; flower and
+    aircraft splits match the reference's torchvision wiring,
+    ``train.py:177-186``: Flowers102 'train'/'test', FGVCAircraft
+    'trainval'/'test')."""
     is_cifar = args.dataset in ("cifar10", "cifar100")
     if is_cifar:
         t_train = T.cifar_train_transform(seed=args.seed)
@@ -48,13 +53,20 @@ def build_datasets(args):
     else:
         t_train = T.imagenet_train_transform(seed=args.seed)
         t_test = T.imagenet_eval_transform()
+    workers = getattr(args, "workers", 8)
 
     if args.dataset == "bird":
-        train_ds = Cub200Dataset(args.data_dir, True, t_train)
-        val_ds = Cub200Dataset(args.data_dir, False, t_test)
+        train_ds = Cub200Dataset(args.data_dir, True, t_train, workers=workers)
+        val_ds = Cub200Dataset(args.data_dir, False, t_test, workers=workers)
     elif args.dataset == "dog":
-        train_ds = StanfordDogDataset(args.data_dir, True, t_train)
-        val_ds = StanfordDogDataset(args.data_dir, False, t_test)
+        train_ds = StanfordDogDataset(args.data_dir, True, t_train, workers=workers)
+        val_ds = StanfordDogDataset(args.data_dir, False, t_test, workers=workers)
+    elif args.dataset == "flower":
+        train_ds = Flowers102Dataset(args.data_dir, "train", t_train, workers=workers)
+        val_ds = Flowers102Dataset(args.data_dir, "test", t_test, workers=workers)
+    elif args.dataset == "aircraft":
+        train_ds = FGVCAircraftDataset(args.data_dir, "trainval", t_train, workers=workers)
+        val_ds = FGVCAircraftDataset(args.data_dir, "test", t_test, workers=workers)
     elif args.dataset in ("cifar10", "cifar100"):
         train_ds, val_ds = _load_cifar(args.data_dir, args.dataset, t_train, t_test)
     elif args.dataset == "synthetic":  # tiny built-in set for smoke runs
@@ -80,8 +92,11 @@ def _load_cifar(data_dir, name, t_train, t_test):
     )
 
 
-def build_network(args, train_dataset):
-    """Backbone + network construction (``train.py:199-237`` semantics)."""
+def build_network(args, train_dataset, mesh=None):
+    """Backbone + network construction (``train.py:199-237`` semantics).
+    ``--pretrained_path`` flows into the backbone and is merged at init
+    (the reference's torchvision/dinov2 pretrained path,
+    ``train.py:212-214``, ``model/resnet.py:259-267``)."""
     import jax.numpy as jnp
 
     is_cifar = args.dataset in ("cifar10", "cifar100")
@@ -94,7 +109,8 @@ def build_network(args, train_dataset):
     else:
         raise NotImplementedError(args.arch)
     dtype = jnp.bfloat16 if args.bf16 else None
-    featurizer = load_model(name, dtype=dtype)
+    pretrained = getattr(args, "pretrained_path", None) or False
+    featurizer = load_model(name, pretrained=pretrained, dtype=dtype)
     feat_dim = featurizer.feat_dim
 
     if args.train_method == "fchead":
@@ -112,8 +128,28 @@ def build_network(args, train_dataset):
             n_way=args.n_way,
             debug_mode=args.debug_mode,
             seed=args.seed,
+            mesh=mesh,
         )
     raise NotImplementedError(args.train_method)
+
+
+def build_mesh(args):
+    """--mesh 'N_DATA,N_SUPPORT[,N_MODEL]' -> device mesh (None if unset)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    import math
+
+    import jax
+
+    from nwhead_tpu.parallel import make_mesh
+
+    dims = [int(x) for x in spec.split(",")]
+    n = math.prod(dims)
+    devices = jax.devices()
+    if n > len(devices):
+        raise ValueError(f"--mesh {spec} needs {n} devices, have {len(devices)}")
+    return make_mesh(*dims, devices=devices[:n])
 
 
 def main(argv=None):
@@ -121,8 +157,9 @@ def main(argv=None):
     if args.seed > 0:
         np.random.seed(args.seed)
 
+    mesh = build_mesh(args)
     train_ds, val_ds = build_datasets(args)
-    network = build_network(args, train_ds)
+    network = build_network(args, train_ds, mesh=mesh)
 
     common = dict(
         lr=args.lr,
@@ -134,8 +171,10 @@ def main(argv=None):
         seed=args.seed,
     )
     if args.train_method == "nwhead":
-        trainer = NWTrainer(network, train_ds, val_ds, **common)
+        trainer = NWTrainer(network, train_ds, val_ds, mesh=mesh, **common)
     else:
+        if mesh is not None:
+            raise NotImplementedError("--mesh supports --train_method nwhead only")
         trainer = FCTrainer(network, train_ds, val_ds, **common)
 
     start_epoch = 1
