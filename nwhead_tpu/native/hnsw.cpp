@@ -90,7 +90,9 @@ class HnswIndex {
         link(id, nb.id, l, max_links);
         link(nb.id, id, l, max_links);
       }
-      if (!selected.empty()) cur = selected.front().id;
+      // Continue the descent from the closest candidate (selection may
+      // have dropped it for diversity).
+      if (!cands.empty()) cur = cands.front().id;
     }
     if (level > top_level_) {
       top_level_ = level;
@@ -194,16 +196,33 @@ class HnswIndex {
     return out;
   }
 
-  // Simple selection: the m closest candidates (hnswlib's default heuristic
-  // additionally diversifies; closest-m preserves recall at our scales).
-  static std::vector<Neighbor> select_neighbors(std::vector<Neighbor> cands,
-                                                int m) {
+  // hnswlib's neighbor-selection heuristic (HNSW paper Algorithm 4 /
+  // hnswlib getNeighborsByHeuristic2): walk candidates closest-first and
+  // keep one only if it is closer to the query than to every neighbor
+  // already kept — spreads links across clusters, which preserves graph
+  // navigability (and recall) on clustered banks where plain closest-m
+  // links collapse into one cluster.
+  std::vector<Neighbor> select_neighbors(std::vector<Neighbor> cands,
+                                         int m) const {
     std::sort(cands.begin(), cands.end(),
               [](const Neighbor& a, const Neighbor& b) {
                 return a.dist < b.dist;
               });
-    if (static_cast<int>(cands.size()) > m) cands.resize(m);
-    return cands;
+    if (static_cast<int>(cands.size()) <= m) return cands;
+    std::vector<Neighbor> result;
+    result.reserve(m);
+    for (const Neighbor& c : cands) {
+      if (static_cast<int>(result.size()) >= m) break;
+      bool good = true;
+      for (const Neighbor& r : result) {
+        if (l2(vec(c.id), vec(r.id)) < c.dist) {
+          good = false;
+          break;
+        }
+      }
+      if (good) result.push_back(c);
+    }
+    return result;
   }
 
   void link(int32_t from, int32_t to, int level, int max_links) {
@@ -215,13 +234,16 @@ class HnswIndex {
       lst.push_back(to);
       return;
     }
-    // Prune: keep the max_links closest of {existing + new}.
+    // Prune with the same diversification heuristic over {existing + new}
+    // (hnswlib mutuallyConnectNewElement overflow path).
     const float* fv = vec(from);
-    lst.push_back(to);
-    std::sort(lst.begin(), lst.end(), [&](int32_t a, int32_t b) {
-      return l2(fv, vec(a)) < l2(fv, vec(b));
-    });
-    lst.resize(max_links);
+    std::vector<Neighbor> cands;
+    cands.reserve(lst.size() + 1);
+    for (int32_t nb : lst) cands.push_back({l2(fv, vec(nb)), nb});
+    cands.push_back({l2(fv, vec(to)), to});
+    auto selected = select_neighbors(std::move(cands), max_links);
+    lst.clear();
+    for (const Neighbor& nb : selected) lst.push_back(nb.id);
   }
 
   const int dim_;

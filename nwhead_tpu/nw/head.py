@@ -25,6 +25,11 @@ class NWHead(nn.Module):
     kernel_type: str = "euclidean"
     use_fused: bool = True  # dispatch to the Pallas kernel for large supports
     fused_min_support: int = 1024
+    # 'f32' (exact) or 'bf16': cast query/support features to bf16 before the
+    # distance computation — half the bank HBM traffic and single-pass MXU
+    # dots; softmax statistics stay f32. Validated for training quality in
+    # tests/test_bf16_training.py; the default stays f32.
+    precision: str = "f32"
 
     def _kernel_params(self):
         if self.kernel_type == "clip":
@@ -63,7 +68,11 @@ class NWHead(nn.Module):
                 kernel=self.kernel_type,
                 kernel_params=kparams,
                 support_mask=support_mask,
+                precision=self.precision,
             )
+        if self.precision == "bf16":  # bf16-bank semantics on the naive path
+            qfeat = qfeat.astype(jnp.bfloat16).astype(jnp.float32)
+            sfeat = sfeat.astype(jnp.bfloat16).astype(jnp.float32)
         return nw_ops.nw_log_probs(
             qfeat,
             sfeat,

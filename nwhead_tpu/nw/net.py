@@ -46,6 +46,8 @@ class NWModel(nn.Module):
     proj_dim: int = 0
     feat_dim: Optional[int] = None
     use_fused: bool = True
+    fused_min_support: int = 1024
+    head_precision: str = "f32"  # 'bf16' halves bank traffic (serving)
 
     def setup(self):
         if self.proj_dim > 0:
@@ -55,6 +57,8 @@ class NWModel(nn.Module):
             n_classes=self.n_classes,
             kernel_type=self.kernel_type,
             use_fused=self.use_fused,
+            fused_min_support=self.fused_min_support,
+            precision=self.head_precision,
         )
 
     def featurize(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -121,6 +125,8 @@ class NWNet:
         debug_mode: bool = False,
         return_mask: bool = False,
         use_fused: bool = True,
+        fused_min_support: int = 1024,
+        head_precision: str = "f32",
         seed: int = 0,
         precompute_batch: int = 128,
         mesh=None,
@@ -144,6 +150,8 @@ class NWNet:
             proj_dim=proj_dim,
             feat_dim=feat_dim,
             use_fused=use_fused,
+            fused_min_support=fused_min_support,
+            head_precision=head_precision,
         )
 
         if support_dataset is not None:

@@ -70,6 +70,25 @@ def featurizer_freeze_mask(params: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
+def _padded_eval_batches(ds, batch_size: int, num_steps: Optional[int]):
+    """Sequential eval batches, tail padded to a static shape. Yields
+    (padded images f32, UNPADDED labels) — the label length is the number
+    of real rows. Padded rows are dropped from every metric downstream."""
+    n = len(ds)
+    count = 0
+    for start in range(0, n, batch_size):
+        if num_steps is not None and count >= num_steps:
+            break
+        idx = np.arange(start, min(start + batch_size, n))
+        label = np.asarray(ds.targets[idx])
+        img = np.asarray(ds.gather(idx)).astype(np.float32)
+        pad = batch_size - len(idx)
+        if pad:
+            img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)])
+        yield img, label
+        count += 1
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -217,38 +236,31 @@ class NWTrainer:
             self.metrics["loss:train"].update_state(loss, bs)
             self.metrics["acc:train"].update_state(float(acc) * 100, bs)
 
-    def eval_epoch(self, mode: str = "random", num_steps: Optional[int] = None) -> float:
+    def eval_epoch(self, mode: str = "random", num_steps: Optional[int] = None,
+                   prefetch: int = 2) -> float:
         """One eval pass in the given inference mode; returns accuracy.
         ECE is computed over the epoch's concatenated probabilities
-        (``train.py:352-379``)."""
+        (``train.py:352-379``). Host gather/decode runs in a background
+        thread ``prefetch`` batches ahead, like the train path."""
+        from nwhead_tpu.data.pipeline import prefetch_to_device
+
         ds = self.val_dataset
         variables = self.state.variables()
         probs_all: List[np.ndarray] = []
         gts: List[np.ndarray] = []
-        n = len(ds)
-        count = 0
-        for start in range(0, n, self.batch_size):
-            if num_steps is not None and count >= num_steps:
-                break
-            idx = np.arange(start, min(start + self.batch_size, n))
-            real = len(idx)
-            label = ds.targets[idx]
-            img = np.asarray(ds.gather(idx))
-            pad = self.batch_size - real
-            if pad:  # pad the tail batch to keep jit shapes static;
-                # padded rows are dropped from every metric below.
-                img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)])
-            output = self.net.predict(variables, jnp.asarray(img), mode)
+        batches = _padded_eval_batches(ds, self.batch_size, num_steps)
+        for img, label in prefetch_to_device(batches, size=prefetch):
+            real = label.shape[0]
+            output = self.net.predict(variables, img, mode)
             if isinstance(output, tuple):
                 output = output[0]
             output = output[:real]
-            loss = float(M.nll_loss(output, jnp.asarray(label)))
-            acc = float(M.acc(jnp.argmax(output, -1), jnp.asarray(label)))
+            loss = float(M.nll_loss(output, label))
+            acc = float(M.acc(jnp.argmax(output, -1), label))
             self.val_metrics[f"loss:val:{mode}"].update_state(loss, real)
             self.val_metrics[f"acc:val:{mode}"].update_state(acc * 100, real)
             probs_all.append(np.asarray(jnp.exp(output)))
-            gts.append(label)
-            count += 1
+            gts.append(np.asarray(label))
         ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
         self.val_metrics[f"ece:val:{mode}"].update_state(ece, 1)
         return self.val_metrics[f"acc:val:{mode}"].result()
@@ -359,32 +371,24 @@ class FCTrainer:
             self.metrics["acc:train"].update_state(float(acc) * 100, len(idx))
             count += 1
 
-    def eval_epoch(self, num_steps: Optional[int] = None) -> float:
+    def eval_epoch(self, num_steps: Optional[int] = None, prefetch: int = 2) -> float:
+        from nwhead_tpu.data.pipeline import prefetch_to_device
+
         ds = self.val_dataset
         variables = self.state.variables()
         probs_all, gts = [], []
-        n = len(ds)
-        count = 0
-        for start in range(0, n, self.batch_size):
-            if num_steps is not None and count >= num_steps:
-                break
-            idx = np.arange(start, min(start + self.batch_size, n))
-            real = len(idx)
-            img = np.asarray(ds.gather(idx))
-            label = ds.targets[idx]
-            pad = self.batch_size - real
-            if pad:  # pad the tail batch; padded rows excluded from metrics
-                img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)])
-            output = self._eval_step(variables, jnp.asarray(img))[:real]
+        batches = _padded_eval_batches(ds, self.batch_size, num_steps)
+        for img, label in prefetch_to_device(batches, size=prefetch):
+            real = label.shape[0]
+            output = self._eval_step(variables, img)[:real]
             self.val_metrics["loss:val"].update_state(
-                float(M.nll_loss(output, jnp.asarray(label))), real
+                float(M.nll_loss(output, label)), real
             )
             self.val_metrics["acc:val"].update_state(
-                float(M.acc(jnp.argmax(output, -1), jnp.asarray(label))) * 100, real
+                float(M.acc(jnp.argmax(output, -1), label)) * 100, real
             )
             probs_all.append(np.asarray(jnp.exp(output)))
-            gts.append(label)
-            count += 1
+            gts.append(np.asarray(label))
         ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
         self.val_metrics["ece:val"].update_state(ece, 1)
         return self.val_metrics["acc:val"].result()
