@@ -180,7 +180,8 @@ def _make_kernel(*, labels, dist, agg, block_s, c_pad, n_s_tiles, nchunk,
             s2row = jnp.concatenate(
                 [s2_ref[0, t:t + 1, :] for t in range(nchunk)], axis=1
             )
-            score = jnp.broadcast_to(-s2row, (q.shape[0], block_s)) + s[0, 0]
+            touch = jnp.sum(s[0:1, 0:1].astype(jnp.float32))
+            score = jnp.broadcast_to(-s2row, (q.shape[0], block_s)) + touch
         elif dist == "f32s2":
             # f32 dot, but the bank self-norm s2 arrives precomputed
             # (lane-major compact per tile) instead of being re-reduced
@@ -274,7 +275,7 @@ def _make_kernel(*, labels, dist, agg, block_s, c_pad, n_s_tiles, nchunk,
             onehot = (row_ids % c_pad == col_ids).astype(jnp.float32)
 
         if agg == "skip":  # timing-only: no label-aggregate matmul
-            pv = p[:, :c_pad] + onehot[0, 0]
+            pv = p[:, :c_pad] + jnp.sum(onehot[0:1, 0:1].astype(jnp.float32))
         elif agg == "split":
             if labels != "compact":
                 onehot = onehot.astype(jnp.bfloat16)

@@ -1,0 +1,294 @@
+"""BASELINE.md parity protocol, packaged as one command.
+
+Runs the reference PyTorch implementation (imported from /root/reference)
+and this TPU stack side-by-side on the SAME dataset with the SAME recipe
+(SGD momentum-0.9 nesterov, MultiStepLR, NLL on log-probs, episodic n_way
+sampling — README.md:140-152), then records per-mode top-1 / NLL / ECE for
+both stacks and their deltas.
+
+Both stacks consume the same numpy data loaders and transform code, so the
+comparison isolates the model/training stacks (torch vs JAX/Pallas) from
+preprocessing differences.
+
+Usage (the moment CUB-200 is on disk):
+    python scripts/parity_run.py --dataset bird --data_dir <cub_root> \
+        --epochs 1000 --milestones 500 750 --lr 1e-2 --batch_size 8 \
+        --n_way 10 --out parity_cub.json --update_baseline
+
+Fixture-scale execution is tested end-to-end in
+tests/test_parity_runner.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _import_reference():
+    """Import the reference nwhead package (hnswlib stubbed with exact knn)."""
+    if "hnswlib" not in sys.modules:
+        stub = types.ModuleType("hnswlib")
+
+        class _Index:
+            def __init__(self, space, dim):
+                self.dim = dim
+
+            def init_index(self, max_elements, ef_construction, M):
+                pass
+
+            def add_items(self, data):
+                self.data = np.asarray(data)
+
+            def knn_query(self, x, k):
+                d = ((np.asarray(x)[:, None] - self.data[None]) ** 2).sum(-1)
+                idx = np.argsort(d, -1)[:, :k]
+                return idx, np.take_along_axis(d, idx, -1)
+
+        stub.Index = _Index
+        sys.modules["hnswlib"] = stub
+    if REF not in sys.path:
+        sys.path.append(REF)  # append: keep this repo's train.py first
+    import importlib
+
+    return (
+        importlib.import_module("nwhead.nw"),
+        importlib.import_module("model"),
+    )
+
+
+class _TorchDatasetAdapter:
+    """Expose our numpy datasets (gather/targets) as a torch Dataset with the
+    ``.targets``/``.num_classes`` attributes the reference requires
+    (nw.py:71-72)."""
+
+    def __init__(self, ds):
+        import torch
+
+        self._torch = torch
+        self.ds = ds
+        self.targets = np.asarray(ds.targets)
+        self.num_classes = ds.num_classes
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx):
+        scalar = np.isscalar(idx) or getattr(idx, "ndim", 1) == 0
+        arr = self.ds.gather([int(idx)] if scalar else np.asarray(idx))
+        t = self._torch.from_numpy(np.ascontiguousarray(arr.transpose(0, 3, 1, 2)))
+        y = self.targets[idx]
+        if scalar:
+            return t[0], int(y)
+        return t, self._torch.from_numpy(np.asarray(y))
+
+
+def _metrics_from_logprobs(log_probs: np.ndarray, labels: np.ndarray) -> dict:
+    from nwhead_tpu.ops import metrics as M
+
+    probs = np.exp(log_probs)
+    acc = float((log_probs.argmax(-1) == labels).mean()) * 100
+    nll = float(-np.take_along_axis(log_probs, labels[:, None], -1).mean())
+    ece = float(M.ece(probs, labels)) * 100
+    return {"acc": acc, "nll": nll, "ece": ece}
+
+
+def run_reference(train_ds, val_ds, args) -> dict:
+    """The reference recipe on the torch stack (train.py:242-250,337-379)."""
+    import torch
+
+    ref_nw, ref_model = _import_reference()
+
+    t_train = _TorchDatasetAdapter(train_ds)
+    t_val = _TorchDatasetAdapter(val_ds)
+
+    featurizer = ref_model.load_model(args.ref_arch or args.arch)
+    network = ref_nw.NWNet(
+        featurizer,
+        t_train.num_classes,
+        support_dataset=t_train,
+        feat_dim=args.feat_dim,
+        proj_dim=args.proj_dim,
+        kernel_type=args.kernel_type,
+        n_shot=args.n_shot,
+        n_way=args.n_way,
+        device="cpu",
+    )
+    criterion = torch.nn.NLLLoss()
+    optimizer = torch.optim.SGD(
+        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
+        nesterov=True,
+    )
+    scheduler = torch.optim.lr_scheduler.MultiStepLR(
+        optimizer, milestones=args.milestones, gamma=0.1
+    )
+
+    rng = np.random.default_rng(args.seed)
+    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
+    for _ in range(args.epochs):
+        network.train()
+        order = rng.permutation(len(t_train))
+        for s in range(steps):
+            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
+            if len(idx) < args.batch_size:
+                idx = order[: args.batch_size]
+            img, label = t_train[idx]
+            optimizer.zero_grad()
+            output = network(img, label)  # log-probs (return_mask=False)
+            loss = criterion(output, label)
+            loss.backward()
+            optimizer.step()
+        scheduler.step()
+
+    network.eval()
+    with torch.no_grad():
+        network.precompute()
+        results = {}
+        labels_all = t_val.targets
+        for mode in args.modes:
+            outs = []
+            for s in range(0, len(t_val), args.batch_size):
+                idx = np.arange(s, min(s + args.batch_size, len(t_val)))
+                img, _ = t_val[idx]
+                outs.append(network.predict(img, mode).numpy())
+            results[mode] = _metrics_from_logprobs(
+                np.concatenate(outs), labels_all
+            )
+    return results
+
+
+def run_tpu_stack(train_ds, val_ds, args) -> dict:
+    """The same recipe on this framework."""
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.train.trainer import NWTrainer
+
+    featurizer = load_model(args.arch)
+    net = NWNet(
+        featurizer,
+        train_ds.num_classes,
+        support_dataset=train_ds,
+        feat_dim=args.feat_dim,
+        proj_dim=args.proj_dim,
+        kernel_type=args.kernel_type,
+        n_shot=args.n_shot,
+        n_way=args.n_way,
+        seed=args.seed,
+    )
+    trainer = NWTrainer(
+        net, train_ds, val_ds,
+        lr=args.lr, batch_size=args.batch_size,
+        milestones=args.milestones, gamma=0.1,
+        eval_modes=tuple(args.modes), seed=args.seed,
+    )
+    for _ in range(args.epochs):
+        trainer.train_epoch(num_steps=args.steps_per_epoch)
+    trainer.eval_all_modes()
+    results = {}
+    for mode in args.modes:
+        results[mode] = {
+            "acc": trainer.val_metrics[f"acc:val:{mode}"].result(),
+            "nll": trainer.val_metrics[f"loss:val:{mode}"].result(),
+            "ece": trainer.val_metrics[f"ece:val:{mode}"].result(),
+        }
+    return results
+
+
+def build_datasets(args):
+    ns = argparse.Namespace(
+        dataset=args.dataset, data_dir=args.data_dir, seed=args.seed,
+        workers=args.workers,
+    )
+    import train as train_cli
+
+    return train_cli.build_datasets(ns)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="reference-vs-TPU parity run")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_dir", default="./")
+    p.add_argument("--arch", default="resnet18")
+    p.add_argument("--ref_arch", default=None,
+                   help="reference zoo name if it differs (default: --arch)")
+    p.add_argument("--feat_dim", type=int, default=512)
+    p.add_argument("--proj_dim", type=int, default=0)
+    p.add_argument("--kernel_type", default="euclidean")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--milestones", nargs="+", type=int, default=(500, 750))
+    p.add_argument("--n_way", type=int, default=10)
+    p.add_argument("--n_shot", type=int, default=1)
+    p.add_argument("--modes", nargs="+", default=["random", "full", "cluster"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--stacks", default="both", choices=["both", "reference", "tpu"])
+    p.add_argument("--out", default=None, help="write results JSON here")
+    p.add_argument("--update_baseline", action="store_true",
+                   help="append the results table to BASELINE.md")
+    args = p.parse_args(argv)
+
+    train_ds, val_ds = build_datasets(args)
+    report = {
+        "protocol": vars(args).copy(),
+        "date": datetime.date.today().isoformat(),
+    }
+    if args.stacks in ("both", "reference"):
+        print("== reference (torch) stack ==", flush=True)
+        report["reference"] = run_reference(train_ds, val_ds, args)
+        print(json.dumps(report["reference"], indent=2), flush=True)
+    if args.stacks in ("both", "tpu"):
+        print("== nwhead_tpu stack ==", flush=True)
+        report["tpu"] = run_tpu_stack(train_ds, val_ds, args)
+        print(json.dumps(report["tpu"], indent=2), flush=True)
+    if "reference" in report and "tpu" in report:
+        report["delta"] = {
+            mode: {
+                k: report["tpu"][mode][k] - report["reference"][mode][k]
+                for k in ("acc", "nll", "ece")
+            }
+            for mode in args.modes
+        }
+        print("deltas (tpu - reference):", json.dumps(report["delta"], indent=2))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {args.out}")
+
+    if args.update_baseline and "delta" in report:
+        lines = [
+            "",
+            f"## Parity run {report['date']} — {args.dataset}, {args.arch}, "
+            f"{args.epochs} epochs",
+            "",
+            "| mode | ref acc | tpu acc | ref nll | tpu nll | ref ece | tpu ece |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for mode in args.modes:
+            r, t = report["reference"][mode], report["tpu"][mode]
+            lines.append(
+                f"| {mode} | {r['acc']:.2f} | {t['acc']:.2f} | {r['nll']:.4f} "
+                f"| {t['nll']:.4f} | {r['ece']:.3f} | {t['ece']:.3f} |"
+            )
+        with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print("appended results to BASELINE.md")
+    return report
+
+
+if __name__ == "__main__":
+    main()

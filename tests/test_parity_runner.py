@@ -1,0 +1,44 @@
+"""End-to-end exercise of scripts/parity_run.py (the packaged BASELINE.md
+parity protocol): both stacks train on the same fixture data with the same
+recipe, metrics and deltas are produced, and the JSON report is written.
+The moment real CUB-200 is on disk, the identical command path produces the
+BASELINE.md numbers."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_parity_runner_fixture_scale(tmp_path):
+    pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import parity_run
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / "parity.json"
+    report = parity_run.main([
+        "--dataset", "synthetic",
+        "--arch", "resnet10", "--ref_arch", "resnet10",
+        "--feat_dim", "512",
+        "--epochs", "2", "--steps_per_epoch", "3",
+        "--batch_size", "3", "--n_way", "3", "--n_shot", "2",
+        "--lr", "0.01", "--milestones", "100",
+        "--modes", "random", "full",
+        "--out", str(out),
+    ])
+
+    assert set(report) >= {"reference", "tpu", "delta", "protocol"}
+    for stack in ("reference", "tpu"):
+        for mode in ("random", "full"):
+            m = report[stack][mode]
+            assert np.isfinite([m["acc"], m["nll"], m["ece"]]).all(), (stack, mode, m)
+            assert 0.0 <= m["acc"] <= 100.0
+    # Deltas computed for every mode/metric.
+    assert set(report["delta"]) == {"random", "full"}
+    saved = json.loads(out.read_text())
+    assert saved["tpu"]["full"]["acc"] == report["tpu"]["full"]["acc"]
