@@ -193,6 +193,12 @@ class ResNet(nn.Module):
     # init time (NWNet.init / trainers) — the reference's pretrained=True
     # path (``model/resnet.py:259-267``) without network egress.
     pretrained_path: Any = None
+    # 'conv7' (torch-identical 7x7/s2 stem) or 's2d': MLPerf-style
+    # space-to-depth stem — inputs reshaped (H,W,3)->(H/2,W/2,12) and the
+    # stem becomes a 4x4/s1 conv. An EXACT reparameterization of conv7
+    # (see s2d_stem_kernel); 12 input channels instead of 3 keep the MXU
+    # K-dimension busy, the known TPU ResNet stem optimization.
+    stem: str = "conv7"
 
     @property
     def feat_dim(self) -> int:
@@ -202,16 +208,33 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            kernel_init=kaiming_normal_out,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.stem == "s2d":
+            B, H, W, C = x.shape
+            assert H % 2 == 0 and W % 2 == 0, "s2d stem needs even H, W"
+            # (H, W, C) -> (H/2, W/2, 4C), channel index (dy, dx, c).
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+            x = nn.Conv(
+                64,
+                (4, 4),
+                strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=False,
+                kernel_init=kaiming_normal_out,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
         x = _bn(train, name="bn1", dtype=self.dtype, axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -285,6 +308,40 @@ class CIFAR_ResNet(nn.Module):
 
         x = nn.avg_pool(x.astype(jnp.float32), (4, 4), strides=(4, 4))
         return x.reshape(x.shape[0], -1)
+
+
+def s2d_stem_kernel(w7):
+    """Transform a (7, 7, C, O) stride-2 stem kernel into the equivalent
+    (4, 4, 4C, O) kernel for the space-to-depth stem.
+
+    Derivation: conv7/s2/pad3 computes
+        out[i, j, o] = sum_{u,v,c} W[u, v, c, o] * x[2i+u-3, 2j+v-3, c].
+    With x2[p, q, (dy, dx, c)] = x[2p+dy, 2q+dx, c] and u = 2a+dy+3
+    (a in [-2, 1], dy in {0, 1}),
+        out[i, j, o] = sum_{a,b,dy,dx,c} W'[a+2, b+2, (dy,dx,c), o]
+                       * x2[i+a, j+b, (dy,dx,c)]
+    i.e. a 4x4 stride-1 conv with padding (2, 1); entries with
+    2a+dy+3 outside [0, 6] are zero (only a=-2, dy=0).
+    """
+    import numpy as _np
+
+    w7 = _np.asarray(w7)
+    C, O = w7.shape[2], w7.shape[3]
+    w4 = _np.zeros((4, 4, 4 * C, O), w7.dtype)
+    for a in range(-2, 2):
+        for dy in range(2):
+            u = 2 * a + dy + 3
+            if not (0 <= u <= 6):
+                continue
+            for b in range(-2, 2):
+                for dx in range(2):
+                    v = 2 * b + dx + 3
+                    if not (0 <= v <= 6):
+                        continue
+                    # channel index (dy, dx, c) = (dy*2 + dx)*C + c
+                    ch = (dy * 2 + dx) * C
+                    w4[a + 2, b + 2, ch:ch + C, :] = w7[u, v, :, :]
+    return w4
 
 
 # ---------------------------------------------------------------------------

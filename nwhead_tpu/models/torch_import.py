@@ -241,7 +241,19 @@ def load_pretrained(variables: Dict[str, Any], state_dict: Mapping[str, Any], ar
                     out[k] = merge(v, conv_tree[k])
                 else:
                     cv = conv_tree[k]
-                    assert cv.shape == v.shape, (k, cv.shape, v.shape)
+                    if (
+                        cv.shape != np.shape(v)
+                        and getattr(cv, "ndim", 0) == 4
+                        and cv.shape[:2] == (7, 7)
+                        and np.shape(v)[:2] == (4, 4)
+                        and np.shape(v)[2] == 4 * cv.shape[2]
+                    ):
+                        # conv7 stem checkpoint into an s2d-stem model:
+                        # exact reparameterization (resnet.s2d_stem_kernel).
+                        from nwhead_tpu.models.resnet import s2d_stem_kernel
+
+                        cv = s2d_stem_kernel(cv)
+                    assert cv.shape == np.shape(v), (k, cv.shape, np.shape(v))
                     out[k] = cv.astype(np.asarray(v).dtype)
             else:
                 out[k] = v

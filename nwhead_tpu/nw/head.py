@@ -83,6 +83,19 @@ class NWHead(nn.Module):
             support_mask=support_mask,
         )
 
+    def from_prepared(self, qfeat, prepared):
+        """Serving fast path: fused head over a ``prepare_support`` bank
+        (zero per-call bank preparation). Inference-only."""
+        from nwhead_tpu.ops.pallas_nw import nw_fused_from_prepared
+
+        return nw_fused_from_prepared(
+            qfeat,
+            prepared,
+            self.n_classes,
+            kernel=self.kernel_type,
+            kernel_params=self._kernel_params(),
+        )
+
     def probs_and_weights(self, qfeat, sfeat, sy, support_mask=None):
         """(probs, softmax weights) for influence computation."""
         kparams = self._kernel_params()

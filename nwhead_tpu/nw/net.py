@@ -88,6 +88,9 @@ class NWModel(nn.Module):
     def predict_from_feats(self, qfeat, sfeat, sy, support_mask=None):
         return self.head(qfeat, sfeat, sy, support_mask)
 
+    def predict_from_prepared(self, qfeat, prepared):
+        return self.head.from_prepared(qfeat, prepared)
+
     def head_probs_and_weights(self, qfeat, sfeat, sy, support_mask=None):
         return self.head.probs_and_weights(qfeat, sfeat, sy, support_mask)
 
@@ -203,6 +206,12 @@ class NWNet:
         # banks (prob-space env averaging, ``nw.py:143-154``) — no per-env
         # recompiles, no per-call host->device bank uploads.
         self._ensemble_from_feats = jax.jit(self._ensemble_from_feats_impl)
+        self._prepared_full = None  # set by precompute() for large banks
+        self._head_from_prepared = jax.jit(
+            lambda variables, qf, prep: self.model.apply(
+                variables, qf, prep, method=NWModel.predict_from_prepared
+            )
+        )
 
     # -- initialization ------------------------------------------------------
 
@@ -229,6 +238,7 @@ class NWNet:
         self.support_eval = SupportSetEval(
             np.asarray(support_dataset.targets), self.n_classes, **kwargs
         )
+        self._prepared_full = None  # stale until the next precompute()
 
     def forward(
         self,
@@ -287,6 +297,25 @@ class NWNet:
         self.support_eval.build_infer_iters(
             full_feat, full_y, full_meta, feats_env, y_env, meta_env
         )
+        # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
+        # predict streams exactly the bank bytes (the raw path re-pads per
+        # call).
+        self._prepared_full = None
+        if (
+            self.model.use_fused
+            and len(full_y) >= self.model.fused_min_support
+            and self.kernel_type in (
+                "euclidean", "hypersphere_euclidean", "cosine",
+                "dotproduct", "clip",
+            )
+        ):
+            from nwhead_tpu.ops.pallas_nw import prepare_support
+
+            self._prepared_full = prepare_support(
+                self.full_feat, self.full_y, self.n_classes,
+                kernel=self.kernel_type,
+                precision=self.model.head_precision,
+            )
         if self.mesh is not None:
             from nwhead_tpu.parallel import ShardedSupportBank
 
@@ -337,6 +366,13 @@ class NWNet:
 
         if mode == "full" and self.sharded_bank is not None:
             output = self._sharded_predict(qfeat)
+            if self.return_mask:
+                return output, np.full((len(x),), True)
+            return output
+
+        if mode == "full" and self._prepared_full is not None:
+            # Serving fast path: stream the prepared bank, nothing else.
+            output = self._head_from_prepared(variables, qfeat, self._prepared_full)
             if self.return_mask:
                 return output, np.full((len(x),), True)
             return output

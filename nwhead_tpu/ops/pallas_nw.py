@@ -6,10 +6,23 @@ softmax chain (``torch.cdist -> F.softmax -> torch.bmm``, ``nw.py:283-287``)
 and its legacy streaming variant (``legacy/model/net.py:53-72``): a
 flash-attention-style kernel that tiles the support axis, keeps running
 (max m, normalizer l, weighted label-sum acc) in VMEM, and never writes the
-``(B, S)`` score matrix to HBM. The value matrix of classic flash attention
-is replaced by the support-label one-hot, which is built on the fly inside
-the kernel from int32 labels — so HBM traffic per support tile is just the
-``(TS, D)`` features + ``TS`` labels.
+``(B, S)`` score matrix to HBM.
+
+Label layout (round-2 redesign): support labels ride as two TINY compact
+arrays instead of a (S, 128) broadcast —
+  * lane-major   ``(n_tiles, block_s/128, 128)``: masks score columns,
+  * sublane-major ``(n_tiles, 128, block_s/128)``: builds the per-tile
+    one-hot in VMEM without any cross-lane relayout (Mosaic can't transpose
+    (1,N)->(N,1) cheaply).
+Label HBM traffic is ~S*8 bytes total (vs S*256 in round 1), and the -1
+sentinel doubles as the validity mask.
+
+Serving fast path: ``prepare_support`` pads + normalizes the bank, packs
+labels, and precomputes the bank self-norms ONCE; per-predict cost is then
+exactly one streamed pass over the bank (the round-1 wrapper re-padded and
+re-broadcast ~2x the bank bytes per call before the kernel even started).
+The prepared path is inference-only; the differentiable path (custom VJP,
+training) recomputes norms in-kernel from the raw features.
 
 Kernel variants (resolved in the wrapper, so the kernel body has only two
 static modes):
@@ -26,12 +39,17 @@ backward is two more Pallas kernels (dq and ds) that recompute tile scores
 from the saved softmax statistics (m, l) — one flash-style pass each.
 Shapes are padded to the tile sizes internally; padding is masked to
 score = -inf, exactly equivalent to a smaller support.
+
+Measured on TPU v5e (B=64, S=5994, D=512, C=200; STREAM-calibrated HBM
+bandwidth ~690 GB/s): the remaining gap to the pure-DMA floor is per-tile
+MXU pass latency (both matmuls are batch-independent below M=128) plus the
+online-softmax VPU chain — see scripts/kernel_lab.py for the decomposition.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +60,8 @@ from nwhead_tpu.ops.nw import LOG_FLOOR
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 DEFAULT_BLOCK_S = 2048
+_SINGLE_TILE_BUDGET = 14_000_000  # bytes of (bank tile + one-hot scratch)
+_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128 MiB VMEM; default limit is lower
 
 
 def _round_up(x: int, m: int) -> int:
@@ -49,13 +69,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
-    """Pick the support tile size: the whole (padded) bank as ONE tile when
-    it fits a conservative VMEM budget (no pipelining overhead — measured
-    fastest), else the empirically best multi-tile size (2048)."""
+    """Whole (padded) bank as ONE tile when bank + one-hot scratch fit a
+    conservative VMEM budget (no pipelining overhead — measured fastest),
+    else the empirically best multi-tile size (2048)."""
     s_pad = _round_up(S, 128)
-    label_itemsize = 2 if c_pad <= 256 else 4
-    row_bytes = D * itemsize + 128 * label_itemsize
-    if s_pad * row_bytes <= 9_500_000:
+    if s_pad * (D * itemsize + c_pad * 4) <= _SINGLE_TILE_BUDGET:
         return s_pad
     return DEFAULT_BLOCK_S
 
@@ -65,27 +83,97 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(norm, eps)
 
 
+def _pack_labels(
+    sy: jnp.ndarray, mask: jnp.ndarray, s_pad: int, block_s: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Labels (+ -1 for masked/padding) -> compact lane-major
+    (n_tiles, nchunk, 128) and sublane-major (n_tiles, 128, nchunk) f32."""
+    S = sy.shape[0]
+    nchunk = block_s // 128
+    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S), constant_values=-1)
+    mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
+    sy_p = jnp.where(mask_p > 0, sy_p, -1).astype(jnp.float32)
+    lane = sy_p.reshape(s_pad // block_s, nchunk, 128)
+    sub = jnp.transpose(lane, (0, 2, 1))
+    return lane, sub
+
+
+class PreparedSupport(NamedTuple):
+    """A support bank prepared once for repeated fused inference: padded
+    (and kernel-normalized) features, precomputed self-norms, compact
+    labels. Build with ``prepare_support``; statics (tile size, mode) are
+    re-derived from shapes + the kernel name at call time."""
+
+    s: jnp.ndarray  # (S_pad, D_pad) f32/bf16, normalized per kernel type
+    s2c: Optional[jnp.ndarray]  # (n_tiles, nchunk, 128) f32, l2 modes only
+    lane: jnp.ndarray  # (n_tiles, nchunk, 128) f32 labels, -1 = invalid
+    sub: jnp.ndarray  # (n_tiles, 128, nchunk) f32
+
+
+def prepare_support(
+    sfeat: jnp.ndarray,
+    sy: jnp.ndarray,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    support_mask: Optional[jnp.ndarray] = None,
+    precision: str = "f32",
+    block_s: Optional[int] = None,
+) -> PreparedSupport:
+    """Pad + normalize + pack a support bank for the fused serving path."""
+    if support_mask is None:
+        support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
+    if precision == "bf16":
+        sfeat = sfeat.astype(jnp.bfloat16)
+    mode, _, _, sn = _resolve_mode(kernel, {"logit_scale": jnp.float32(0.0)},
+                                   sfeat[:1], sfeat)
+    S, D = sn.shape
+    c_pad = _round_up(n_classes, 128)
+    if block_s is None:
+        block_s = _auto_block_s(S, D, sn.dtype.itemsize, c_pad)
+    block_s = min(block_s, _round_up(S, 128))
+    s_pad = _round_up(S, block_s)
+    d_pad = _round_up(D, 128)
+    s_p = jnp.pad(sn, ((0, s_pad - S), (0, d_pad - D)))
+    nchunk = block_s // 128
+    s2c = None
+    if mode == "l2":
+        s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
+        s2c = s2.reshape(s_pad // block_s, nchunk, 128)
+    lane, sub = _pack_labels(jnp.asarray(sy), support_mask, s_pad, block_s)
+    return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 def _nw_fwd_kernel(
     scale_ref,  # (1, 1) SMEM — similarity scale (clip) or 1.0
-    q_ref,      # (TB, D) VMEM
-    s_ref,      # (TS, D) VMEM
-    sy_ref,     # (TS, 128) int32 VMEM — labels with -1 = masked/padding
-    out_ref,    # (TB, C_pad) VMEM — final log-probs
-    mstat_ref,  # (TB, 128) VMEM out — softmax max (saved for backward)
-    lstat_ref,  # (TB, 128) VMEM out — softmax normalizer (saved for backward)
-    m_ref,      # (TB, 128) f32 scratch — running max
-    l_ref,      # (TB, 128) f32 scratch — running normalizer
-    acc_ref,    # (TB, C_pad) f32 scratch — running weighted label sum
-    *,
+    *refs,
     mode: str,
+    s2_input: bool,
     n_s_tiles: int,
     c_pad: int,
+    nchunk: int,
     partials: bool = False,
 ):
+    i = 0
+    q_ref = refs[i]; i += 1       # (TB, D) VMEM
+    s_ref = refs[i]; i += 1       # (TS, D) VMEM
+    s2_ref = None
+    if s2_input:
+        s2_ref = refs[i]; i += 1  # (1, nchunk, 128) f32
+    lane_ref = refs[i]; i += 1    # (1, nchunk, 128) f32 labels
+    sub_ref = refs[i]; i += 1     # (1, 128, nchunk) f32 labels
+    out_ref = refs[i]; i += 1     # (TB, C_pad) out
+    mstat_ref = refs[i]; i += 1   # (TB, 128) out
+    lstat_ref = refs[i]; i += 1   # (TB, 128) out
+    m_ref = refs[i]; i += 1       # (TB, 128) scratch
+    l_ref = refs[i]; i += 1       # (TB, 128) scratch
+    acc_ref = refs[i]; i += 1     # (TB, C_pad) scratch
+    oh_ref = refs[i]; i += 1      # (TS, C_pad) scratch
+
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -97,31 +185,35 @@ def _nw_fwd_kernel(
     # Inputs may be f32 (exact) or bf16 (bandwidth-optimized bank): the MXU
     # dot runs at the input precision with f32 accumulation; norms and all
     # softmax statistics are always f32.
-    q = q_ref[:]  # (TB, D)
-    s = s_ref[:]  # (TS, D)
-
+    q = q_ref[:]
+    s = s_ref[:]
     dot = jax.lax.dot_general(
         q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TB, TS) f32
 
     if mode == "l2":
         qf = q.astype(jnp.float32)
-        sf = s.astype(jnp.float32)
         q2 = jnp.sum(qf * qf, axis=1, keepdims=True)  # (TB, 1)
-        s2 = jnp.sum(sf * sf, axis=1, keepdims=True)  # (TS, 1)
-        d2 = jnp.maximum(q2 - 2.0 * dot + s2.T, 0.0)
+        if s2_input:
+            # Precomputed bank self-norms: assemble the (1, TS) row from
+            # tiny static lane-major slices (zero relayout).
+            s2row = jnp.concatenate(
+                [s2_ref[0, t:t + 1, :] for t in range(nchunk)], axis=1
+            )
+        else:
+            sf = s.astype(jnp.float32)
+            s2row = jnp.sum(sf * sf, axis=1, keepdims=True).T  # (1, TS)
+        d2 = jnp.maximum(q2 - 2.0 * dot + s2row, 0.0)
         score = -jnp.sqrt(d2)
     else:  # 'dot'
         score = dot * scale_ref[0, 0]
 
     # Masked/padding positions carry label -1: they get score -inf AND match
-    # no one-hot column, so a single aux array serves both purposes. Labels
-    # ride as bf16 when n_classes <= 256 (exact small integers, half the
-    # bytes) and int32 otherwise.
-    # Upcast to f32 in-VMEM: Mosaic lacks packed-bf16 vector compares.
-    labels = sy_ref[:, :1].astype(jnp.float32)  # (TS, 1)
-    valid = labels.T >= 0.0  # (1, TS)
-    score = jnp.where(valid, score, _NEG_INF)
+    # no one-hot column — one tiny aux array serves both purposes.
+    valid_row = jnp.concatenate(
+        [lane_ref[0, t:t + 1, :] for t in range(nchunk)], axis=1
+    ) >= 0.0  # (1, TS)
+    score = jnp.where(valid_row, score, _NEG_INF)
 
     m_prev = m_ref[:, :1]  # (TB, 1)
     l_prev = l_ref[:, :1]
@@ -135,14 +227,18 @@ def _nw_fwd_kernel(
 
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    # One-hot of the support labels, built in-VMEM (TS, C_pad).
-    col_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (labels.shape[0], c_pad), 1
-    ).astype(jnp.float32)
-    onehot = (labels == col_ids).astype(jnp.float32)  # exact: ints <= 256
+    # One-hot built per 128-row chunk from the sublane-major labels
+    # ((128, 1) == iota (128, C_pad) compares — no relayouts).
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, c_pad), 1).astype(
+        jnp.float32
+    )
+    for t in range(nchunk):
+        col = sub_ref[0, :, t:t + 1]  # (128, 1) f32
+        oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(jnp.float32)
 
     pv = jax.lax.dot_general(
-        p, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, oh_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (TB, C_pad)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
@@ -163,6 +259,95 @@ def _nw_fwd_kernel(
         lstat_ref[:] = l_ref[:]
 
 
+def _fwd_call(
+    q: jnp.ndarray,       # (B, D0) raw queries (normalized already)
+    s_p: jnp.ndarray,     # (S_pad, D_pad) prepared bank
+    s2c: Optional[jnp.ndarray],
+    lane: jnp.ndarray,
+    sub: jnp.ndarray,
+    scale: jnp.ndarray,
+    *,
+    mode: str,
+    n_classes: int,
+    block_b: int,
+    interpret: bool,
+    partials: bool = False,
+):
+    B, D0 = q.shape
+    s_pad, D = s_p.shape
+    n_s = lane.shape[0]
+    nchunk = lane.shape[1]
+    block_s = nchunk * 128
+    c_pad = _round_up(n_classes, 128)
+    b_pad = _round_up(B, block_b)
+
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
+    if q_p.dtype != s_p.dtype:  # bf16 bank -> bf16 queries (one-pass MXU)
+        q_p = q_p.astype(s_p.dtype)
+
+    n_b = b_pad // block_b
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+        pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
+    ]
+    inputs = [scale.reshape(1, 1), q_p, s_p]
+    if s2c is not None:
+        in_specs.append(pl.BlockSpec((1, nchunk, 128), lambda i, j: (j, 0, 0)))
+        inputs.append(s2c)
+    in_specs += [
+        pl.BlockSpec((1, nchunk, 128), lambda i, j: (j, 0, 0)),
+        pl.BlockSpec((1, 128, nchunk), lambda i, j: (j, 0, 0)),
+    ]
+    inputs += [lane, sub]
+
+    kernel = functools.partial(
+        _nw_fwd_kernel,
+        mode=mode,
+        s2_input=s2c is not None,
+        n_s_tiles=n_s,
+        c_pad=c_pad,
+        nchunk=nchunk,
+        partials=partials,
+    )
+    flops = 2 * b_pad * s_pad * D + 2 * b_pad * s_pad * c_pad
+    out, m_stat, l_stat = pl.pallas_call(
+        kernel,
+        grid=(n_b, n_s),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, c_pad), jnp.float32),
+            pltpu.VMEM((block_s, c_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(b_pad * D + s_pad * D) * s_p.dtype.itemsize,
+            transcendentals=b_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if partials:
+        return out[:B, :n_classes], m_stat[:B, :1], l_stat[:B, :1]
+    return out[:B, :n_classes], m_stat[:, :1], l_stat[:, :1]
+
+
 def _fwd_pallas(
     q: jnp.ndarray,
     s: jnp.ndarray,
@@ -176,79 +361,52 @@ def _fwd_pallas(
     block_s: int,
     interpret: bool,
     partials: bool = False,
-) -> jnp.ndarray:
-    B, D = q.shape
+):
+    """Raw-array path (training / one-off calls): pads + packs per call,
+    bank self-norms computed in-kernel (differentiable end to end)."""
+    B, D0 = q.shape
     S = s.shape[0]
-    c_pad = _round_up(n_classes, 128)
-    b_pad = _round_up(B, block_b)
     s_pad = _round_up(S, block_s)
-    # Zero-pad the feature dim to the lane width: zero columns change
-    # neither dots nor norms, so every kernel variant is unaffected.
-    d_pad = _round_up(D, 128)
-
-    q_p = jnp.pad(q, ((0, b_pad - B), (0, d_pad - D)))
-    s_p = jnp.pad(s, ((0, s_pad - S), (0, d_pad - D)))
-    if q_p.dtype != s_p.dtype:  # bf16 bank with f32 queries -> bf16 dot
-        q_p = q_p.astype(s_p.dtype)
-    D = d_pad
-    # Labels with -1 sentinel where masked (padding included). bf16 holds
-    # integers exactly up to 256 — half the label traffic for C <= 256.
-    label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
-    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S), constant_values=-1)
-    mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
-    sy_p = jnp.where(mask_p > 0, sy_p, -1).astype(label_dtype)
-    sy_b = jnp.broadcast_to(sy_p[:, None], (s_pad, 128))
-
-    n_b = b_pad // block_b
-    n_s = s_pad // block_s
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_b, n_s),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_b, 128), jnp.float32),
-            pltpu.VMEM((block_b, 128), jnp.float32),
-            pltpu.VMEM((block_b, c_pad), jnp.float32),
-        ],
+    d_pad = _round_up(D0, 128)
+    s_p = jnp.pad(s, ((0, s_pad - S), (0, d_pad - D0)))
+    lane, sub = _pack_labels(sy, mask, s_pad, block_s)
+    return _fwd_call(
+        q, s_p, None, lane, sub, scale,
+        mode=mode, n_classes=n_classes, block_b=block_b,
+        interpret=interpret, partials=partials,
     )
 
-    kernel = functools.partial(
-        _nw_fwd_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad, partials=partials
+
+def nw_fused_from_prepared(
+    qfeat: jnp.ndarray,
+    prepared: PreparedSupport,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+    block_b: Optional[int] = None,
+    interpret: Optional[bool] = None,
+    partials: bool = False,
+):
+    """Serving fast path: fused NW log-probs over a ``prepare_support``
+    bank. Per-call HBM traffic is one streamed pass over the bank (plus the
+    tiny label/norm arrays). Inference-only (no VJP — use the raw-array
+    ``nw_fused_log_probs`` for training)."""
+    kernel_params = kernel_params or {}
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if block_b is None:
+        block_b = min(128, _round_up(qfeat.shape[0], 8))
+    mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
+    out = _fwd_call(
+        qn, prepared.s, prepared.s2c, prepared.lane, prepared.sub, scale,
+        mode=mode, n_classes=n_classes, block_b=block_b,
+        interpret=interpret, partials=partials,
     )
-    flops = 2 * b_pad * s_pad * D + 2 * b_pad * s_pad * c_pad
-    out, m_stat, l_stat = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 128), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(b_pad * D + s_pad * D) * q_p.dtype.itemsize
-            + s_pad * 128 * 4,
-            transcendentals=b_pad * s_pad,
-        ),
-        interpret=interpret,
-    )(scale.reshape(1, 1), q_p, s_p, sy_b)
     if partials:
-        return out[:B, :n_classes], m_stat[:B, :1], l_stat[:B, :1]
-    return out[:B, :n_classes], m_stat[:, :1], l_stat[:, :1]
+        acc, m, l = out
+        return m, l, acc
+    return out[0]
 
 
 def nw_fused_partials(
@@ -298,7 +456,7 @@ def nw_fused_partials(
 # Backward kernels (flash-style: recompute tile scores from saved (m, l))
 # ---------------------------------------------------------------------------
 
-def _bwd_tile_dscore(scale, q, s, labels_f, u, r, m, l, *, mode, c_pad):
+def _bwd_tile_dscore(scale, q, s, valid_row, oh, u, r, m, l, *, mode):
     """Shared per-tile recompute: returns (dscore (TB, TS), aux) where aux is
     the l2 distance (for the chain rule) or the raw dot (for dscale)."""
     dot = jax.lax.dot_general(
@@ -317,8 +475,7 @@ def _bwd_tile_dscore(scale, q, s, labels_f, u, r, m, l, *, mode, c_pad):
         score = dot * scale
         aux = dot
 
-    valid = labels_f.T >= 0.0  # (1, TS)
-    score = jnp.where(valid, score, _NEG_INF)
+    score = jnp.where(valid_row, score, _NEG_INF)
 
     m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)  # (TB, 1)
     w = jnp.where(
@@ -326,22 +483,33 @@ def _bwd_tile_dscore(scale, q, s, labels_f, u, r, m, l, *, mode, c_pad):
     ) / jnp.maximum(l, 1e-30)  # (TB, TS)
 
     # u_{i, y_j}: gather via one-hot matmul on the MXU.
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (labels_f.shape[0], c_pad), 1).astype(
-        jnp.float32
-    )
-    onehot = (labels_f == col_ids).astype(jnp.float32)  # (TS, C_pad)
     uy = jax.lax.dot_general(
-        u, onehot, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        u, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (TB, TS)
 
     dscore = w * (uy - r)  # (TB, TS)
     return dscore, aux
 
 
+def _build_onehot(sub_ref, oh_ref, nchunk: int, c_pad: int) -> None:
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, c_pad), 1).astype(
+        jnp.float32
+    )
+    for t in range(nchunk):
+        col = sub_ref[0, :, t:t + 1]
+        oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(jnp.float32)
+
+
+def _valid_row(lane_ref, nchunk: int):
+    return jnp.concatenate(
+        [lane_ref[0, t:t + 1, :] for t in range(nchunk)], axis=1
+    ) >= 0.0
+
+
 def _nw_bwd_dq_kernel(
-    scale_ref, q_ref, s_ref, sy_ref, u_ref, r_ref, m_ref, l_ref,
-    dq_ref, acc_ref,
-    *, mode: str, n_s_tiles: int, c_pad: int,
+    scale_ref, q_ref, s_ref, lane_ref, sub_ref, u_ref, r_ref, m_ref, l_ref,
+    dq_ref, acc_ref, oh_ref,
+    *, mode: str, n_s_tiles: int, c_pad: int, nchunk: int,
 ):
     j = pl.program_id(1)
 
@@ -349,11 +517,11 @@ def _nw_bwd_dq_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    labels_f = sy_ref[:, :1].astype(jnp.float32)
+    _build_onehot(sub_ref, oh_ref, nchunk, c_pad)
     dscore, aux = _bwd_tile_dscore(
-        scale_ref[0, 0], q_ref[:], s_ref[:], labels_f,
-        u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
-        mode=mode, c_pad=c_pad,
+        scale_ref[0, 0], q_ref[:], s_ref[:], _valid_row(lane_ref, nchunk),
+        oh_ref[:], u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
+        mode=mode,
     )
     if mode == "l2":
         # dq_i += sum_j (dscore/d) * (s_j - q_i)
@@ -378,9 +546,9 @@ def _nw_bwd_dq_kernel(
 
 
 def _nw_bwd_ds_kernel(
-    scale_ref, q_ref, s_ref, sy_ref, u_ref, r_ref, m_ref, l_ref,
-    ds_ref, acc_ref,
-    *, mode: str, n_b_tiles: int, c_pad: int,
+    scale_ref, q_ref, s_ref, lane_ref, sub_ref, u_ref, r_ref, m_ref, l_ref,
+    ds_ref, acc_ref, oh_ref,
+    *, mode: str, n_b_tiles: int, c_pad: int, nchunk: int,
 ):
     i = pl.program_id(1)  # batch tiles innermost
 
@@ -388,11 +556,11 @@ def _nw_bwd_ds_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    labels_f = sy_ref[:, :1].astype(jnp.float32)
+    _build_onehot(sub_ref, oh_ref, nchunk, c_pad)
     dscore, aux = _bwd_tile_dscore(
-        scale_ref[0, 0], q_ref[:], s_ref[:], labels_f,
-        u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
-        mode=mode, c_pad=c_pad,
+        scale_ref[0, 0], q_ref[:], s_ref[:], _valid_row(lane_ref, nchunk),
+        oh_ref[:], u_ref[:], r_ref[:, :1], m_ref[:, :1], l_ref[:, :1],
+        mode=mode,
     )
     if mode == "l2":
         # ds_j += sum_i (dscore/d) * (q_i - s_j)
@@ -430,16 +598,13 @@ def _bwd_pallas(
     b_pad = _round_up(B, block_b)
     s_pad = _round_up(S, block_s)
     D = _round_up(D0, 128)  # zero feature-padding (gradients of zeros = 0)
+    nchunk = block_s // 128
 
     q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
     s_p = jnp.pad(s, ((0, s_pad - S), (0, D - D0)))
     if q_p.dtype != s_p.dtype:
         q_p = q_p.astype(s_p.dtype)
-    label_dtype = jnp.bfloat16 if c_pad <= 256 else jnp.int32
-    sy_p = jnp.pad(sy.astype(jnp.int32), (0, s_pad - S), constant_values=-1)
-    mask_p = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
-    sy_p = jnp.where(mask_p > 0, sy_p, -1).astype(label_dtype)
-    sy_b = jnp.broadcast_to(sy_p[:, None], (s_pad, 128))
+    lane, sub = _pack_labels(sy, mask, s_pad, block_s)
 
     u_p = jnp.pad(u.astype(jnp.float32), ((0, b_pad - B), (0, c_pad - u.shape[1])))
     r_p = jnp.broadcast_to(
@@ -451,58 +616,66 @@ def _bwd_pallas(
     n_b = b_pad // block_b
     n_s = s_pad // block_s
     scale2d = scale.reshape(1, 1)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
 
     # dq: grid (B tiles, S tiles), S innermost (accumulate over S).
     dq = pl.pallas_call(
-        functools.partial(_nw_bwd_dq_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(n_b, n_s),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
-                pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
-                pl.BlockSpec((block_s, 128), lambda i, j: (j, 0)),
-                pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((block_b, D), jnp.float32)],
+        functools.partial(
+            _nw_bwd_dq_kernel, mode=mode, n_s_tiles=n_s, c_pad=c_pad,
+            nchunk=nchunk,
         ),
+        grid=(n_b, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_s, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, nchunk, 128), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 128, nchunk), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((block_b, c_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, D), lambda i, j: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, D), jnp.float32),
+            pltpu.VMEM((block_s, c_pad), jnp.float32),
+        ],
         out_shape=jax.ShapeDtypeStruct((b_pad, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=cparams,
         interpret=interpret,
-    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:B, :D0]
+    )(scale2d, q_p, s_p, lane, sub, u_p, r_p, m_p, l_p)[:B, :D0]
 
     # ds: grid (S tiles, B tiles), B innermost (accumulate over B).
     ds = pl.pallas_call(
-        functools.partial(_nw_bwd_ds_kernel, mode=mode, n_b_tiles=n_b, c_pad=c_pad),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(n_s, n_b),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((block_b, D), lambda j, i: (i, 0)),
-                pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
-                pl.BlockSpec((block_s, 128), lambda j, i: (j, 0)),
-                pl.BlockSpec((block_b, c_pad), lambda j, i: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
-                pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
-            scratch_shapes=[pltpu.VMEM((block_s, D), jnp.float32)],
+        functools.partial(
+            _nw_bwd_ds_kernel, mode=mode, n_b_tiles=n_b, c_pad=c_pad,
+            nchunk=nchunk,
         ),
+        grid=(n_s, n_b),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, D), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, nchunk, 128), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, 128, nchunk), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((block_b, c_pad), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_b, 128), lambda j, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_s, D), lambda j, i: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_s, D), jnp.float32),
+            pltpu.VMEM((block_s, c_pad), jnp.float32),
+        ],
         out_shape=jax.ShapeDtypeStruct((s_pad, D), s.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=cparams,
         interpret=interpret,
-    )(scale2d, q_p, s_p, sy_b, u_p, r_p, m_p, l_p)[:S, :D0]
+    )(scale2d, q_p, s_p, lane, sub, u_p, r_p, m_p, l_p)[:S, :D0]
 
     # dscale (clip): for 'dot' mode, score = scale * dot  =>
     # d/dscale = sum_ij dscore_ij dot_ij = <q, dq> / scale (since
@@ -589,9 +762,9 @@ def _resolve_mode(kernel: str, kernel_params: Dict[str, Any], q, s):
 
 def nw_fused_log_probs(
     qfeat: jnp.ndarray,
-    sfeat: jnp.ndarray,
-    sy: jnp.ndarray,
-    n_classes: int,
+    sfeat,
+    sy: Optional[jnp.ndarray] = None,
+    n_classes: Optional[int] = None,
     *,
     kernel: str = "euclidean",
     kernel_params: Optional[Dict[str, Any]] = None,
@@ -606,11 +779,20 @@ def nw_fused_log_probs(
     Same contract as ``nw_log_probs`` restricted to 2-D shared support.
     Differentiable wrt q, s, and clip's logit_scale.
 
+    ``sfeat`` may be a ``PreparedSupport`` (then ``sy`` is ignored) — the
+    inference-only serving path with zero per-call bank preparation.
+
     precision: 'f32' (exact, default) or 'bf16' (cast features to bf16 —
     half the HBM traffic and a single-pass MXU dot; log-prob error ~1e-2,
     fine for throughput-critical serving, not for calibration-sensitive
     eval).
     """
+    if isinstance(sfeat, PreparedSupport):
+        return nw_fused_from_prepared(
+            qfeat, sfeat, n_classes,
+            kernel=kernel, kernel_params=kernel_params,
+            block_b=block_b, interpret=interpret,
+        )
     kernel_params = kernel_params or {}
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
@@ -629,6 +811,7 @@ def nw_fused_log_probs(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
             _round_up(n_classes, 128),
         )
+    block_s = min(block_s, _round_up(sfeat.shape[0], 128))
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     return _nw_fused_core(
         qn,

@@ -250,3 +250,32 @@ def test_ensemble_predict_no_host_transfer(nw_setup):
     out1 = net.predict(variables, x, "ensemble")
     out2 = net.predict(variables, x, "ensemble")
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_full_mode_prepared_bank_parity():
+    """With a large-enough bank, full-mode predict routes through the
+    prepared serving bank (prepare once, stream per call) and must equal the
+    naive head exactly."""
+    from nwhead_tpu.ops.nw import nw_log_probs
+
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=5)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=4,
+        support_dataset=train_ds,
+        feat_dim=16,
+        n_shot=2,
+        n_shot_full=12,
+        fused_min_support=1,  # bank of 48 rows routes through the fused path
+        seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2))))
+    net.precompute(variables)
+    assert net._prepared_full is not None
+
+    x = jnp.asarray(train_ds.gather(np.arange(4)))
+    got = np.asarray(net.predict(variables, x, "full"))
+
+    qfeat = net._featurize_eval(variables, x)
+    want = np.asarray(nw_log_probs(qfeat, net.full_feat, net.full_y, 4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -143,3 +143,64 @@ def test_vit_registry():
     from nwhead_tpu.models import feature_dim
 
     assert feature_dim("dinov2_vits14") == 384  # train.py:212-214
+
+
+def test_s2d_stem_exact_reparameterization(rng):
+    """The space-to-depth stem (stem='s2d') with s2d_stem_kernel-transformed
+    weights must reproduce the conv7 stem bit-for-bit-ish at f32 — it is an
+    exact reparameterization of the 7x7/s2 convolution."""
+    import jax
+    import jax.numpy as jnp
+
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.resnet import s2d_stem_kernel
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+
+    m7 = load_model("resnet10")
+    v7 = m7.init(jax.random.PRNGKey(0), x, train=False)
+
+    ms = load_model("resnet10", stem="s2d")
+    vs = ms.init(jax.random.PRNGKey(0), x, train=False)
+
+    # Copy every parameter; transform only the stem kernel.
+    p = jax.tree_util.tree_map(lambda a: a, v7["params"])
+    p = dict(p)
+    p["conv1"] = {"kernel": jnp.asarray(s2d_stem_kernel(v7["params"]["conv1"]["kernel"]))}
+    vs = {"params": p, "batch_stats": v7["batch_stats"]}
+
+    out7 = np.asarray(m7.apply(v7, x, train=False))
+    outs = np.asarray(ms.apply(vs, x, train=False))
+    np.testing.assert_allclose(outs, out7, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_pretrained_import(tmp_path, rng):
+    """A conv7-stem torch checkpoint imports into an s2d-stem model: the
+    merge transforms conv1 (7,7,3,64) -> (4,4,12,64) and features match the
+    conv7 model loaded from the same checkpoint."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from model.resnet import resnet18 as ref_resnet18
+    finally:
+        sys.path.remove("/root/reference")
+
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.torch_import import load_pretrained
+
+    sd = ref_resnet18().state_dict()
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+
+    m7 = load_model("resnet18")
+    v7 = load_pretrained(m7.init(jax.random.PRNGKey(0), x, train=False), sd, "resnet18")
+    ms = load_model("resnet18", stem="s2d")
+    vs = load_pretrained(ms.init(jax.random.PRNGKey(1), x, train=False), sd, "resnet18")
+
+    out7 = np.asarray(m7.apply(v7, x, train=False))
+    outs = np.asarray(ms.apply(vs, x, train=False))
+    np.testing.assert_allclose(outs, out7, rtol=1e-4, atol=1e-5)

@@ -167,3 +167,84 @@ def test_fused_many_classes_int32_labels(rng):
     got = np.asarray(nw_fused_log_probs(q, s, sy, C, block_s=128))
     want = np.asarray(nw_log_probs(q, s, sy, C))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestPreparedSupport:
+    """The serving fast path (prepare once, stream per call) must equal the
+    raw-array fused path and the naive op exactly."""
+
+    @pytest.mark.parametrize("kernel", [
+        "euclidean", "hypersphere_euclidean", "cosine", "dotproduct", "clip",
+    ])
+    def test_prepared_matches_naive(self, rng, kernel):
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 6, 300, 40, 7
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        kparams = {"logit_scale": jnp.float32(1.3)} if kernel == "clip" else {}
+
+        prepared = prepare_support(s, sy, C, kernel=kernel)
+        got = np.asarray(nw_fused_log_probs(
+            q, prepared, None, C, kernel=kernel, kernel_params=kparams,
+        ))
+        want = np.asarray(nw_log_probs(q, s, sy, C, kernel=kernel,
+                                       kernel_params=kparams))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_prepared_with_mask(self, rng):
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 4, 200, 24, 5
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        mask = jnp.asarray((rng.random(S) > 0.3).astype(np.float32))
+
+        prepared = prepare_support(s, sy, C, support_mask=mask)
+        got = np.asarray(nw_fused_log_probs(q, prepared, None, C))
+        want = np.asarray(nw_log_probs(q, s, sy, C, support_mask=mask))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_prepared_partials_match_merge(self, rng):
+        """Prepared-path partials equal the raw-path partials (sharded
+        serving can pre-prepare per-shard banks)."""
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_from_prepared, nw_fused_partials, prepare_support,
+        )
+
+        B, S, D, C = 4, 260, 32, 6
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+
+        prepared = prepare_support(s, sy, C)
+        m1, l1, a1 = nw_fused_from_prepared(q, prepared, C, partials=True)
+        m2, l2, a2 = nw_fused_partials(q, s, sy, C)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-4, atol=1e-5)
+
+    def test_prepared_bf16(self, rng):
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 4, 300, 32, 5
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        prepared = prepare_support(s, sy, C, precision="bf16")
+        assert prepared.s.dtype == jnp.bfloat16
+        got = np.asarray(nw_fused_log_probs(q, prepared, None, C))
+        want = np.asarray(nw_log_probs(q, s, sy, C))
+        # bf16 bank: coarse agreement on log-probs.
+        np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05)
