@@ -4,10 +4,24 @@ Measures the headline number from BASELINE.md: full-mode prediction
 (ResNet-18 featurize + NW head over the S~=5,994 x 512 support bank,
 C=200 classes) on one TPU chip.
 
-Timing methodology: the axon TPU tunnel has ~30 ms round-trip latency and
-``block_until_ready`` does not wait for device completion, so every
-measurement (a) forces a scalar host readback and (b) uses the differential
-of two in-jit loop lengths to cancel fixed dispatch/readback overhead.
+Timing methodology (hardened in round 2):
+  * the axon TPU tunnel has ~30 ms round-trip latency and
+    ``block_until_ready`` does not wait for device completion, so every
+    measurement forces a scalar host readback and uses the differential of
+    two in-jit loop lengths to cancel fixed dispatch/readback overhead;
+  * the loop-carried dependency goes through ``lax.optimization_barrier`` —
+    a bare ``x + 0.0 * carry`` gets constant-folded by XLA, silently
+    hoisting the measured computation out of the loop (this corrupted some
+    round-1 numbers);
+  * loop deltas are large enough (>=30 ms of signal) that tunnel jitter is
+    second-order, and competing measurements are interleaved.
+
+Roofline: HBM bandwidth is calibrated IN-PROCESS with a streaming kernel
+(STREAM-style), because the achievable bandwidth on this chip is ~80-90% of
+the 819 GB/s v5e nominal and drifts run to run. ``head_hbm_roofline_frac``
+is (bank_bytes / measured_stream_BW) / t_head for the prepared serving path
+— the fraction of a *pure bank stream* the full fused head achieves;
+``head_roofline_frac_nominal`` uses the 819 GB/s plate number.
 
 ``vs_baseline`` is the end-to-end speedup of our fused Pallas head over the
 reference-style materialized chain (cdist -> softmax -> bmm, as plain XLA
@@ -18,6 +32,7 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "queries/sec/chip", "vs_baseline": N, ...}
 """
 
+import functools
 import json
 import time
 
@@ -27,41 +42,77 @@ import jax
 import jax.numpy as jnp
 
 
-def _loop_scalar(fn, n, init_args):
-    """Build a jitted fn running `fn` n times with a loop-carried dependency
-    (prevents hoisting) and a scalar output (forces full execution)."""
+def _loop(fn, n):
+    """Jitted n-iteration loop around fn(*args, carry) with an
+    optimization_barrier-protected loop dependency."""
 
     @jax.jit
     def run(*args):
         def body(i, acc):
-            out = fn(*args, carry=acc)
-            return acc + out
+            a = jax.lax.optimization_barrier((*args, acc))
+            return acc + fn(*a[:-1], a[-1])
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros(())).mean()
 
     return run
 
 
-def _differential_time(make_loop, n1, n2, args, repeats=5):
-    """Median of per-repeat differential estimates: cancels the ~30 ms
-    tunnel round-trip and dispatch overheads, and is robust to the
-    occasional jittered repeat (min-of-medians was not)."""
-    f1, f2 = make_loop(n1), make_loop(n2)
-    float(f1(*args))  # compile + warm
-    float(f2(*args))
-    diffs = []
-    for _ in range(repeats):
-        t = time.perf_counter()
+def _measure(cases, n1, n2, cycles=5):
+    """Interleaved differential timing: one (n1, n2) sample per case per
+    cycle, median over cycles. Returns {name: seconds_per_call}."""
+    fns = {}
+    for name, fn, args in cases:
+        f1, f2 = _loop(fn, n1), _loop(fn, n2)
         float(f1(*args))
-        t1 = time.perf_counter() - t
-        t = time.perf_counter()
         float(f2(*args))
-        t2 = time.perf_counter() - t
-        diffs.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return sorted(diffs)[len(diffs) // 2]
+        fns[name] = (f1, f2, args)
+    samples = {name: [] for name, _, _ in cases}
+    for _ in range(cycles):
+        for name, (f1, f2, args) in fns.items():
+            t = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t
+            t = time.perf_counter(); float(f2(*args)); t2 = time.perf_counter() - t
+            samples[name].append(max((t2 - t1) / (n2 - n1), 1e-9))
+    return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
 
 
-def _train_step_time(on_tpu, img):
+def _stream_case(rng, D=512):
+    """Pure bank-streaming kernel: calibrates achievable HBM bandwidth."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s_big = jnp.asarray(rng.standard_normal((12288, D)).astype(np.float32))
+
+    def _kernel(s_ref, out_ref, acc_ref, *, n_tiles):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += s_ref[0:8, :]
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    def stream(s, carry):
+        n = s.shape[0] // 2048
+        return pl.pallas_call(
+            functools.partial(_kernel, n_tiles=n),
+            grid=(n,),
+            in_specs=[pl.BlockSpec((2048, D), lambda j: (j, 0))],
+            out_specs=pl.BlockSpec((8, D), lambda j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )(s).mean()
+
+    return ("stream", stream, (s_big,)), s_big.size * 4
+
+
+def _train_step_case(on_tpu, img):
     """Episodic NW train step (fwd+bwd+SGD) at the canonical CUB recipe
     shape: batch 8, n_way=10 x n_shot=1 support (README.md:140-152)."""
     import optax
@@ -87,35 +138,22 @@ def _train_step_time(on_tpu, img):
     )
     opt_state = tx.init(variables["params"])
 
-    def make(n):
-        @jax.jit
-        def run(params, batch_stats, opt_state, qimg):
-            def body(i, carry):
-                params, batch_stats, opt_state, acc = carry
-
-                def loss_fn(p):
-                    lp, upd = model.apply(
-                        {"params": p, "batch_stats": batch_stats},
-                        qimg + 0.0 * acc, simg, sy,
-                        train=True, mutable=["batch_stats"],
-                    )
-                    picked = jnp.take_along_axis(lp, qy[:, None], axis=-1)
-                    return -jnp.mean(picked), upd["batch_stats"]
-
-                (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-                updates, new_opt = tx.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), new_stats, new_opt, acc + loss)
-
-            out = jax.lax.fori_loop(
-                0, n, body, (params, batch_stats, opt_state, jnp.zeros(()))
+    def step(params, batch_stats, opt_state_, qimg_, carry):
+        def loss_fn(p):
+            lp, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                qimg_, simg, sy, train=True, mutable=["batch_stats"],
             )
-            return out[3]
+            picked = jnp.take_along_axis(lp, qy[:, None], axis=-1)
+            return -jnp.mean(picked), upd["batch_stats"]
 
-        return run
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, _ = tx.update(grads, opt_state_, params)
+        newp = optax.apply_updates(params, updates)
+        return loss + sum(jnp.sum(x) * 0.0 for x in jax.tree_util.tree_leaves(newp))
 
-    n1, n2 = (3, 9) if on_tpu else (1, 2)
     args = (variables["params"], variables["batch_stats"], opt_state, qimg)
-    return _differential_time(make, n1, n2, args)
+    return ("train_step", step, args)
 
 
 def main():
@@ -125,8 +163,6 @@ def main():
     on_tpu = backend == "tpu" or "TPU" in str(jax.devices()[0])
     B, S, D, C = 64, 5994, 512, 200  # CUB-200 full mode (BASELINE.md)
     IMG = 224 if on_tpu else 32
-    HEAD_N = (100, 500) if on_tpu else (1, 3)
-    FEAT_N = (4, 12) if on_tpu else (1, 2)
 
     rng = np.random.default_rng(0)
     q_img = jnp.asarray(rng.standard_normal((B, IMG, IMG, 3)).astype(np.float32))
@@ -134,99 +170,66 @@ def main():
     bank_y = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
     qfeat = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
 
-    # --- featurizer: headless ResNet-18 fwd, bf16 compute (f32 params) ------
-    # bf16 is the TPU-native inference precision (the A6000 reference runs
-    # TF32 tensor cores implicitly); features are pooled back to f32.
     from nwhead_tpu.models import load_model
+    from nwhead_tpu.ops.nw import nw_log_probs
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
 
+    # --- featurizer: headless ResNet-18 fwd, bf16 compute (f32 params) ------
     model = load_model("resnet18", dtype=jnp.bfloat16 if on_tpu else None)
     variables = model.init(jax.random.PRNGKey(0), q_img[:1], train=False)
 
-    def feat_loop(n):
-        @jax.jit
-        def run(v, x):
-            def body(i, acc):
-                out = model.apply(v, x + 0.0 * acc, train=False)
-                return acc + out.mean()
+    prep = prepare_support(bank, bank_y, C)
+    prep_bf16 = prepare_support(bank, bank_y, C, precision="bf16")
 
-            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+    head_cases = []
+    if on_tpu:  # the streaming-calibration kernel is compiled-mode only
+        stream_case, stream_bytes = _stream_case(rng, D)
+        head_cases.append(stream_case)
 
-        return run
+    head_cases += [
+        ("head_prepared", lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
+         (qfeat, prep)),
+        ("head_raw", lambda q, s, c: nw_fused_log_probs(q, s, bank_y, C).mean(),
+         (qfeat, bank)),
+        ("head_bf16", lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
+         (qfeat, prep_bf16)),
+        ("head_naive", lambda q, s, c: nw_log_probs(q, s, bank_y, C).mean(),
+         (qfeat, bank)),
+    ]
+    HN = (100, 1600) if on_tpu else (1, 3)
+    head_t = _measure(head_cases, *HN)
 
-    t_feat = _differential_time(feat_loop, *FEAT_N, (variables, q_img))
-
-    # --- NW head: fused Pallas vs reference-style materialized chain --------
-    from nwhead_tpu.ops.nw import nw_log_probs
-    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
-
-    def head_loop_maker(head):
-        def make(n):
-            @jax.jit
-            def run(q, s):
-                def body(i, acc):
-                    out = head(q + 0.0 * acc, s)
-                    return acc + out.mean()
-
-                return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
-
-            return run
-
-        return make
-
-    t_fused = _differential_time(
-        head_loop_maker(lambda q, s: nw_fused_log_probs(q, s, bank_y, C)),
-        *HEAD_N,
-        (qfeat, bank),
-    )
-    t_naive = _differential_time(
-        head_loop_maker(lambda q, s: nw_log_probs(q, s, bank_y, C)),
-        *HEAD_N,
-        (qfeat, bank),
-    )
-    # Bandwidth-optimized serving mode (bf16 bank; argmax-identical at CUB scale).
-    t_bf16 = _differential_time(
-        head_loop_maker(
-            lambda q, s: nw_fused_log_probs(q, s, bank_y, C, precision="bf16")
-        ),
-        *HEAD_N,
-        (qfeat, bank),
-    )
-
-    qps = B / (t_feat + t_fused)
-    qps_ref_style = B / (t_feat + t_naive)
-
-    # --- larger serving batch: amortizes the featurizer better -------------
-    B2 = 256
+    feat_cases = [
+        ("feat_b64", lambda v, x, c: model.apply(v, x, train=False).mean(),
+         (variables, q_img)),
+    ]
     if on_tpu:
-        q_img2 = jnp.asarray(
-            rng.standard_normal((B2, IMG, IMG, 3)).astype(np.float32)
+        q_img256 = jnp.asarray(
+            rng.standard_normal((256, IMG, IMG, 3)).astype(np.float32)
         )
-        t_feat2 = _differential_time(feat_loop, *FEAT_N, (variables, q_img2))
-        qfeat2 = jnp.asarray(rng.standard_normal((B2, D)).astype(np.float32))
+        feat_cases.append(
+            ("feat_b256", lambda v, x, c: model.apply(v, x, train=False).mean(),
+             (variables, q_img256))
+        )
+    FN = (10, 110) if on_tpu else (1, 2)
+    feat_t = _measure(feat_cases, *FN)
 
-        def head_loop2(n):
-            @jax.jit
-            def run(q, s):
-                def body(i, acc):
-                    out = nw_fused_log_probs(q + 0.0 * acc, s, bank_y, C)
-                    return acc + out.mean()
+    TN = (20, 120) if on_tpu else (1, 2)
+    train_t = _measure([_train_step_case(on_tpu, IMG)], *TN)["train_step"]
 
-                return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
-
-            return run
-
-        t_head2 = _differential_time(head_loop2, *HEAD_N, (qfeat2, bank))
-        qps_b256 = B2 / (t_feat2 + t_head2)
-    else:
-        qps_b256 = None
-
-    # --- episodic training step (the README recipe shape: bs=8, n_way=10) ---
-    t_train = _train_step_time(on_tpu, IMG)
-
-    # Roofline: the head must stream the whole bank from HBM once per batch.
+    stream_bw = (
+        stream_bytes / head_t["stream"] if on_tpu else 50e9  # bytes/sec
+    )
     bank_bytes = S * D * 4
-    hbm_bw = 820e9 if on_tpu else 50e9  # v5e HBM ~820 GB/s
-    head_roofline_frac = (bank_bytes / hbm_bw) / t_fused
+    t_head = head_t["head_prepared"]
+    t_feat = feat_t["feat_b64"]
+
+    qps = B / (t_feat + t_head)
+    qps_ref_style = B / (t_feat + head_t["head_naive"])
+    qps_b256 = (
+        256 / (feat_t["feat_b256"] + head_t["head_prepared"] * 2)
+        if on_tpu else None
+    )  # head cost ~doubles at B=256 (two batch tiles re-stream the bank)
 
     print(
         json.dumps(
@@ -236,16 +239,26 @@ def main():
                 "unit": "queries/sec/chip",
                 "vs_baseline": round(qps / qps_ref_style, 3),
                 "baseline_def": "same chip, reference-style materialized cdist->softmax->bmm head",
-                "head_us_per_batch": round(t_fused * 1e6, 1),
-                "head_only_qps": round(B / t_fused, 1),
-                "head_bf16_us_per_batch": round(t_bf16 * 1e6, 1),
-                "head_bf16_qps": round(B / t_bf16, 1),
-                "head_speedup_vs_naive": round(t_naive / t_fused, 2),
+                "head_us_per_batch": round(t_head * 1e6, 1),
+                "head_raw_us_per_batch": round(head_t["head_raw"] * 1e6, 1),
+                "head_only_qps": round(B / t_head, 1),
+                "head_bf16_us_per_batch": round(head_t["head_bf16"] * 1e6, 1),
+                "head_bf16_qps": round(B / head_t["head_bf16"], 1),
+                "head_speedup_vs_naive": round(head_t["head_naive"] / t_head, 2),
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
-                "train_step_ms": round(t_train * 1e3, 2),
-                "train_steps_per_sec": round(1.0 / t_train, 2),
+                "train_step_ms": round(train_t * 1e3, 2),
+                "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,
-                "head_hbm_roofline_frac": round(head_roofline_frac, 3),
+                "stream_gbps_measured": round(stream_bw / 1e9, 1),
+                "head_hbm_roofline_frac": round(
+                    (bank_bytes / stream_bw) / t_head, 3
+                ),
+                "head_roofline_frac_nominal": round(
+                    (bank_bytes / 819e9) / t_head, 3
+                ),
+                "head_bf16_roofline_frac": round(
+                    (bank_bytes / 2 / stream_bw) / head_t["head_bf16"], 3
+                ),
                 "backend": backend,
             }
         )

@@ -83,6 +83,7 @@ def main(argv=None):
         n_shot_cluster=args.n_shot_cluster,
         n_neighbors=args.n_neighbors,
         seed=args.seed,
+        mesh=mesh,
     )
     sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
     variables = net.init(jax.random.PRNGKey(args.seed), sample)

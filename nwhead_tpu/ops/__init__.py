@@ -1,6 +1,12 @@
 from nwhead_tpu.ops.kernels import get_kernel, KERNEL_NAMES
 from nwhead_tpu.ops.nw import nw_log_probs, nw_probs_and_weights
 from nwhead_tpu.ops.influence import support_influence
+from nwhead_tpu.ops.pallas_nw import (
+    PreparedSupport,
+    nw_fused_log_probs,
+    nw_fused_from_prepared,
+    prepare_support,
+)
 from nwhead_tpu.ops import metrics
 
 __all__ = [
@@ -8,6 +14,10 @@ __all__ = [
     "KERNEL_NAMES",
     "nw_log_probs",
     "nw_probs_and_weights",
+    "nw_fused_log_probs",
+    "nw_fused_from_prepared",
+    "prepare_support",
+    "PreparedSupport",
     "support_influence",
     "metrics",
 ]
