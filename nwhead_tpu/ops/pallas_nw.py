@@ -128,9 +128,10 @@ def prepare_support(
     mode, _, _, sn = _resolve_mode(kernel, {"logit_scale": jnp.float32(0.0)},
                                    sfeat[:1], sfeat)
     S, D = sn.shape
-    c_pad = _round_up(n_classes, 128)
     if block_s is None:
-        block_s = _auto_block_s(S, D, sn.dtype.itemsize, c_pad)
+        # 1024-row tiles measured best for the double-buffered serving
+        # kernel (DMA/compute overlap with a small pipeline tail).
+        block_s = 1024
     block_s = min(block_s, _round_up(S, 128))
     s_pad = _round_up(S, block_s)
     d_pad = _round_up(D, 128)
@@ -377,6 +378,174 @@ def _fwd_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# Prepared serving kernel: single program, hand-rolled double-buffered DMA
+# ---------------------------------------------------------------------------
+#
+# Mosaic's automatic grid pipelining leaves ~4-5 us/call of per-grid-step
+# overhead + unoverlapped VPU work on the table at CUB scale (measured
+# decomposition: scripts/kernel_lab.py). This kernel runs the whole support
+# sweep as ONE program: a fori_loop streams bank tiles HBM->VMEM through a
+# two-slot double buffer (pallas guide pattern) while computing the previous
+# tile. Measured: 19 us vs 23 us for the grid version at B=64, S=5994, D=512
+# (0.89 vs 0.73 of the STREAM-calibrated bandwidth).
+
+def _nw_prepared_kernel(
+    scale_ref,   # SMEM (1,1)
+    q_ref,       # (TB, D) VMEM
+    s_hbm,       # (S_pad, D) ANY/HBM — manually DMA'd
+    s2_ref,      # (n_tiles, nchunk, 128) VMEM (tiny; l2 mode only)
+    lane_ref,    # (n_tiles, nchunk, 128) VMEM
+    sub_ref,     # (n_tiles, 128, nchunk) VMEM
+    out_ref,     # (TB, C_pad)
+    sbuf,        # (2, TS, D) VMEM scratch — double buffer
+    m_ref, l_ref, acc_ref,
+    oh_ref,      # (TS, C_pad) scratch
+    sem,         # DMA semaphores (2,)
+    *,
+    mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
+    s2_input: bool,
+):
+    q = q_ref[:]
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(idx * block_s, block_s), :],
+            sbuf.at[slot],
+            sem.at[slot],
+        )
+
+    m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    get_dma(0, 0).start()
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, c_pad), 1).astype(
+        jnp.float32
+    )
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+        s = sbuf[slot]
+
+        dot = jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mode == "l2":
+            qf = q.astype(jnp.float32)
+            q2 = jnp.sum(qf * qf, axis=1, keepdims=True)
+            if s2_input:
+                s2row = jnp.concatenate(
+                    [
+                        s2_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
+                        for t in range(nchunk)
+                    ],
+                    axis=1,
+                )
+            else:
+                sf = s.astype(jnp.float32)
+                s2row = jnp.sum(sf * sf, axis=1, keepdims=True).T
+            d2 = jnp.maximum(q2 - 2.0 * dot + s2row, 0.0)
+            score = -jnp.sqrt(d2)
+        else:
+            score = dot * scale_ref[0, 0]
+
+        valid_row = jnp.concatenate(
+            [
+                lane_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
+                for t in range(nchunk)
+            ],
+            axis=1,
+        ) >= 0.0
+        score = jnp.where(valid_row, score, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(score, axis=1, keepdims=True))
+        m_safe = jnp.where(m_new > _NEG_INF / 2, m_new, 0.0)
+        alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_safe), 0.0)
+        p = jnp.where(score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0)
+        l_ref[:] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+
+        for t in range(nchunk):
+            col = sub_ref[pl.ds(j, 1), :, t:t + 1].reshape(128, 1)
+            oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
+                jnp.float32
+            )
+
+        pv = jax.lax.dot_general(
+            p, oh_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+    l_final = jnp.maximum(l_ref[:, :1], 1e-30)
+    out_ref[:] = jnp.log(acc_ref[:] / l_final + LOG_FLOOR)
+
+
+def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
+                   block_b, interpret):
+    s_p, s2c, lane, sub = prepared
+    B, D0 = q.shape
+    _, D = s_p.shape
+    n_tiles = lane.shape[0]
+    nchunk = lane.shape[1]
+    block_s = nchunk * 128
+    c_pad = _round_up(n_classes, 128)
+    b_pad = _round_up(B, block_b)
+    q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
+    if q_p.dtype != s_p.dtype:
+        q_p = q_p.astype(s_p.dtype)
+
+    s2_input = s2c is not None
+    if not s2_input:  # dot modes carry a dummy (never read)
+        s2c = jnp.zeros_like(lane)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
+            nchunk=nchunk, block_s=block_s, s2_input=s2_input,
+        ),
+        grid=(b_pad // block_b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, D), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(s2c.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(lane.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, c_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, D), s_p.dtype),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, c_pad), jnp.float32),
+            pltpu.VMEM((block_s, c_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(scale.reshape(1, 1), q_p, s_p, s2c, lane, sub)
+    return out[:B, :n_classes]
+
+
 def nw_fused_from_prepared(
     qfeat: jnp.ndarray,
     prepared: PreparedSupport,
@@ -390,7 +559,8 @@ def nw_fused_from_prepared(
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
-    tiny label/norm arrays). Inference-only (no VJP — use the raw-array
+    tiny label/norm arrays), driven by the hand-rolled double-buffered DMA
+    kernel. Inference-only (no VJP — use the raw-array
     ``nw_fused_log_probs`` for training)."""
     kernel_params = kernel_params or {}
     if interpret is None:
@@ -398,15 +568,17 @@ def nw_fused_from_prepared(
     if block_b is None:
         block_b = min(128, _round_up(qfeat.shape[0], 8))
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
-    out = _fwd_call(
-        qn, prepared.s, prepared.s2c, prepared.lane, prepared.sub, scale,
-        mode=mode, n_classes=n_classes, block_b=block_b,
-        interpret=interpret, partials=partials,
-    )
     if partials:
-        acc, m, l = out
+        acc, m, l = _fwd_call(
+            qn, prepared.s, prepared.s2c, prepared.lane, prepared.sub, scale,
+            mode=mode, n_classes=n_classes, block_b=block_b,
+            interpret=interpret, partials=True,
+        )
         return m, l, acc
-    return out[0]
+    return _prepared_call(
+        qn, prepared, scale,
+        mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
+    )
 
 
 def nw_fused_partials(

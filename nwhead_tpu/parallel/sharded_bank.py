@@ -111,9 +111,16 @@ class ShardedSupportBank:
         n_classes: int,
         kernel: str = "euclidean",
     ) -> "ShardedSupportBank":
+        from nwhead_tpu.ops.pallas_nw import _auto_block_s, _round_up
+
         n_shards = mesh.shape["support"]
         S, D = feats.shape
-        s_pad = ((S + n_shards - 1) // n_shards) * n_shards
+        # Pad so each LOCAL shard is already a multiple of the fused
+        # kernel's tile size — the per-shard jnp.pad inside the shard_mapped
+        # predict is then a no-op instead of a shard-bytes copy per call.
+        local = -(-S // n_shards)
+        block = _auto_block_s(local, D, 4, _round_up(n_classes, 128))
+        s_pad = _round_up(local, block) * n_shards
         feat = np.zeros((s_pad, D), np.float32)
         feat[:S] = feats
         lab = np.zeros((s_pad,), np.int32)
