@@ -57,7 +57,7 @@ def _loop(fn, n):
     return run
 
 
-def _measure(cases, n1, n2, cycles=5):
+def _measure(cases, n1, n2, cycles=9):
     """Interleaved differential timing: one (n1, n2) sample per case per
     cycle, median over cycles. Returns {name: seconds_per_call}."""
     fns = {}
