@@ -196,6 +196,13 @@ def main():
         ("head_naive", lambda q, s, c: nw_log_probs(q, s, bank_y, C).mean(),
          (qfeat, bank)),
     ]
+    if on_tpu:  # measured directly (two batch tiles re-stream the bank)
+        qfeat256 = jnp.asarray(rng.standard_normal((256, D)).astype(np.float32))
+        head_cases.append(
+            ("head_prepared_b256",
+             lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
+             (qfeat256, prep))
+        )
     HN = (100, 1600) if on_tpu else (1, 3)
     head_t = _measure(head_cases, *HN)
 
@@ -227,9 +234,9 @@ def main():
     qps = B / (t_feat + t_head)
     qps_ref_style = B / (t_feat + head_t["head_naive"])
     qps_b256 = (
-        256 / (feat_t["feat_b256"] + head_t["head_prepared"] * 2)
+        256 / (feat_t["feat_b256"] + head_t["head_prepared_b256"])
         if on_tpu else None
-    )  # head cost ~doubles at B=256 (two batch tiles re-stream the bank)
+    )
 
     print(
         json.dumps(

@@ -31,16 +31,21 @@ class NWHead(nn.Module):
     # tests/test_bf16_training.py; the default stays f32.
     precision: str = "f32"
 
-    def _kernel_params(self):
+    def setup(self):
+        # Defined in setup (not inline in a @compact __call__) so every
+        # entry point — __call__, from_prepared, probs_and_weights, scores —
+        # can read the clip kernel's learnable scale.
         if self.kernel_type == "clip":
-            logit_scale = self.param(
+            self.logit_scale = self.param(
                 "logit_scale",
                 lambda key: jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
             )
-            return {"logit_scale": logit_scale}
+
+    def _kernel_params(self):
+        if self.kernel_type == "clip":
+            return {"logit_scale": self.logit_scale}
         return {}
 
-    @nn.compact
     def __call__(
         self,
         qfeat: jnp.ndarray,

@@ -238,7 +238,10 @@ class NWNet:
         self.support_eval = SupportSetEval(
             np.asarray(support_dataset.targets), self.n_classes, **kwargs
         )
-        self._prepared_full = None  # stale until the next precompute()
+        # Everything bank-derived is stale until the next precompute().
+        self._prepared_full = None
+        self.sharded_bank = None
+        self._sharded_predict = None
 
     def forward(
         self,
@@ -299,10 +302,13 @@ class NWNet:
         )
         # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
         # predict streams exactly the bank bytes (the raw path re-pads per
-        # call).
+        # call). Skipped when a mesh is attached — the sharded branch always
+        # shadows it and the extra bank-sized copy would defeat sharding's
+        # memory purpose.
         self._prepared_full = None
         if (
-            self.model.use_fused
+            self.mesh is None
+            and self.model.use_fused
             and len(full_y) >= self.model.fused_min_support
             and self.kernel_type in (
                 "euclidean", "hypersphere_euclidean", "cosine",
@@ -423,6 +429,12 @@ class NWNet:
         """Leave-one-out influence of each support item on queries x
         (vectorized; the reference computes this externally via
         ``util/metric.py:23-50``)."""
+        if mode == "ensemble":
+            raise ValueError(
+                "support_influence is per-support-set; run it per env "
+                "(mode='full' after process_support_eval on one env) "
+                "instead of 'ensemble'"
+            )
         qfeat = self._featurize_eval(variables, jnp.asarray(x))
         sfeat, sy = self.support_eval.get_support(mode, x=np.asarray(qfeat))
         probs, weights = self.model.apply(

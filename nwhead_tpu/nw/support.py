@@ -324,19 +324,9 @@ class SupportSetEval:
         # DEVICE-resident, so ensemble predict is one compiled program with
         # zero per-call host->device traffic (the reference re-ships each
         # env bank per call, nw.py:143-154; padding rows are masked out).
-        n_envs = len(sfeat_env)
-        s_max = max(len(f) for f in sfeat_env)
-        d = np.asarray(sfeat).shape[-1]
-        ens_feat = np.zeros((n_envs, s_max, d), np.asarray(sfeat).dtype)
-        ens_y = np.zeros((n_envs, s_max), np.int32)
-        ens_mask = np.zeros((n_envs, s_max), np.float32)
-        for e, (f, y) in enumerate(zip(sfeat_env, sy_env)):
-            ens_feat[e, : len(f)] = f
-            ens_y[e, : len(y)] = y
-            ens_mask[e, : len(f)] = 1.0
-        self.ensemble_feat = jnp.asarray(ens_feat)
-        self.ensemble_y = jnp.asarray(ens_y)
-        self.ensemble_mask = jnp.asarray(ens_mask)
+        # Built lazily on first use — it duplicates the bank in HBM, which
+        # a full-mode-only user should never pay for.
+        self._ensemble_cache = None
 
         # Cluster: per-class k-means centroids (support.py:123).
         self.cluster_feat, self.cluster_y = compute_clusters(
@@ -361,6 +351,26 @@ class SupportSetEval:
         except Exception:  # native module unavailable -> exact fallback
             self.hnsw = self.knn
 
+    def _ensemble_banks(self):
+        if self._ensemble_cache is None:
+            import jax.numpy as jnp
+
+            sfeat_env, sy_env = self.full_feat_sep, self.full_y_sep
+            n_envs = len(sfeat_env)
+            s_max = max(len(f) for f in sfeat_env)
+            d = sfeat_env[0].shape[-1]
+            ens_feat = np.zeros((n_envs, s_max, d), sfeat_env[0].dtype)
+            ens_y = np.zeros((n_envs, s_max), np.int32)
+            ens_mask = np.zeros((n_envs, s_max), np.float32)
+            for e, (f, y) in enumerate(zip(sfeat_env, sy_env)):
+                ens_feat[e, : len(f)] = f
+                ens_y[e, : len(y)] = y
+                ens_mask[e, : len(f)] = 1.0
+            self._ensemble_cache = (
+                jnp.asarray(ens_feat), jnp.asarray(ens_y), jnp.asarray(ens_mask)
+            )
+        return self._ensemble_cache
+
     def get_support(self, mode: str, x: Optional[np.ndarray] = None):
         """Support features/labels for an inference mode (``support.py:135-154``)."""
         try:
@@ -373,7 +383,7 @@ class SupportSetEval:
                 return self.cluster_feat, self.cluster_y
             if mode == "ensemble":
                 # Device-resident stacked env banks + validity mask.
-                return self.ensemble_feat, self.ensemble_y, self.ensemble_mask
+                return self._ensemble_banks()
             if mode == "knn":
                 return self.knn(x)
             if mode == "hnsw":

@@ -102,12 +102,18 @@ class PreparedSupport(NamedTuple):
     """A support bank prepared once for repeated fused inference: padded
     (and kernel-normalized) features, precomputed self-norms, compact
     labels. Build with ``prepare_support``; statics (tile size, mode) are
-    re-derived from shapes + the kernel name at call time."""
+    re-derived from shapes + the kernel name at call time.
 
-    s: jnp.ndarray  # (S_pad, D_pad) f32/bf16, normalized per kernel type
+    ``precision='int8'`` quantizes the bank symmetrically per row
+    (s ≈ s_int8 * sscale_row): 4x less bank traffic than f32; the kernel
+    runs the distance dot on the int8 MXU path and dequantizes scores with
+    the per-row scales (``sscale``, stored lane-major compact like s2c)."""
+
+    s: jnp.ndarray  # (S_pad, D_pad) f32/bf16/int8, normalized per kernel
     s2c: Optional[jnp.ndarray]  # (n_tiles, nchunk, 128) f32, l2 modes only
     lane: jnp.ndarray  # (n_tiles, nchunk, 128) f32 labels, -1 = invalid
     sub: jnp.ndarray  # (n_tiles, 128, nchunk) f32
+    sscale: Optional[jnp.ndarray] = None  # (n_tiles, nchunk, 128) f32, int8 only
 
 
 def prepare_support(
@@ -123,6 +129,10 @@ def prepare_support(
     """Pad + normalize + pack a support bank for the fused serving path."""
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
+    if not isinstance(sy, jax.core.Tracer):  # host-side prep: validate labels
+        mx = int(jnp.max(sy))
+        if mx >= n_classes:
+            raise ValueError(f"label {mx} out of range for n_classes={n_classes}")
     if precision == "bf16":
         sfeat = sfeat.astype(jnp.bfloat16)
     mode, _, _, sn = _resolve_mode(kernel, {"logit_scale": jnp.float32(0.0)},
@@ -137,12 +147,27 @@ def prepare_support(
     d_pad = _round_up(D, 128)
     s_p = jnp.pad(sn, ((0, s_pad - S), (0, d_pad - D)))
     nchunk = block_s // 128
+
+    sscale = None
+    if precision == "int8":
+        # Symmetric per-row quantization; the bank is stored int8, scores
+        # dequantize inside the kernel: s_row ≈ s_q * sscale_row.
+        sf = s_p.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(sf), axis=1)  # (s_pad,)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        s_p = jnp.clip(jnp.round(sf / scale[:, None]), -127, 127).astype(jnp.int8)
+        sscale = scale.reshape(s_pad // block_s, nchunk, 128)
+
     s2c = None
     if mode == "l2":
-        s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
+        if precision == "int8":  # self-norms of the DEQUANTIZED bank
+            s_deq = s_p.astype(jnp.float32) * sscale.reshape(-1)[:, None]
+            s2 = jnp.sum(s_deq * s_deq, axis=1)
+        else:
+            s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
         s2c = s2.reshape(s_pad // block_s, nchunk, 128)
     lane, sub = _pack_labels(jnp.asarray(sy), support_mask, s_pad, block_s)
-    return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub)
+    return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale)
 
 
 # ---------------------------------------------------------------------------
@@ -392,20 +417,30 @@ def _fwd_pallas(
 
 def _nw_prepared_kernel(
     scale_ref,   # SMEM (1,1)
-    q_ref,       # (TB, D) VMEM
-    s_hbm,       # (S_pad, D) ANY/HBM — manually DMA'd
-    s2_ref,      # (n_tiles, nchunk, 128) VMEM (tiny; l2 mode only)
-    lane_ref,    # (n_tiles, nchunk, 128) VMEM
-    sub_ref,     # (n_tiles, 128, nchunk) VMEM
-    out_ref,     # (TB, C_pad)
-    sbuf,        # (2, TS, D) VMEM scratch — double buffer
-    m_ref, l_ref, acc_ref,
-    oh_ref,      # (TS, C_pad) scratch
-    sem,         # DMA semaphores (2,)
-    *,
+    *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
-    s2_input: bool,
+    s2_input: bool, quant: bool = False,
 ):
+    i = 0
+    q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
+    s_hbm = refs[i]; i += 1       # (S_pad, D) ANY/HBM — manually DMA'd
+    s2_ref = None
+    if s2_input:
+        s2_ref = refs[i]; i += 1  # (n_tiles, nchunk, 128) VMEM (l2 only)
+    qscale_ref = sscale_ref = None
+    if quant:
+        qscale_ref = refs[i]; i += 1  # (TB, 128) f32 per-query scales
+        sscale_ref = refs[i]; i += 1  # (n_tiles, nchunk, 128) f32 row scales
+    lane_ref = refs[i]; i += 1    # (n_tiles, nchunk, 128) VMEM
+    sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk) VMEM
+    out_ref = refs[i]; i += 1     # (TB, C_pad)
+    sbuf = refs[i]; i += 1        # (2, TS, D) VMEM scratch — double buffer
+    m_ref = refs[i]; i += 1
+    l_ref = refs[i]; i += 1
+    acc_ref = refs[i]; i += 1
+    oh_ref = refs[i]; i += 1      # (TS, C_pad) scratch
+    sem = refs[i]; i += 1         # DMA semaphores (2,)
+
     q = q_ref[:]
 
     def get_dma(slot, idx):
@@ -435,11 +470,31 @@ def _nw_prepared_kernel(
         get_dma(slot, j).wait()
         s = sbuf[slot]
 
-        dot = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if quant:
+            # int8 x int8 MXU dot, dequantized by the per-row scales:
+            # dot_f[i, k] = dot_i32[i, k] * qscale_i * sscale_k.
+            dot_i = jax.lax.dot_general(
+                q, s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            ssrow = jnp.concatenate(
+                [
+                    sscale_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
+                    for t in range(nchunk)
+                ],
+                axis=1,
+            )  # (1, TS)
+            dot = dot_i.astype(jnp.float32) * qscale_ref[:, :1] * ssrow
+        else:
+            dot = jax.lax.dot_general(
+                q, s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if mode == "l2":
-            qf = q.astype(jnp.float32)
+            if quant:
+                qf = q.astype(jnp.float32) * qscale_ref[:, :1]
+            else:
+                qf = q.astype(jnp.float32)
             q2 = jnp.sum(qf * qf, axis=1, keepdims=True)
             if s2_input:
                 s2row = jnp.concatenate(
@@ -497,7 +552,7 @@ def _nw_prepared_kernel(
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret):
-    s_p, s2c, lane, sub = prepared
+    s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
     n_tiles = lane.shape[0]
@@ -506,27 +561,47 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     c_pad = _round_up(n_classes, 128)
     b_pad = _round_up(B, block_b)
     q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
-    if q_p.dtype != s_p.dtype:
+    quant = s_p.dtype == jnp.int8
+    if quant:
+        # Symmetric per-query quantization matching the bank's scheme.
+        qf = q_p.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(qf), axis=1)
+        qscale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q_p = jnp.clip(jnp.round(qf / qscale[:, None]), -127, 127).astype(jnp.int8)
+        qscale_b = jnp.broadcast_to(qscale[:, None], (b_pad, 128))
+    elif q_p.dtype != s_p.dtype:
         q_p = q_p.astype(s_p.dtype)
 
     s2_input = s2c is not None
-    if not s2_input:  # dot modes carry a dummy (never read)
-        s2c = jnp.zeros_like(lane)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((block_b, D), lambda i: (i, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [scale.reshape(1, 1), q_p, s_p]
+    if s2_input:
+        in_specs.append(pl.BlockSpec(s2c.shape, lambda i: (0, 0, 0)))
+        inputs.append(s2c)
+    if quant:
+        in_specs += [
+            pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
+            pl.BlockSpec(prepared.sscale.shape, lambda i: (0, 0, 0)),
+        ]
+        inputs += [qscale_b, prepared.sscale]
+    in_specs += [
+        pl.BlockSpec(lane.shape, lambda i: (0, 0, 0)),
+        pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
+    ]
+    inputs += [lane, sub]
 
     out = pl.pallas_call(
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
-            nchunk=nchunk, block_s=block_s, s2_input=s2_input,
+            nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
         ),
         grid=(b_pad // block_b,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_b, D), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(s2c.shape, lambda i: (0, 0, 0)),
-            pl.BlockSpec(lane.shape, lambda i: (0, 0, 0)),
-            pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, c_pad), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
         scratch_shapes=[
@@ -542,7 +617,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(scale.reshape(1, 1), q_p, s_p, s2c, lane, sub)
+    )(*inputs)
     return out[:B, :n_classes]
 
 
@@ -569,6 +644,10 @@ def nw_fused_from_prepared(
         block_b = min(128, _round_up(qfeat.shape[0], 8))
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
     if partials:
+        if prepared.s.dtype == jnp.int8:
+            raise NotImplementedError(
+                "int8 prepared banks are serving-only (no partials path yet)"
+            )
         acc, m, l = _fwd_call(
             qn, prepared.s, prepared.s2c, prepared.lane, prepared.sub, scale,
             mode=mode, n_classes=n_classes, block_b=block_b,
@@ -944,7 +1023,7 @@ def nw_fused_log_probs(
     block_b: Optional[int] = None,
     block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
-    precision: str = "f32",
+    precision: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
 
@@ -960,6 +1039,23 @@ def nw_fused_log_probs(
     eval).
     """
     if isinstance(sfeat, PreparedSupport):
+        if n_classes is None:
+            raise ValueError("n_classes is required with a PreparedSupport")
+        if support_mask is not None:
+            raise ValueError(
+                "support_mask must be baked in at prepare_support time "
+                "(the prepared bank's labels already encode the mask)"
+            )
+        bank_precision = {
+            jnp.dtype(jnp.float32): "f32",
+            jnp.dtype(jnp.bfloat16): "bf16",
+            jnp.dtype(jnp.int8): "int8",
+        }[jnp.dtype(sfeat.s.dtype)]
+        if precision is not None and precision != bank_precision:
+            raise ValueError(
+                f"precision={precision!r} but the prepared bank is "
+                f"{bank_precision} — pass precision= to prepare_support instead"
+            )
         return nw_fused_from_prepared(
             qfeat, sfeat, n_classes,
             kernel=kernel, kernel_params=kernel_params,
@@ -970,7 +1066,7 @@ def nw_fused_log_probs(
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if precision == "bf16":
+    if (precision or "f32") == "bf16":
         # Bandwidth-optimized inference: bf16 features halve HBM traffic and
         # run the distance dot in one MXU pass; softmax stats stay f32.
         qfeat = qfeat.astype(jnp.bfloat16)

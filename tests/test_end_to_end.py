@@ -245,9 +245,11 @@ def test_ensemble_predict_no_host_transfer(nw_setup):
     net, trainer, train_ds, val_ds = nw_setup
     variables = trainer.state.variables()
     net.precompute(variables)
-    assert isinstance(net.support_eval.ensemble_feat, jnp.ndarray)
+    assert net.support_eval._ensemble_cache is None  # built lazily
     x = jnp.asarray(val_ds.gather(np.arange(4)))
     out1 = net.predict(variables, x, "ensemble")
+    ens_feat, _, _ = net.support_eval._ensemble_cache
+    assert isinstance(ens_feat, jnp.ndarray)  # device-resident, cached
     out2 = net.predict(variables, x, "ensemble")
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
 
@@ -279,3 +281,59 @@ def test_full_mode_prepared_bank_parity():
     qfeat = net._featurize_eval(variables, x)
     want = np.asarray(nw_log_probs(qfeat, net.full_feat, net.full_y, 4))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_clip_kernel_prepared_full_mode():
+    """Regression: clip's learnable logit_scale must be readable from the
+    prepared serving path (the param now lives in NWHead.setup, not inline
+    in a compact __call__) — full-mode predict with kernel_type='clip' and a
+    prepared bank must equal the naive head."""
+    from nwhead_tpu.ops.nw import nw_log_probs
+
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=7)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=4,
+        support_dataset=train_ds,
+        feat_dim=16,
+        n_shot=2,
+        n_shot_full=12,
+        kernel_type="clip",
+        fused_min_support=1,
+        seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2))))
+    net.precompute(variables)
+    assert net._prepared_full is not None
+
+    x = jnp.asarray(train_ds.gather(np.arange(4)))
+    got = np.asarray(net.predict(variables, x, "full"))
+
+    qfeat = net._featurize_eval(variables, x)
+    kparams = {"logit_scale": variables["params"]["head"]["logit_scale"]}
+    want = np.asarray(nw_log_probs(
+        qfeat, net.full_feat, net.full_y, 4, kernel="clip", kernel_params=kparams
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_process_support_eval_invalidates_bank_state():
+    """Regression: swapping the eval support set must invalidate BOTH the
+    prepared serving bank and the sharded bank, so stale-bank predictions
+    are impossible."""
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=8)
+    net = NWNet(
+        TinyBackbone.make(), n_classes=4, support_dataset=train_ds,
+        feat_dim=16, n_shot=2, n_shot_full=12, fused_min_support=1, seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2))))
+    net.precompute(variables)
+    assert net._prepared_full is not None
+    net.sharded_bank = object()  # simulate a built sharded bank
+
+    new_ds = make_synthetic_dataset(n=24, n_classes=4, size=8, seed=9)
+    net.process_support_eval(new_ds, n_shot_full=6)
+    assert net._prepared_full is None
+    assert net.sharded_bank is None
+    with pytest.raises(AttributeError, match="precompute"):
+        net.support_eval.get_support("full")

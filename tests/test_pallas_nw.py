@@ -248,3 +248,96 @@ class TestPreparedSupport:
         want = np.asarray(nw_log_probs(q, s, sy, C))
         # bf16 bank: coarse agreement on log-probs.
         np.testing.assert_allclose(got, want, rtol=0.1, atol=0.05)
+
+
+class TestPreparedDispatchValidation:
+    def _mk(self, rng):
+        from nwhead_tpu.ops.pallas_nw import prepare_support
+
+        s = jnp.asarray(rng.standard_normal((200, 24)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, 5, size=200).astype(np.int32))
+        q = jnp.asarray(rng.standard_normal((4, 24)).astype(np.float32))
+        return q, s, sy, prepare_support(s, sy, 5)
+
+    def test_mask_must_be_baked_in(self, rng):
+        q, s, sy, prep = self._mk(rng)
+        with pytest.raises(ValueError, match="prepare_support time"):
+            nw_fused_log_probs(q, prep, None, 5, support_mask=jnp.ones(200))
+
+    def test_precision_mismatch_rejected(self, rng):
+        q, s, sy, prep = self._mk(rng)
+        with pytest.raises(ValueError, match="prepared bank"):
+            nw_fused_log_probs(q, prep, None, 5, precision="bf16")
+
+    def test_n_classes_required(self, rng):
+        q, s, sy, prep = self._mk(rng)
+        with pytest.raises(ValueError, match="n_classes"):
+            nw_fused_log_probs(q, prep, None, None)
+
+    def test_label_range_validated_at_prepare(self, rng):
+        from nwhead_tpu.ops.pallas_nw import prepare_support
+
+        s = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+        sy = jnp.asarray(np.full(64, 9, np.int32))
+        with pytest.raises(ValueError, match="out of range"):
+            prepare_support(s, sy, 5)
+
+
+class TestInt8Bank:
+    """int8 quantized serving banks: 4x less bank traffic than f32, scores
+    dequantized in-kernel from per-row symmetric scales."""
+
+    def test_int8_close_to_f32(self, rng):
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 16, 600, 64, 8
+        # Well-separated class clusters: quantization must not flip argmax.
+        centers = rng.standard_normal((C, D)).astype(np.float32) * 3
+        sy_np = rng.integers(0, C, size=S).astype(np.int32)
+        s = centers[sy_np] + rng.standard_normal((S, D)).astype(np.float32) * 0.3
+        qy = rng.integers(0, C, size=B).astype(np.int32)
+        q = centers[qy] + rng.standard_normal((B, D)).astype(np.float32) * 0.3
+
+        prep = prepare_support(jnp.asarray(s), jnp.asarray(sy_np), C,
+                               precision="int8")
+        assert prep.s.dtype == jnp.int8 and prep.sscale is not None
+        got = np.asarray(nw_fused_log_probs(jnp.asarray(q), prep, None, C))
+        want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s),
+                                       jnp.asarray(sy_np), C))
+        # argmax identical on separable data; log-probs close.
+        np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+        assert np.max(np.abs(np.exp(got) - np.exp(want))) < 0.05
+
+    def test_int8_kernels_and_mask(self, rng):
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 4, 300, 32, 5
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        mask = jnp.asarray((rng.random(S) > 0.3).astype(np.float32))
+        for kernel in ("euclidean", "cosine"):
+            prep = prepare_support(s, sy, C, kernel=kernel, precision="int8",
+                                   support_mask=mask)
+            got = np.asarray(nw_fused_log_probs(q, prep, None, C, kernel=kernel))
+            want = np.asarray(nw_log_probs(q, s, sy, C, kernel=kernel,
+                                           support_mask=mask))
+            assert np.max(np.abs(np.exp(got) - np.exp(want))) < 0.08, kernel
+
+    def test_int8_partials_rejected(self, rng):
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_from_prepared, prepare_support,
+        )
+
+        s = jnp.asarray(rng.standard_normal((200, 16)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, 4, size=200).astype(np.int32))
+        q = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+        prep = prepare_support(s, sy, 4, precision="int8")
+        with pytest.raises(NotImplementedError):
+            nw_fused_from_prepared(q, prep, 4, partials=True)
