@@ -25,10 +25,11 @@ class NWHead(nn.Module):
     kernel_type: str = "euclidean"
     use_fused: bool = True  # dispatch to the Pallas kernel for large supports
     fused_min_support: int = 1024
-    # 'f32' (exact) or 'bf16': cast query/support features to bf16 before the
-    # distance computation — half the bank HBM traffic and single-pass MXU
-    # dots; softmax statistics stay f32. Validated for training quality in
-    # tests/test_bf16_training.py; the default stays f32.
+    # 'f32' (exact), 'bf16' (cast features before the distance computation —
+    # half the bank traffic, single-pass MXU dots; training-quality parity
+    # validated in tests/test_bf16_training.py), or 'int8' (per-row
+    # quantized SERVING banks only: applies to the prepared full-mode path
+    # built by NWNet.precompute; episodic training stays f32).
     precision: str = "f32"
 
     def setup(self):
