@@ -337,3 +337,30 @@ def test_process_support_eval_invalidates_bank_state():
     assert net.sharded_bank is None
     with pytest.raises(AttributeError, match="precompute"):
         net.support_eval.get_support("full")
+
+
+def test_int8_serving_through_nwnet():
+    """head_precision='int8' flows into the prepared serving bank: predict
+    full-mode runs on the quantized bank and stays argmax-consistent with
+    the f32 head on separable data (episodic training stays f32)."""
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=11)
+
+    def build(precision):
+        net = NWNet(
+            TinyBackbone.make(), n_classes=4, support_dataset=train_ds,
+            feat_dim=16, n_shot=2, n_shot_full=12, fused_min_support=1,
+            head_precision=precision, seed=0,
+        )
+        v = net.init(jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2))))
+        net.precompute(v)
+        return net, v
+
+    net8, v8 = build("int8")
+    assert net8._prepared_full.s.dtype == jnp.int8
+    net32, v32 = build("f32")
+
+    x = jnp.asarray(train_ds.gather(np.arange(8)))
+    out8 = np.asarray(net8.predict(v8, x, "full"))
+    out32 = np.asarray(net32.predict(v32, x, "full"))
+    np.testing.assert_array_equal(out8.argmax(-1), out32.argmax(-1))
+    assert np.max(np.abs(np.exp(out8) - np.exp(out32))) < 0.08
