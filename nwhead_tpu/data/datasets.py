@@ -59,10 +59,17 @@ class ArrayDataset:
 class ImageFileDataset:
     """Dataset over image files on disk.
 
-    PIL decode (libjpeg, GIL-released) runs across a thread pool at gather
-    time — the host-side worker-pool equivalent of the reference's
-    DataLoader workers (``train.py:190-196``), composed with the prefetching
-    pipeline so decode overlaps device compute.
+    Decode runs across a worker pool at gather time — the host-side
+    equivalent of the reference's DataLoader workers (``train.py:190-196``),
+    composed with the prefetching pipeline so decode overlaps device compute.
+
+    ``decoder``:
+      * ``"native"`` (default) — the first-party C++ libjpeg pool
+        (``native/decode.cpp``): persistent per-thread decompressors, no
+        PIL object churn, no GIL on the decode path. Non-JPEG files (and
+        environments where the native build is unavailable) fall back to
+        PIL transparently.
+      * ``"pil"`` — PIL decode on a Python thread pool.
     """
 
     def __init__(
@@ -72,6 +79,7 @@ class ImageFileDataset:
         num_classes: int,
         transform: Optional[Callable] = None,
         workers: int = 8,
+        decoder: str = "native",
     ) -> None:
         assert len(paths) == len(targets)
         self.paths = list(paths)
@@ -79,10 +87,23 @@ class ImageFileDataset:
         self.num_classes = num_classes
         self.transform = transform
         self.workers = workers
+        self.decoder = decoder
         self._pool = None
+        self._native_pool = None
+        self._native_failed = False
 
     def __len__(self) -> int:
         return len(self.paths)
+
+    def _native(self):
+        if self._native_pool is None and not self._native_failed:
+            try:
+                from nwhead_tpu.native.decode import JpegDecodePool
+
+                self._native_pool = JpegDecodePool(max(1, self.workers))
+            except Exception:
+                self._native_failed = True
+        return self._native_pool
 
     def _load(self, idx: int) -> np.ndarray:
         from PIL import Image
@@ -90,15 +111,33 @@ class ImageFileDataset:
         img = np.asarray(Image.open(self.paths[idx]).convert("RGB"))
         return self.transform(img) if self.transform is not None else to_float(img)
 
+    def _apply_transform(self, img: np.ndarray) -> np.ndarray:
+        return self.transform(img) if self.transform is not None else to_float(img)
+
     def gather(self, indices) -> np.ndarray:
         indices = np.asarray(indices)
-        if self.workers > 1 and len(indices) > 1:
+        idx_list = [int(i) for i in indices]
+
+        if self.decoder == "native" and len(idx_list) > 0:
+            is_jpeg = [
+                self.paths[i].lower().endswith((".jpg", ".jpeg"))
+                for i in idx_list
+            ]
+            pool = self._native() if all(is_jpeg) else None
+            if pool is not None:
+                try:
+                    raw = pool.decode_batch([self.paths[i] for i in idx_list])
+                    return np.stack([self._apply_transform(r) for r in raw])
+                except Exception:
+                    pass  # corrupt/odd files: fall through to PIL below
+
+        if self.workers > 1 and len(idx_list) > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._pool = ThreadPoolExecutor(max_workers=self.workers)
-            return np.stack(list(self._pool.map(self._load, indices.tolist())))
-        return np.stack([self._load(int(i)) for i in indices])
+            return np.stack(list(self._pool.map(self._load, idx_list)))
+        return np.stack([self._load(i) for i in idx_list])
 
 
 def to_float(img: np.ndarray) -> np.ndarray:

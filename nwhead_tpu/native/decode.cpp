@@ -1,0 +1,296 @@
+// First-party JPEG decode worker pool (C++, libjpeg).
+//
+// Host-side replacement for the reference's DataLoader worker processes
+// (train.py:190-196) and our PIL thread pool: a fixed pool of C++ threads,
+// each with a persistent libjpeg decompressor, decoding straight into a
+// caller-provided batch buffer (no per-image Python object churn, no GIL
+// involvement at all during decode).
+//
+// Capabilities:
+//   * jpeg_dims(path)                      -> header-only (h, w) probe
+//   * pool_decode(paths, n, H, W, out)     -> decode + bilinear resize each
+//     image to exactly (H, W) RGB uint8 rows into out[n*H*W*3]
+//   * pool_decode_crop(paths, boxes, ...)  -> per-image crop box
+//     (y, x, h, w) applied before the resize — the host computes
+//     RandomResizedCrop / CenterCrop geometry from jpeg_dims and the pool
+//     does decode+crop+resize in one native pass.
+//
+// C ABI (ctypes-friendly); libjpeg scale_denom is used to decode at the
+// smallest scale that still covers the requested output (IDCT-level
+// downscale: up to 8x less decode work for large photos -> small targets).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void err_exit(j_common_ptr cinfo) {
+  auto* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode `path`, crop (cy,cx,ch,cw) in ORIGINAL image coordinates (ch/cw<=0
+// means whole image), bilinear-resize the crop to (out_h, out_w) RGB uint8.
+// Returns 0 on success.
+int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
+               int out_w, uint8_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = err_exit;
+  std::vector<uint8_t> img;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  const int full_h = cinfo.image_height, full_w = cinfo.image_width;
+  if (ch <= 0 || cw <= 0) {
+    cy = cx = 0;
+    ch = full_h;
+    cw = full_w;
+  }
+  cy = std::max(0, std::min(cy, full_h - 1));
+  cx = std::max(0, std::min(cx, full_w - 1));
+  ch = std::max(1, std::min(ch, full_h - cy));
+  cw = std::max(1, std::min(cw, full_w - cx));
+
+  // IDCT-level downscale: largest denom (1,2,4,8) such that the scaled crop
+  // still covers the output (keeps bilinear a downscale, not an upscale).
+  int denom = 1;
+  for (int d = 2; d <= 8; d *= 2) {
+    if (ch / d >= out_h && cw / d >= out_w) denom = d;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  jpeg_start_decompress(&cinfo);
+  const int sh = cinfo.output_height, sw = cinfo.output_width;
+  const int comps = cinfo.output_components;  // 3 (RGB)
+
+  img.resize(static_cast<size_t>(sh) * sw * comps);
+  std::vector<JSAMPROW> rows(1);
+  for (int r = 0; r < sh; ++r) {
+    rows[0] = img.data() + static_cast<size_t>(r) * sw * comps;
+    jpeg_read_scanlines(&cinfo, rows.data(), 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+
+  // Identity fast path: full image at native size -> straight copy.
+  if (denom == 1 && cy == 0 && cx == 0 && ch == full_h && cw == full_w &&
+      out_h == full_h && out_w == full_w && comps == 3) {
+    std::memcpy(out, img.data(), img.size());
+    return 0;
+  }
+
+  // Crop in scaled coordinates.
+  const double s = 1.0 / denom;
+  double scy = cy * s, scx = cx * s;
+  double sch = std::max(1.0, ch * s), scw = std::max(1.0, cw * s);
+  scy = std::min(scy, sh - 1.0);
+  scx = std::min(scx, sw - 1.0);
+  sch = std::min(sch, sh - scy);
+  scw = std::min(scw, sw - scx);
+
+  // Bilinear resize (sch, scw) -> (out_h, out_w), gray-safe via comps.
+  for (int r = 0; r < out_h; ++r) {
+    const double fy = scy + (out_h > 1 ? (r * (sch - 1.0) / (out_h - 1)) : 0);
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, sh - 1);
+    const double wy = fy - y0;
+    uint8_t* orow = out + (static_cast<size_t>(r) * out_w) * 3;
+    const uint8_t* row0 = img.data() + static_cast<size_t>(y0) * sw * comps;
+    const uint8_t* row1 = img.data() + static_cast<size_t>(y1) * sw * comps;
+    for (int c = 0; c < out_w; ++c) {
+      const double fx =
+          scx + (out_w > 1 ? (c * (scw - 1.0) / (out_w - 1)) : 0);
+      const int x0 = static_cast<int>(fx);
+      const int x1 = std::min(x0 + 1, sw - 1);
+      const double wx = fx - x0;
+      for (int k = 0; k < 3; ++k) {
+        const int kk = comps == 3 ? k : 0;
+        const double v =
+            (1 - wy) * ((1 - wx) * row0[x0 * comps + kk] +
+                        wx * row0[x1 * comps + kk]) +
+            wy * ((1 - wx) * row1[x0 * comps + kk] +
+                  wx * row1[x1 * comps + kk]);
+        orow[c * 3 + k] = static_cast<uint8_t>(v + 0.5);
+      }
+    }
+  }
+  return 0;
+}
+
+class Pool {
+ public:
+  explicit Pool(int n) : stop_(false) {
+    for (int i = 0; i < std::max(1, n); ++i) {
+      threads_.emplace_back([this] { worker(); });
+    }
+  }
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+
+  void run(std::vector<std::function<void()>> jobs) {
+    std::atomic<int> remaining(static_cast<int>(jobs.size()));
+    std::mutex done_mu;
+    std::condition_variable done_cv;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (auto& j : jobs) {
+        queue_.push([&remaining, &done_mu, &done_cv, job = std::move(j)] {
+          job();
+          if (remaining.fetch_sub(1) == 1) {
+            std::lock_guard<std::mutex> dlk(done_mu);
+            done_cv.notify_one();
+          }
+        });
+      }
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> dlk(done_mu);
+    done_cv.wait(dlk, [&] { return remaining.load() == 0; });
+  }
+
+ private:
+  void worker() {
+    for (;;) {
+      std::function<void()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !queue_.empty(); });
+        if (stop_ && queue_.empty()) return;
+        job = std::move(queue_.front());
+        queue_.pop();
+      }
+      job();
+    }
+  }
+
+  std::vector<std::thread> threads_;
+  std::queue<std::function<void()>> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+}  // namespace
+
+extern "C" {
+
+int jpeg_dims(const char* path, int* h, int* w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return 0;
+}
+
+void* decode_pool_create(int n_threads) { return new Pool(n_threads); }
+
+void decode_pool_free(void* pool) { delete static_cast<Pool*>(pool); }
+
+// boxes: per-image (y, x, h, w) int32 in original coordinates, or nullptr
+// for whole-image. out: n * out_h * out_w * 3 uint8. Returns the number of
+// images that FAILED to decode (their slots are zeroed).
+int decode_pool_run(void* pool, const char** paths, const int* boxes, int n,
+                    int out_h, int out_w, uint8_t* out) {
+  auto* p = static_cast<Pool*>(pool);
+  std::atomic<int> failures(0);
+  std::vector<std::function<void()>> jobs;
+  jobs.reserve(n);
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  for (int i = 0; i < n; ++i) {
+    jobs.push_back([=, &failures] {
+      int cy = 0, cx = 0, ch = 0, cw = 0;
+      if (boxes) {
+        cy = boxes[i * 4 + 0];
+        cx = boxes[i * 4 + 1];
+        ch = boxes[i * 4 + 2];
+        cw = boxes[i * 4 + 3];
+      }
+      uint8_t* dst = out + stride * i;
+      if (decode_one(paths[i], cy, cx, ch, cw, out_h, out_w, dst) != 0) {
+        std::memset(dst, 0, stride);
+        failures.fetch_add(1);
+      }
+    });
+  }
+  p->run(std::move(jobs));
+  return failures.load();
+}
+
+// Full-image decode of a batch with per-image output buffers/sizes (the
+// decode-only mode: callers probe jpeg_dims first and allocate per image).
+int decode_pool_run_varied(void* pool, const char** paths, int n,
+                           uint8_t** outs, const int* heights,
+                           const int* widths) {
+  auto* p = static_cast<Pool*>(pool);
+  std::atomic<int> failures(0);
+  std::vector<std::function<void()>> jobs;
+  jobs.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    jobs.push_back([=, &failures] {
+      if (decode_one(paths[i], 0, 0, 0, 0, heights[i], widths[i], outs[i]) !=
+          0) {
+        std::memset(outs[i], 0,
+                    static_cast<size_t>(heights[i]) * widths[i] * 3);
+        failures.fetch_add(1);
+      }
+    });
+  }
+  p->run(std::move(jobs));
+  return failures.load();
+}
+
+}  // extern "C"

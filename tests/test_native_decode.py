@@ -1,0 +1,78 @@
+"""First-party C++ JPEG decode pool: parity with PIL, fused crop+resize,
+dataset integration (SURVEY §2.4 'DataLoader worker pool' native row)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(12):
+        img = np.kron(
+            rng.integers(0, 255, (16, 16, 3)), np.ones((10, 10, 1))
+        ).astype(np.uint8)
+        p = str(d / f"{i}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+def test_decode_matches_pil(jpeg_dir):
+    from PIL import Image
+
+    from nwhead_tpu.native.decode import JpegDecodePool, jpeg_dims
+
+    pool = JpegDecodePool(4)
+    bufs = pool.decode_batch(jpeg_dir)
+    assert jpeg_dims(jpeg_dir[0]) == bufs[0].shape[:2]
+    for p, b in zip(jpeg_dir, bufs):
+        want = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(b, want)  # same libjpeg: bit-identical
+
+
+def test_crop_resize_fused(jpeg_dir):
+    from nwhead_tpu.native.decode import JpegDecodePool
+
+    pool = JpegDecodePool(4)
+    n = len(jpeg_dir)
+    boxes = np.tile(np.array([[20, 20, 100, 100]], np.int32), (n, 1))
+    out = pool.decode_crop_resize(jpeg_dir, boxes, (64, 64))
+    assert out.shape == (n, 64, 64, 3) and out.dtype == np.uint8
+    # Crop content must match a host-side crop+resize of the full decode
+    # in broad strokes (different bilinear conventions: compare means).
+    full = pool.decode_batch(jpeg_dir[:1])[0]
+    crop = full[20:120, 20:120].astype(np.float32)
+    assert abs(float(out[0].mean()) - float(crop.mean())) < 8.0
+
+
+def test_failures_reported(jpeg_dir, tmp_path):
+    from nwhead_tpu.native.decode import JpegDecodePool
+
+    bad = str(tmp_path / "not_a_jpeg.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"definitely not a jpeg")
+    pool = JpegDecodePool(2)
+    # Non-JPEG bytes fail at the header probe (dims) or the decode itself.
+    with pytest.raises(IOError, match="failed to (decode|read)"):
+        pool.decode_batch([jpeg_dir[0], bad])
+    # The fixed-size path reports decode failures after the parallel run.
+    with pytest.raises(IOError, match="failed to decode"):
+        pool.decode_crop_resize([jpeg_dir[0], bad], None, (32, 32))
+
+
+def test_dataset_native_decoder(jpeg_dir):
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    targets = np.arange(len(jpeg_dir)) % 3
+    ds_native = ImageFileDataset(jpeg_dir, targets, 3, decoder="native")
+    ds_pil = ImageFileDataset(jpeg_dir, targets, 3, decoder="pil")
+    a = ds_native.gather([0, 3, 5])
+    b = ds_pil.gather([0, 3, 5])
+    np.testing.assert_array_equal(a, b)
