@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--decoder", type=str, default="native",
+                   choices=["native", "native_fused", "pil"])
     p.add_argument("--pretrained_path", type=str, default=None,
                    help="local torch checkpoint imported into the backbone")
     p.add_argument("--mesh", type=str, default=None,
@@ -61,7 +63,8 @@ def main(argv=None):
     from nwhead_tpu.train import load_checkpoint
 
     ds_args = argparse.Namespace(dataset=args.dataset, data_dir=args.data_dir,
-                                 seed=args.seed, workers=args.workers)
+                                 seed=args.seed, workers=args.workers,
+                                 decoder=args.decoder)
     train_ds, val_ds = train_cli.build_datasets(ds_args)
     mesh = train_cli.build_mesh(args)
 

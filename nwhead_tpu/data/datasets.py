@@ -118,7 +118,12 @@ class ImageFileDataset:
         indices = np.asarray(indices)
         idx_list = [int(i) for i in indices]
 
-        if self.decoder == "native" and len(idx_list) > 0:
+        if self.decoder == "native_fused" and len(idx_list) > 0:
+            out = self._gather_fused(idx_list)
+            if out is not None:
+                return out
+
+        if self.decoder in ("native", "native_fused") and len(idx_list) > 0:
             is_jpeg = [
                 self.paths[i].lower().endswith((".jpg", ".jpeg"))
                 for i in idx_list
@@ -138,6 +143,38 @@ class ImageFileDataset:
                 self._pool = ThreadPoolExecutor(max_workers=self.workers)
             return np.stack(list(self._pool.map(self._load, idx_list)))
         return np.stack([self._load(i) for i in idx_list])
+
+    def _gather_fused(self, idx_list) -> Optional[np.ndarray]:
+        """decoder='native_fused': decode+crop+resize in ONE native pass
+        (IDCT-level downscale included) when the transform is expressible as
+        crop+resize (imagenet train/eval kinds); returns None to fall back.
+        Note: uses corner-aligned bilinear (vs PIL's antialiased filter) —
+        subpixel differences from the PIL path, same augmentation semantics.
+        """
+        t = self.transform
+        if t is None or not getattr(t, "supports_fused_decode", False):
+            return None
+        paths = [self.paths[i] for i in idx_list]
+        if not all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return None
+        pool = self._native()
+        if pool is None:
+            return None
+        try:
+            from nwhead_tpu.native.decode import jpeg_dims
+
+            boxes, flips = [], []
+            for p in paths:
+                h, w = jpeg_dims(p)
+                box, flip = t.crop_geometry(h, w)
+                boxes.append(box)
+                flips.append(flip)
+            batch = pool.decode_crop_resize(
+                paths, np.asarray(boxes, np.int32), (t.size, t.size)
+            )
+            return t.finish_batch(batch, flips)
+        except Exception:
+            return None
 
 
 def to_float(img: np.ndarray) -> np.ndarray:
@@ -163,7 +200,7 @@ def _read_two_column(path: str):
 class Cub200Dataset(ImageFileDataset):
     """CUB-200-2011 (``data/bird.py:7-50`` semantics)."""
 
-    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8) -> None:
+    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8, decoder: str = "native") -> None:
         split_ids, split_vals = _read_two_column(
             os.path.join(root_path, "train_test_split.txt")
         )
@@ -180,13 +217,13 @@ class Cub200Dataset(ImageFileDataset):
             if i in keep
         ]
         targets = [int(v) - 1 for i, v in zip(lbl_ids, lbl_vals) if i in keep]
-        super().__init__(paths, targets, num_classes=200, transform=transform, workers=workers)
+        super().__init__(paths, targets, num_classes=200, transform=transform, workers=workers, decoder=decoder)
 
 
 class StanfordDogDataset(ImageFileDataset):
     """Stanford Dogs (``data/dog.py:7-38`` semantics)."""
 
-    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8) -> None:
+    def __init__(self, root_path: str, is_train: bool, transform=None, workers: int = 8, decoder: str = "native") -> None:
         name = "train_list.csv" if is_train else "test_list.csv"
         paths, targets = [], []
         with open(os.path.join(root_path, name)) as f:
@@ -197,7 +234,7 @@ class StanfordDogDataset(ImageFileDataset):
                 p, lbl = line.rsplit(",", 1)
                 paths.append(os.path.join(root_path, "Images", p))
                 targets.append(int(lbl) - 1)
-        super().__init__(paths, targets, num_classes=120, transform=transform, workers=workers)
+        super().__init__(paths, targets, num_classes=120, transform=transform, workers=workers, decoder=decoder)
 
 
 class Flowers102Dataset(ImageFileDataset):
@@ -208,7 +245,7 @@ class Flowers102Dataset(ImageFileDataset):
     ``imagelabels.mat``, ``setid.mat`` under ``root_path``.
     """
 
-    def __init__(self, root_path: str, split: str = "train", transform=None, workers: int = 8) -> None:
+    def __init__(self, root_path: str, split: str = "train", transform=None, workers: int = 8, decoder: str = "native") -> None:
         from scipy.io import loadmat
 
         labels = loadmat(os.path.join(root_path, "imagelabels.mat"))["labels"][0]
@@ -222,7 +259,7 @@ class Flowers102Dataset(ImageFileDataset):
             os.path.join(root_path, "jpg", f"image_{i:05d}.jpg") for i in ids
         ]
         targets = [int(labels[i - 1]) - 1 for i in ids]
-        super().__init__(paths, targets, num_classes=102, transform=transform, workers=workers)
+        super().__init__(paths, targets, num_classes=102, transform=transform, workers=workers, decoder=decoder)
 
 
 class FGVCAircraftDataset(ImageFileDataset):
@@ -232,7 +269,7 @@ class FGVCAircraftDataset(ImageFileDataset):
     manifests under ``root_path`` (splits: train, val, trainval, test).
     """
 
-    def __init__(self, root_path: str, split: str = "trainval", transform=None, workers: int = 8) -> None:
+    def __init__(self, root_path: str, split: str = "trainval", transform=None, workers: int = 8, decoder: str = "native") -> None:
         data_dir = os.path.join(root_path, "data")
         manifest = os.path.join(data_dir, f"images_variant_{split}.txt")
         variants_file = os.path.join(data_dir, "variants.txt")
@@ -248,7 +285,7 @@ class FGVCAircraftDataset(ImageFileDataset):
                 img_id, variant = line.split(" ", 1)
                 paths.append(os.path.join(data_dir, "images", f"{img_id}.jpg"))
                 targets.append(v2id[variant])
-        super().__init__(paths, targets, num_classes=len(variants), transform=transform, workers=workers)
+        super().__init__(paths, targets, num_classes=len(variants), transform=transform, workers=workers, decoder=decoder)
 
 
 def make_synthetic_dataset(

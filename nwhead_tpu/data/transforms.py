@@ -74,16 +74,14 @@ def center_crop(img: np.ndarray, size: int) -> np.ndarray:
     return img[top : top + size, left : left + size]
 
 
-def random_resized_crop(
-    img: np.ndarray,
+def sample_rrc_box(
+    h: int,
+    w: int,
     rng: np.random.Generator,
-    size: int = 224,
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
-) -> np.ndarray:
-    """torchvision ``RandomResizedCrop`` semantics: sample area/aspect, crop,
-    resize to (size, size); fall back to center crop after 10 tries."""
-    h, w = img.shape[:2]
+) -> Tuple[int, int, int, int]:
+    """torchvision ``RandomResizedCrop`` box sampling: (top, left, ch, cw)."""
     area = h * w
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -94,7 +92,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             top = int(rng.integers(0, h - ch + 1))
             left = int(rng.integers(0, w - cw + 1))
-            return _resize_pil(img[top : top + ch, left : left + cw], (size, size))
+            return top, left, ch, cw
     # Fallback: center crop to in-range aspect.
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -103,7 +101,29 @@ def random_resized_crop(
         ch, cw = h, int(round(h * ratio[1]))
     else:
         cw, ch = w, h
-    top, left = (h - ch) // 2, (w - cw) // 2
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
+
+
+def center_eval_box(h: int, w: int, size: int = 224) -> Tuple[int, int, int, int]:
+    """The crop box (in ORIGINAL coordinates) equivalent to torchvision's
+    Resize(short=size*256/224) + CenterCrop(size): a centered square of side
+    short * 224/256 (up to rounding)."""
+    side = int(round(min(h, w) * size / (size * 256 / 224)))
+    side = max(1, min(side, min(h, w)))
+    return (h - side) // 2, (w - side) // 2, side, side
+
+
+def random_resized_crop(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    size: int = 224,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """torchvision ``RandomResizedCrop`` semantics: sample area/aspect, crop,
+    resize to (size, size); fall back to center crop after 10 tries."""
+    h, w = img.shape[:2]
+    top, left, ch, cw = sample_rrc_box(h, w, rng, scale, ratio)
     return _resize_pil(img[top : top + ch, left : left + cw], (size, size))
 
 
@@ -146,6 +166,39 @@ class Transform:
             with self._lock:
                 self._local.rng = np.random.default_rng(self._seed_seq.spawn(1)[0])
         return self._local.rng
+
+    # -- fused native-decode support ---------------------------------------
+    # The imagenet kinds are exactly "crop box + resize (+ flip + normalize)"
+    # operations, so the C++ decode pool can do decode+crop+resize in one
+    # native pass (with IDCT-level downscaling). ``crop_geometry`` returns
+    # the per-image box/flip; ``finish_batch`` applies flip+normalize to the
+    # whole decoded batch at once.
+
+    @property
+    def supports_fused_decode(self) -> bool:
+        return self.kind in ("imagenet_train", "imagenet_eval")
+
+    def crop_geometry(self, h: int, w: int):
+        """-> ((top, left, ch, cw), flip) for a (h, w) source image."""
+        if self.kind == "imagenet_train":
+            box = sample_rrc_box(h, w, self.rng)
+            return box, bool(self.rng.random() < 0.5)
+        if self.kind == "imagenet_eval":
+            return center_eval_box(h, w, self.size), False
+        raise ValueError(f"{self.kind} is not expressible as crop+resize")
+
+    def finish_batch(self, batch_u8: np.ndarray, flips) -> np.ndarray:
+        """(n, size, size, 3) uint8 + per-image flips -> normalized f32.
+        Flips happen on the uint8 data (small, contiguous copies) and the
+        normalization runs in place — no (n, H, W, 3) f32 temporaries."""
+        for i, f in enumerate(flips):
+            if f:
+                batch_u8[i] = batch_u8[i, :, ::-1].copy()
+        out = batch_u8.astype(np.float32)
+        out *= np.float32(1.0 / 255.0)
+        out -= np.asarray(self.mean, np.float32)
+        out /= np.asarray(self.std, np.float32)
+        return out
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         if self.kind == "imagenet_train":

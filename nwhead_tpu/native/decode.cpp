@@ -122,29 +122,34 @@ int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
   sch = std::min(sch, sh - scy);
   scw = std::min(scw, sw - scx);
 
-  // Bilinear resize (sch, scw) -> (out_h, out_w), gray-safe via comps.
+  // Bilinear resize (sch, scw) -> (out_h, out_w). Column geometry is
+  // precomputed once; the inner loop is float lerps over RGB (comps==3 is
+  // guaranteed by out_color_space=JCS_RGB above).
+  std::vector<int> xi0(out_w), xi1(out_w);
+  std::vector<float> xw(out_w);
+  for (int c = 0; c < out_w; ++c) {
+    const double fx = scx + (out_w > 1 ? (c * (scw - 1.0) / (out_w - 1)) : 0);
+    const int x0 = static_cast<int>(fx);
+    xi0[c] = x0 * comps;
+    xi1[c] = std::min(x0 + 1, sw - 1) * comps;
+    xw[c] = static_cast<float>(fx - x0);
+  }
   for (int r = 0; r < out_h; ++r) {
     const double fy = scy + (out_h > 1 ? (r * (sch - 1.0) / (out_h - 1)) : 0);
     const int y0 = static_cast<int>(fy);
     const int y1 = std::min(y0 + 1, sh - 1);
-    const double wy = fy - y0;
+    const float wy = static_cast<float>(fy - y0);
+    const float wy0 = 1.0f - wy;
     uint8_t* orow = out + (static_cast<size_t>(r) * out_w) * 3;
     const uint8_t* row0 = img.data() + static_cast<size_t>(y0) * sw * comps;
     const uint8_t* row1 = img.data() + static_cast<size_t>(y1) * sw * comps;
     for (int c = 0; c < out_w; ++c) {
-      const double fx =
-          scx + (out_w > 1 ? (c * (scw - 1.0) / (out_w - 1)) : 0);
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, sw - 1);
-      const double wx = fx - x0;
+      const int a = xi0[c], b = xi1[c];
+      const float wx = xw[c], wx0 = 1.0f - wx;
       for (int k = 0; k < 3; ++k) {
-        const int kk = comps == 3 ? k : 0;
-        const double v =
-            (1 - wy) * ((1 - wx) * row0[x0 * comps + kk] +
-                        wx * row0[x1 * comps + kk]) +
-            wy * ((1 - wx) * row1[x0 * comps + kk] +
-                  wx * row1[x1 * comps + kk]);
-        orow[c * 3 + k] = static_cast<uint8_t>(v + 0.5);
+        const float top = wx0 * row0[a + k] + wx * row0[b + k];
+        const float bot = wx0 * row1[a + k] + wx * row1[b + k];
+        orow[c * 3 + k] = static_cast<uint8_t>(wy0 * top + wy * bot + 0.5f);
       }
     }
   }

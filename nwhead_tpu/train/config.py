@@ -51,6 +51,11 @@ class Parser(argparse.ArgumentParser):
         # train.py:32-33; default 8 here — TPU steps are fast enough that
         # synchronous decode starves the device).
         self.add_argument("--workers", type=int, default=8)
+        # JPEG decode path: 'native' (first-party C++ pool, PIL fallback),
+        # 'native_fused' (decode+crop+resize in one native pass — fastest,
+        # subpixel bilinear differences vs PIL), or 'pil'.
+        self.add_argument("--decoder", type=str, default="native",
+                          choices=["native", "native_fused", "pil"])
         self.add_bool_arg("debug_mode", False)
 
         # ML

@@ -76,3 +76,80 @@ def test_dataset_native_decoder(jpeg_dir):
     a = ds_native.gather([0, 3, 5])
     b = ds_pil.gather([0, 3, 5])
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def photo_jpegs(tmp_path_factory):
+    """Larger 'photo-like' JPEGs (480x640) for the fused-pipeline tests."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("photos")
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(6):
+        base = rng.integers(0, 255, (30, 40, 3))
+        img = np.kron(base, np.ones((16, 16, 1))).astype(np.uint8)
+        p = str(d / f"p{i}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+def test_fused_eval_pipeline_close_to_python_path(photo_jpegs):
+    """decoder='native_fused' + the deterministic eval transform must agree
+    with the decode-then-python path up to bilinear-convention subpixels."""
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    targets = np.zeros(len(photo_jpegs), np.int64)
+    t = T.imagenet_eval_transform()
+    ds_fused = ImageFileDataset(photo_jpegs, targets, 1, transform=t,
+                                decoder="native_fused")
+    ds_plain = ImageFileDataset(photo_jpegs, targets, 1, transform=t,
+                                decoder="pil")
+    a = ds_fused.gather([0, 2, 4])
+    b = ds_plain.gather([0, 2, 4])
+    assert a.shape == b.shape == (3, 224, 224, 3)
+    # Normalized units; mean abs difference stays subpixel-ish.
+    assert float(np.mean(np.abs(a - b))) < 0.15, float(np.mean(np.abs(a - b)))
+
+
+def test_fused_train_pipeline_shapes_and_range(photo_jpegs):
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    targets = np.zeros(len(photo_jpegs), np.int64)
+    t = T.imagenet_train_transform(seed=0)
+    ds = ImageFileDataset(photo_jpegs, targets, 1, transform=t,
+                          decoder="native_fused")
+    out = ds.gather(np.arange(6))
+    assert out.shape == (6, 224, 224, 3) and out.dtype == np.float32
+    # Normalized imagenet stats: values land in a plausible band.
+    assert -3.5 < out.min() and out.max() < 3.5
+    # Random crops differ across a re-gather (augmentation actually random).
+    out2 = ds.gather(np.arange(6))
+    assert np.abs(out - out2).max() > 1e-3
+
+
+def test_fused_falls_back_for_cifar_kind(photo_jpegs):
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    targets = np.zeros(len(photo_jpegs), np.int64)
+    t = T.cifar_eval_transform()
+    ds = ImageFileDataset(photo_jpegs, targets, 1, transform=t,
+                          decoder="native_fused")
+    out = ds.gather([0])  # falls back to decode + python transform
+    assert out.shape[-1] == 3
+
+
+def test_rrc_box_semantics():
+    """sample_rrc_box respects torchvision's area/ratio bounds."""
+    from nwhead_tpu.data.transforms import sample_rrc_box
+
+    rng = np.random.default_rng(0)
+    h, w = 480, 640
+    for _ in range(200):
+        top, left, ch, cw = sample_rrc_box(h, w, rng)
+        assert 0 <= top <= h - ch and 0 <= left <= w - cw
+        assert 0 < ch <= h and 0 < cw <= w

@@ -53,20 +53,21 @@ def build_datasets(args):
     else:
         t_train = T.imagenet_train_transform(seed=args.seed)
         t_test = T.imagenet_eval_transform()
-    workers = getattr(args, "workers", 8)
+    kw = dict(workers=getattr(args, "workers", 8),
+              decoder=getattr(args, "decoder", "native"))
 
     if args.dataset == "bird":
-        train_ds = Cub200Dataset(args.data_dir, True, t_train, workers=workers)
-        val_ds = Cub200Dataset(args.data_dir, False, t_test, workers=workers)
+        train_ds = Cub200Dataset(args.data_dir, True, t_train, **kw)
+        val_ds = Cub200Dataset(args.data_dir, False, t_test, **kw)
     elif args.dataset == "dog":
-        train_ds = StanfordDogDataset(args.data_dir, True, t_train, workers=workers)
-        val_ds = StanfordDogDataset(args.data_dir, False, t_test, workers=workers)
+        train_ds = StanfordDogDataset(args.data_dir, True, t_train, **kw)
+        val_ds = StanfordDogDataset(args.data_dir, False, t_test, **kw)
     elif args.dataset == "flower":
-        train_ds = Flowers102Dataset(args.data_dir, "train", t_train, workers=workers)
-        val_ds = Flowers102Dataset(args.data_dir, "test", t_test, workers=workers)
+        train_ds = Flowers102Dataset(args.data_dir, "train", t_train, **kw)
+        val_ds = Flowers102Dataset(args.data_dir, "test", t_test, **kw)
     elif args.dataset == "aircraft":
-        train_ds = FGVCAircraftDataset(args.data_dir, "trainval", t_train, workers=workers)
-        val_ds = FGVCAircraftDataset(args.data_dir, "test", t_test, workers=workers)
+        train_ds = FGVCAircraftDataset(args.data_dir, "trainval", t_train, **kw)
+        val_ds = FGVCAircraftDataset(args.data_dir, "test", t_test, **kw)
     elif args.dataset in ("cifar10", "cifar100"):
         train_ds, val_ds = _load_cifar(args.data_dir, args.dataset, t_train, t_test)
     elif args.dataset == "synthetic":  # tiny built-in set for smoke runs
