@@ -47,6 +47,9 @@ def main(argv=None):
                    help="dump support-influence rankings for the first N queries")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--head_precision", type=str, default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="serving-bank precision for the fused full-mode path")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--decoder", type=str, default="native",
                    choices=["native", "native_fused", "pil"])
@@ -85,6 +88,7 @@ def main(argv=None):
         n_shot_random=args.n_shot_random,
         n_shot_cluster=args.n_shot_cluster,
         n_neighbors=args.n_neighbors,
+        head_precision=args.head_precision,
         seed=args.seed,
         mesh=mesh,
     )
@@ -112,29 +116,28 @@ def main(argv=None):
             cache.save(np.asarray(net.full_feat), np.asarray(net.full_y))
             print(f"Saved bank to {args.bank_cache}")
 
+    from nwhead_tpu.data.pipeline import prefetch_to_device
+    from nwhead_tpu.train.trainer import _padded_eval_batches
+
     results = {}
     bs = args.batch_size
-    n = len(val_ds)
     for mode in args.modes:
         probs_all, gts = [], []
         correct = total = 0
         loss_sum = 0.0
-        for start in range(0, min(n, args.num_val_steps * bs), bs):
-            idx = np.arange(start, min(start + bs, n))
-            real = len(idx)
-            img = np.asarray(val_ds.gather(idx))
-            label = val_ds.targets[idx]
-            if real < bs:  # pad tail batch, keep jit shapes static
-                img = np.concatenate([img, np.zeros((bs - real, *img.shape[1:]), img.dtype)])
+        batches = _padded_eval_batches(val_ds, bs, args.num_val_steps)
+        for img, label in prefetch_to_device(batches, size=2):
+            real = label.shape[0]
             out = net.predict(variables, jnp.asarray(img), mode)
             if isinstance(out, tuple):
                 out = out[0]
             out = out[:real]
-            loss_sum += float(M.nll_loss(out, jnp.asarray(label))) * real
-            correct += int((np.asarray(out).argmax(-1) == label).sum())
+            label_np = np.asarray(label)
+            loss_sum += float(M.nll_loss(out, label)) * real
+            correct += int((np.asarray(out).argmax(-1) == label_np).sum())
             total += real
             probs_all.append(np.exp(np.asarray(out)))
-            gts.append(label)
+            gts.append(label_np)
         ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
         results[mode] = {
             "acc": 100.0 * correct / total,

@@ -88,6 +88,10 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--n_shot", type=int, default=1)
         self.add_argument("--n_way", type=int, default=None)
         self.add_argument("--train_type", type=str, default="random", choices=["random", "irm"])
+        # Serving-bank precision for fused full-mode predict (f32 exact;
+        # bf16/int8 cut bank traffic 2x/4x — training math stays f32).
+        self.add_argument("--head_precision", type=str, default="f32",
+                          choices=["f32", "bf16", "int8"])
 
         # Weights & Biases
         self.add_bool_arg("use_wandb", False)

@@ -1,0 +1,49 @@
+"""Host input-pipeline benchmark: PIL vs native vs native_fused decoders on
+photo-sized JPEGs (the host decode rate bounds real-data training, not the
+TPU — train_step is ~3.8 ms while a 64-image gather takes 130-500 ms)."""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+from nwhead_tpu.data import transforms as T
+from nwhead_tpu.data.datasets import ImageFileDataset
+
+
+def main(n=64, hw=(480, 640), workers=(8, 16, 32)):
+    rng = np.random.default_rng(0)
+    d = tempfile.mkdtemp()
+    paths = []
+    for i in range(n):
+        img = np.kron(
+            rng.integers(0, 255, (hw[0] // 16, hw[1] // 16, 3)),
+            np.ones((16, 16, 1)),
+        ).astype(np.uint8)
+        p = os.path.join(d, f"{i}.jpg")
+        Image.fromarray(img).save(p, quality=90)
+        paths.append(p)
+    targets = np.zeros(n, np.int64)
+
+    for dec in ("pil", "native", "native_fused"):
+        for w in workers:
+            t = T.imagenet_train_transform(seed=0)
+            ds = ImageFileDataset(paths, targets, 1, transform=t,
+                                  workers=w, decoder=dec)
+            ds.gather([0, 1])  # warm pools / build .so
+            t0 = time.time()
+            reps = 6
+            for _ in range(reps):
+                ds.gather(np.arange(n))
+            dt = (time.time() - t0) / reps
+            print(f"{dec:13s} workers={w:3d}: {dt*1000:7.1f} ms/batch{n} "
+                  f"({n/dt:,.0f} img/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

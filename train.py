@@ -128,6 +128,7 @@ def build_network(args, train_dataset, mesh=None):
             n_shot=args.n_shot,
             n_way=args.n_way,
             debug_mode=args.debug_mode,
+            head_precision=getattr(args, "head_precision", "f32"),
             seed=args.seed,
             mesh=mesh,
         )
