@@ -17,6 +17,11 @@ Usage (the moment CUB-200 is on disk):
 
 Fixture-scale execution is tested end-to-end in
 tests/test_parity_runner.py.
+
+NOTE: keep n_way strictly below the dataset's class count — the REFERENCE
+sampler divides by zero (NaN probabilities, ``nwhead/utils.py:126-129``)
+when a query batch covers every class and n_way == n_classes. Real recipes
+(n_way=10, C=200) never hit this.
 """
 
 from __future__ import annotations
