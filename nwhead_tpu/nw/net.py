@@ -325,8 +325,18 @@ class NWNet:
         if self.mesh is not None:
             from nwhead_tpu.parallel import ShardedSupportBank
 
+            # Per-shard prepared banks (double-buffered serving kernel +
+            # partials merge) when the kernel supports it; the head's
+            # precision knob (f32/bf16/int8) applies to the sharded bank too.
+            fused_ok = self.model.use_fused and self.kernel_type in (
+                "euclidean", "hypersphere_euclidean", "cosine",
+                "dotproduct", "clip",
+            )
             self.sharded_bank = ShardedSupportBank.build(
-                full_feat, full_y, self.mesh, self.n_classes, kernel=self.kernel_type
+                full_feat, full_y, self.mesh, self.n_classes,
+                kernel=self.kernel_type,
+                precision=self.model.head_precision if fused_ok else "f32",
+                use_prepared=None if fused_ok else False,
             )
             # Trained kernel params (clip's logit_scale) ride along.
             kparams = variables["params"].get("head", {})

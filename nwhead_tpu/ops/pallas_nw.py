@@ -419,7 +419,7 @@ def _nw_prepared_kernel(
     scale_ref,   # SMEM (1,1)
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
-    s2_input: bool, quant: bool = False,
+    s2_input: bool, quant: bool = False, partials: bool = False,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -434,6 +434,10 @@ def _nw_prepared_kernel(
     lane_ref = refs[i]; i += 1    # (n_tiles, nchunk, 128) VMEM
     sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk) VMEM
     out_ref = refs[i]; i += 1     # (TB, C_pad)
+    mstat_ref = lstat_ref = None
+    if partials:
+        mstat_ref = refs[i]; i += 1  # (TB, 128) out — running max
+        lstat_ref = refs[i]; i += 1  # (TB, 128) out — normalizer
     sbuf = refs[i]; i += 1        # (2, TS, D) VMEM scratch — double buffer
     m_ref = refs[i]; i += 1
     l_ref = refs[i]; i += 1
@@ -546,12 +550,20 @@ def _nw_prepared_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
-    l_final = jnp.maximum(l_ref[:, :1], 1e-30)
-    out_ref[:] = jnp.log(acc_ref[:] / l_final + LOG_FLOOR)
+    if partials:
+        # Support-sharded serving: emit raw (acc, m, l) for the cross-device
+        # online-softmax merge (parallel.merge_partials) instead of
+        # finalizing locally.
+        out_ref[:] = acc_ref[:]
+        mstat_ref[:] = m_ref[:]
+        lstat_ref[:] = l_ref[:]
+    else:
+        l_final = jnp.maximum(l_ref[:, :1], 1e-30)
+        out_ref[:] = jnp.log(acc_ref[:] / l_final + LOG_FLOOR)
 
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
-                   block_b, interpret):
+                   block_b, interpret, partials=False):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -595,15 +607,24 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     ]
     inputs += [lane, sub]
 
+    out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32)
+    if partials:
+        stat_spec = pl.BlockSpec((block_b, 128), lambda i: (i, 0))
+        stat_shape = jax.ShapeDtypeStruct((b_pad, 128), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+
     out = pl.pallas_call(
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
+            partials=partials,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, c_pad), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block_s, D), s_p.dtype),
             pltpu.VMEM((block_b, 128), jnp.float32),
@@ -618,6 +639,9 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         ),
         interpret=interpret,
     )(*inputs)
+    if partials:
+        acc, m_stat, l_stat = out
+        return m_stat[:B, :1], l_stat[:B, :1], acc[:B, :n_classes]
     return out[:B, :n_classes]
 
 
@@ -636,27 +660,23 @@ def nw_fused_from_prepared(
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
     tiny label/norm arrays), driven by the hand-rolled double-buffered DMA
     kernel. Inference-only (no VJP — use the raw-array
-    ``nw_fused_log_probs`` for training)."""
+    ``nw_fused_log_probs`` for training).
+
+    ``partials=True`` returns the raw online-softmax statistics
+    ``(m (B, 1), l (B, 1), acc (B, C))`` instead of finalizing — the
+    support-sharded serving path (``parallel.ShardedSupportBank``) runs this
+    per shard and merges with one tiny collective. Works for f32/bf16/int8
+    banks (the same double-buffered kernel, finalization skipped)."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
         block_b = min(128, _round_up(qfeat.shape[0], 8))
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
-    if partials:
-        if prepared.s.dtype == jnp.int8:
-            raise NotImplementedError(
-                "int8 prepared banks are serving-only (no partials path yet)"
-            )
-        acc, m, l = _fwd_call(
-            qn, prepared.s, prepared.s2c, prepared.lane, prepared.sub, scale,
-            mode=mode, n_classes=n_classes, block_b=block_b,
-            interpret=interpret, partials=True,
-        )
-        return m, l, acc
     return _prepared_call(
         qn, prepared, scale,
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
+        partials=partials,
     )
 
 

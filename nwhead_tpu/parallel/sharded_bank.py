@@ -94,14 +94,28 @@ class ShardedSupportBank:
 
     Built once per precompute; padded to a multiple of the shard count with
     masked rows (score -inf == absent).
+
+    Two storage modes:
+      * raw (``feat/labels/mask``): per-call padding/packing inside the
+        shard_mapped predict (differentiable building blocks; jnp fallback
+        off-TPU);
+      * prepared (``prepared`` holds per-shard ``prepare_support`` arrays
+        concatenated along the shard axis): each device streams its local
+        bank through the hand-rolled double-buffered DMA serving kernel and
+        emits online-softmax partials — per-call HBM traffic is exactly the
+        local bank bytes, at f32/bf16/int8 bank precision. Raw arrays are
+        dropped in this mode (the prepared bank IS the bank; keeping both
+        would halve pod HBM capacity).
     """
 
-    feat: jnp.ndarray  # (S_pad, D), sharded P('support')
-    labels: jnp.ndarray  # (S_pad,), sharded P('support')
-    mask: jnp.ndarray  # (S_pad,), sharded P('support')
+    feat: Optional[jnp.ndarray]  # (S_pad, D), sharded P('support'); None when prepared
+    labels: Optional[jnp.ndarray]  # (S_pad,), sharded P('support')
+    mask: Optional[jnp.ndarray]  # (S_pad,), sharded P('support')
     mesh: Mesh
     n_classes: int
     kernel: str = "euclidean"
+    prepared: Optional[Any] = None  # PreparedSupport of shard-concatenated arrays
+    precision: str = "f32"
 
     @staticmethod
     def build(
@@ -110,15 +124,72 @@ class ShardedSupportBank:
         mesh: Mesh,
         n_classes: int,
         kernel: str = "euclidean",
+        precision: str = "f32",
+        use_prepared: Optional[bool] = None,
     ) -> "ShardedSupportBank":
-        from nwhead_tpu.ops.pallas_nw import _auto_block_s, _round_up
+        from nwhead_tpu.ops.pallas_nw import (
+            PreparedSupport, _auto_block_s, _round_up, prepare_support,
+        )
+
+        if use_prepared is None:
+            # The prepared serving kernel is a TPU Pallas program; elsewhere
+            # it only runs in (slow) interpret mode, so default to the jnp
+            # raw path off-TPU.
+            use_prepared = jax.default_backend() == "tpu"
+        if precision != "f32" and not use_prepared:
+            raise ValueError(
+                "bf16/int8 sharded banks require the prepared path "
+                "(use_prepared=True)"
+            )
 
         n_shards = mesh.shape["support"]
         S, D = feats.shape
-        # Pad so each LOCAL shard is already a multiple of the fused
-        # kernel's tile size — the per-shard jnp.pad inside the shard_mapped
-        # predict is then a no-op instead of a shard-bytes copy per call.
         local = -(-S // n_shards)
+        shard = NamedSharding(mesh, P("support"))
+
+        if use_prepared:
+            # Per-shard prepare: each shard is padded/normalized/packed
+            # exactly as a single-device prepared bank of its local rows, so
+            # the shard_mapped predict reconstructs a local PreparedSupport
+            # by slicing the shard axis — zero per-call preparation.
+            feat_p = np.zeros((local * n_shards, D), np.float32)
+            feat_p[:S] = feats
+            lab_p = np.zeros((local * n_shards,), np.int32)
+            lab_p[:S] = labels
+            mask_p = np.zeros((local * n_shards,), np.float32)
+            mask_p[:S] = 1.0
+            preps = []
+            for k in range(n_shards):
+                sl = slice(k * local, (k + 1) * local)
+                preps.append(
+                    prepare_support(
+                        jnp.asarray(feat_p[sl]), jnp.asarray(lab_p[sl]),
+                        n_classes, kernel=kernel,
+                        support_mask=jnp.asarray(mask_p[sl]),
+                        precision=precision,
+                    )
+                )
+
+            def cat(field):
+                vals = [getattr(p, field) for p in preps]
+                if vals[0] is None:
+                    return None
+                return jax.device_put(jnp.concatenate(vals, axis=0), shard)
+
+            prepared = PreparedSupport(
+                s=cat("s"), s2c=cat("s2c"), lane=cat("lane"),
+                sub=cat("sub"), sscale=cat("sscale"),
+            )
+            return ShardedSupportBank(
+                feat=None, labels=None, mask=None, mesh=mesh,
+                n_classes=n_classes, kernel=kernel, prepared=prepared,
+                precision=precision,
+            )
+
+        # Raw mode: pad so each LOCAL shard is already a multiple of the
+        # fused kernel's tile size — the per-shard jnp.pad inside the
+        # shard_mapped predict is then a no-op instead of a shard-bytes copy
+        # per call.
         block = _auto_block_s(local, D, 4, _round_up(n_classes, 128))
         s_pad = _round_up(local, block) * n_shards
         feat = np.zeros((s_pad, D), np.float32)
@@ -127,7 +198,6 @@ class ShardedSupportBank:
         lab[:S] = labels
         mask = np.zeros((s_pad,), np.float32)
         mask[:S] = 1.0
-        shard = NamedSharding(mesh, P("support"))
         return ShardedSupportBank(
             feat=jax.device_put(jnp.asarray(feat), shard),
             labels=jax.device_put(jnp.asarray(lab), shard),
@@ -144,6 +214,48 @@ class ShardedSupportBank:
         n_classes = self.n_classes
         kernel = self.kernel
 
+        if self.prepared is not None:
+            from nwhead_tpu.ops.pallas_nw import (
+                PreparedSupport, nw_fused_from_prepared,
+            )
+
+            prep = self.prepared
+            # Only the fields this kernel/precision actually uses ride
+            # through the shard_map (s2c: l2 modes; sscale: int8 banks).
+            names = [
+                n for n in ("s", "s2c", "lane", "sub", "sscale")
+                if getattr(prep, n) is not None
+            ]
+
+            def local_prepared(qfeat, *arrs):
+                kw = dict(zip(names, arrs))
+                local_prep = PreparedSupport(
+                    s=kw["s"], s2c=kw.get("s2c"), lane=kw["lane"],
+                    sub=kw["sub"], sscale=kw.get("sscale"),
+                )
+                m, l, acc = nw_fused_from_prepared(
+                    qfeat, local_prep, n_classes,
+                    kernel=kernel, kernel_params=kernel_params,
+                    partials=True,
+                )
+                return merge_partials(m, l, acc, "support")
+
+            mapped = jax.shard_map(
+                local_prepared,
+                mesh=self.mesh,
+                in_specs=(P("data"),) + (P("support"),) * len(names),
+                out_specs=P("data"),
+                # pallas_call outputs carry no varying-mesh-axes metadata;
+                # the collective correctness is covered by the parity tests.
+                check_vma=False,
+            )
+
+            @jax.jit
+            def predict_prepared(qfeat):
+                return mapped(qfeat, *[getattr(prep, n) for n in names])
+
+            return predict_prepared
+
         def local(qfeat, sfeat, sy, mask):
             m, l, acc = nw_partials(
                 qfeat, sfeat, sy, mask, n_classes,
@@ -156,6 +268,9 @@ class ShardedSupportBank:
             mesh=self.mesh,
             in_specs=(P("data"), P("support"), P("support"), P("support")),
             out_specs=P("data"),
+            # Same reason as above: the fused (Pallas) per-shard partials
+            # path produces outputs without varying-mesh-axes metadata.
+            check_vma=False,
         )
 
         @jax.jit

@@ -330,7 +330,10 @@ class TestInt8Bank:
                                            support_mask=mask))
             assert np.max(np.abs(np.exp(got) - np.exp(want))) < 0.08, kernel
 
-    def test_int8_partials_rejected(self, rng):
+    def test_int8_partials_merge_matches_full(self, rng):
+        """int8 prepared partials, finalized by hand, equal the int8
+        prepared log-probs (the sharded int8 serving path is exact vs the
+        single-device int8 path)."""
         from nwhead_tpu.ops.pallas_nw import (
             nw_fused_from_prepared, prepare_support,
         )
@@ -339,5 +342,9 @@ class TestInt8Bank:
         sy = jnp.asarray(rng.integers(0, 4, size=200).astype(np.int32))
         q = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
         prep = prepare_support(s, sy, 4, precision="int8")
-        with pytest.raises(NotImplementedError):
-            nw_fused_from_prepared(q, prep, 4, partials=True)
+        m, l, acc = nw_fused_from_prepared(q, prep, 4, partials=True)
+        got = np.log(
+            np.asarray(acc) / np.maximum(np.asarray(l), 1e-30) + 1e-12
+        )
+        want = np.asarray(nw_fused_from_prepared(q, prep, 4))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -47,6 +47,80 @@ def test_sharded_kernel_variants(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_prepared_bank_matches_single_device(rng, mesh_shape):
+    """The prepared sharded path (per-shard double-buffered serving kernel,
+    interpret mode on CPU) must equal the single-device op."""
+    n_data, n_support = mesh_shape
+    mesh = make_mesh(n_data, n_support)
+    B, S, D, C = 8, 600, 32, 7  # S not divisible by shards -> padding path
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    sy = rng.integers(0, C, size=S).astype(np.int32)
+
+    bank = ShardedSupportBank.build(s, sy, mesh, C, use_prepared=True)
+    assert bank.prepared is not None and bank.feat is None
+    got = np.asarray(bank.predict_fn()(
+        jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    ))
+    want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_prepared_kernel_variants_and_clip(rng):
+    """All five fused kernels through the prepared sharded path, including
+    clip's runtime logit_scale."""
+    mesh = make_mesh(2, 4)
+    B, S, D, C = 4, 260, 16, 5
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    sy = rng.integers(0, C, size=S).astype(np.int32)
+    for kernel in ["euclidean", "hypersphere_euclidean", "cosine",
+                   "dotproduct", "clip"]:
+        kparams = {"logit_scale": jnp.float32(1.3)} if kernel == "clip" else None
+        bank = ShardedSupportBank.build(s, sy, mesh, C, kernel=kernel,
+                                        use_prepared=True)
+        got = np.asarray(bank.predict_fn(kernel_params=kparams)(jnp.asarray(q)))
+        want = np.asarray(nw_log_probs(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C,
+            kernel=kernel, kernel_params=kparams,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=kernel)
+
+
+def test_sharded_prepared_bank_precisions(rng):
+    """bf16 and int8 sharded banks merge exactly like their single-device
+    prepared counterparts (sharding introduces no extra quantization error)."""
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
+
+    mesh = make_mesh(2, 4)
+    B, S, D, C = 4, 512, 32, 5
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    sy = rng.integers(0, C, size=S).astype(np.int32)
+
+    want_f32 = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C))
+    for precision, tol in [("bf16", 0.1), ("int8", 0.1)]:
+        bank = ShardedSupportBank.build(s, sy, mesh, C, precision=precision,
+                                        use_prepared=True)
+        assert jnp.dtype(bank.prepared.s.dtype) == jnp.dtype(
+            {"bf16": jnp.bfloat16, "int8": jnp.int8}[precision])
+        got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
+        # Coarse agreement with f32 (quantization), exact probability mass.
+        np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(got, want_f32, rtol=tol, atol=0.05,
+                                   err_msg=precision)
+
+
+def test_sharded_precision_requires_prepared(rng):
+    mesh = make_mesh(2, 4)
+    s = rng.standard_normal((64, 16)).astype(np.float32)
+    sy = rng.integers(0, 4, size=64).astype(np.int32)
+    with pytest.raises(ValueError, match="prepared"):
+        ShardedSupportBank.build(s, sy, mesh, 4, precision="bf16",
+                                 use_prepared=False)
+
+
 def test_data_parallel_train_step(rng):
     """One NW training step with the batch sharded over 8 devices — grads
     come back replicated and finite (XLA inserts the reductions)."""
