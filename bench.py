@@ -209,18 +209,26 @@ def main():
     HN = (100, 1600) if on_tpu else (1, 3)
     head_t = _measure(head_cases, *HN)
 
+    # int8 PTQ serving featurizer (BN-folded, per-channel int8 weights,
+    # activation scales calibrated on the bench batch) — models/quantize.py.
+    from nwhead_tpu.models.quantize import quantize_featurizer
+
+    q8 = quantize_featurizer(model, variables, q_img[:32])
+
     feat_cases = [
         ("feat_b64", lambda v, x, c: model.apply(v, x, train=False).mean(),
          (variables, q_img)),
+        ("feat_int8_b64", lambda x, c: q8.apply(x).mean(), (q_img,)),
     ]
     if on_tpu:
         q_img256 = jnp.asarray(
             rng.standard_normal((256, IMG, IMG, 3)).astype(np.float32)
         )
-        feat_cases.append(
+        feat_cases += [
             ("feat_b256", lambda v, x, c: model.apply(v, x, train=False).mean(),
-             (variables, q_img256))
-        )
+             (variables, q_img256)),
+            ("feat_int8_b256", lambda x, c: q8.apply(x).mean(), (q_img256,)),
+        ]
     FN = (10, 110) if on_tpu else (1, 2)
     feat_t = _measure(feat_cases, *FN)
 
@@ -238,6 +246,12 @@ def main():
     qps_ref_style = B / (t_feat + head_t["head_naive"])
     qps_b256 = (
         256 / (feat_t["feat_b256"] + head_t["head_prepared_b256"])
+        if on_tpu else None
+    )
+    # Full int8 serving path: PTQ featurizer + int8 prepared head.
+    qps_int8 = B / (feat_t["feat_int8_b64"] + head_t["head_int8"])
+    qps_int8_b256 = (
+        256 / (feat_t["feat_int8_b256"] + head_t["head_int8"])
         if on_tpu else None
     )
 
@@ -258,6 +272,13 @@ def main():
                 "head_int8_qps": round(B / head_t["head_int8"], 1),
                 "head_speedup_vs_naive": round(head_t["head_naive"] / t_head, 2),
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
+                "featurizer_int8_ms_per_batch": round(
+                    feat_t["feat_int8_b64"] * 1e3, 2
+                ),
+                "e2e_qps_int8_serving": round(qps_int8, 1),
+                "e2e_qps_int8_serving_b256": (
+                    round(qps_int8_b256, 1) if qps_int8_b256 else None
+                ),
                 "train_step_ms": round(train_t * 1e3, 2),
                 "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,

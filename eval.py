@@ -50,6 +50,12 @@ def main(argv=None):
     p.add_argument("--head_precision", type=str, default="f32",
                    choices=["f32", "bf16", "int8"],
                    help="serving-bank precision for the fused full-mode path")
+    p.add_argument("--featurizer_precision", type=str, default="f32",
+                   choices=["f32", "int8"],
+                   help="int8: post-training-quantized serving featurizer "
+                        "(BN-folded, per-channel int8 weights; ResNet archs)")
+    p.add_argument("--calib_images", type=int, default=256,
+                   help="calibration-set size for --featurizer_precision int8")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--decoder", type=str, default="native",
                    choices=["native", "native_fused", "pil"])
@@ -99,6 +105,18 @@ def main(argv=None):
             "params": variables["params"], "batch_stats": variables["batch_stats"]})
         variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
         print(f"Loaded checkpoint {args.ckpt}")
+
+    if args.featurizer_precision == "int8":
+        if args.bank_cache:
+            raise SystemExit(
+                "--bank_cache cannot be combined with --featurizer_precision "
+                "int8: cached float bank features would mix with quantized "
+                "query features (and vice versa); precompute fresh"
+            )
+        n_cal = min(args.calib_images, len(train_ds))
+        calib = train_ds.gather(np.arange(n_cal))
+        net.quantize_featurizer(variables, calib)
+        print(f"Quantized featurizer (int8 PTQ, {n_cal} calibration images)")
 
     # Precompute (or restore) the support bank.
     from nwhead_tpu.data import FeatureBankCache

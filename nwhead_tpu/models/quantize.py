@@ -1,0 +1,315 @@
+"""Post-training int8 quantization of ResNet featurizers for serving.
+
+The serving headline is featurizer-bound (ResNet-18 bf16 B=64 ~2.6 ms vs
+~19 us fused head). v5e's MXU runs int8 at 2x bf16 peak and XLA lowers
+s8 x s8 -> s32 convolutions to it (measured ~2x on the 3x3 stage shapes,
+scripts/quant_lab.py); fusing the requantize chain into the conv epilogue
+also writes activations at 1/4 the f32 bytes. The reference has no
+quantization story at all (pure f32 torch, ``model/resnet.py``); this is a
+TPU-serving feature of this framework.
+
+Scheme (standard PTQ, serving-only — training stays f32/bf16):
+  * BatchNorm folded into the preceding conv (per-output-channel scale +
+    bias) — the serving graph has no BN ops;
+  * weights: symmetric per-output-channel int8;
+  * activations: symmetric per-tensor int8, scales calibrated from a
+    representative batch (max |x| over the calibration set);
+  * the stem conv stays bf16 (3 input channels starve the MXU K dim; int8
+    measured no faster there) as does the final global-avg-pool (f32).
+
+Typical accuracy cost for ResNet-scale PTQ is well under a point of top-1;
+``NWNet.quantize_featurizer`` + tests validate feature agreement and
+downstream NW-prediction parity on this stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nwhead_tpu.models.resnet import BasicBlock, Bottleneck, ResNet
+
+
+class QConv(NamedTuple):
+    """One BN-folded, weight-quantized conv + its input activation scale."""
+
+    wq: jnp.ndarray        # (kh, kw, cin_per_group, cout) int8
+    w_scale: jnp.ndarray   # (cout,) f32 — per-out-channel weight scale
+    bias: jnp.ndarray      # (cout,) f32 — BN-folded bias
+    act_scale: jnp.ndarray  # () f32 — input-tensor quantization scale
+    stride: int
+    padding: Any           # explicit ((ph, ph), (pw, pw)) or 'VALID'
+    groups: int = 1
+
+
+class QBlock(NamedTuple):
+    kind: str              # 'basic' | 'bottleneck'
+    convs: Tuple[QConv, ...]        # conv1, conv2[, conv3]
+    downsample: Optional[QConv]
+
+
+class QuantizedResNet(NamedTuple):
+    """Serving-only quantized featurizer. ``apply(x)`` mirrors
+    ``ResNet.__call__(train=False)`` and returns pooled f32 features."""
+
+    stem_w: jnp.ndarray    # bf16 folded stem kernel
+    stem_b: jnp.ndarray    # f32 folded stem bias
+    stem_stride: int
+    stem_padding: Any
+    blocks: Tuple[QBlock, ...]
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _qresnet_forward(self, x)
+
+
+def _fold_conv_bn(conv_p, bn_p, bn_s, eps: float = 1e-5):
+    """Fold BN(scale, bias; mean, var) into the preceding bias-free conv:
+    w'[..., c] = w[..., c] * gamma_c / sqrt(var_c + eps);
+    b'_c = beta_c - gamma_c * mean_c / sqrt(var_c + eps)."""
+    w = np.asarray(conv_p["kernel"], np.float32)
+    gamma = np.asarray(bn_p["scale"], np.float32)
+    beta = np.asarray(bn_p["bias"], np.float32)
+    mean = np.asarray(bn_s["mean"], np.float32)
+    var = np.asarray(bn_s["var"], np.float32)
+    inv_std = 1.0 / np.sqrt(var + eps)
+    return w * (gamma * inv_std), beta - gamma * mean * inv_std
+
+
+def _quantize_weight(w: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8."""
+    amax = np.max(np.abs(w.reshape(-1, w.shape[-1])), axis=0)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(wq), jnp.asarray(scale)
+
+
+def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
+    """Quantize input -> int8 conv (MXU) -> dequantize + bias. Returns f32
+    (pre-activation); XLA fuses the requantize into the producer and the
+    epilogue into the conv."""
+    inv = 1.0 / qc.act_scale
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
+        jnp.int8
+    )
+    y = jax.lax.conv_general_dilated(
+        x8, qc.wq, (qc.stride, qc.stride), qc.padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=qc.groups,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (qc.act_scale * qc.w_scale) + qc.bias
+
+
+def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
+    x = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), q.stem_w,
+        (q.stem_stride, q.stem_stride), q.stem_padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(jnp.float32) + q.stem_b
+    x = jax.nn.relu(x)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+    for blk in q.blocks:
+        identity = x
+        if blk.kind == "basic":
+            out = jax.nn.relu(_qconv_apply(x, blk.convs[0]))
+            out = _qconv_apply(out, blk.convs[1])
+        else:
+            out = jax.nn.relu(_qconv_apply(x, blk.convs[0]))
+            out = jax.nn.relu(_qconv_apply(out, blk.convs[1]))
+            out = _qconv_apply(out, blk.convs[2])
+        if blk.downsample is not None:
+            identity = _qconv_apply(x, blk.downsample)
+        x = jax.nn.relu(out + identity)
+
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Builder: fold + calibrate + quantize
+# ---------------------------------------------------------------------------
+
+
+def _folded_layers(model: ResNet, variables) -> Tuple[Dict, List[Dict]]:
+    """Walk the ResNet param tree; return the folded stem and a per-block
+    list of folded (w, b, stride, padding, groups) conv descriptors in
+    forward order."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    if model.stem != "conv7":
+        raise NotImplementedError(
+            "quantize_featurizer supports the conv7 stem (the s2d stem is an "
+            "experiment flag; quantize the conv7 form instead)"
+        )
+    stem_w, stem_b = _fold_conv_bn(params["conv1"], params["bn1"], stats["bn1"])
+    stem = {"w": stem_w, "b": stem_b, "stride": 2, "padding": ((3, 3), (3, 3))}
+
+    is_bottleneck = model.block is Bottleneck
+    if not (is_bottleneck or model.block is BasicBlock):
+        raise NotImplementedError(
+            f"quantize_featurizer supports BasicBlock/Bottleneck ResNets, "
+            f"got {model.block.__name__}"
+        )
+    blocks = []
+    inplanes = 64
+    expansion = model.block.expansion
+    for stage, (planes, n_blocks) in enumerate(
+        zip((64, 128, 256, 512), model.layers)
+    ):
+        stride = 1 if stage == 0 else 2
+        for i in range(n_blocks):
+            name = f"layer{stage + 1}_{i}"
+            bp, bs = params[name], stats[name]
+            s = stride if i == 0 else 1
+            needs_ds = s != 1 or inplanes != planes * expansion
+            convs = []
+            if is_bottleneck:
+                w, b = _fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"])
+                convs.append(dict(w=w, b=b, stride=1, padding="VALID", groups=1))
+                w, b = _fold_conv_bn(bp["conv2"], bp["bn2"], bs["bn2"])
+                convs.append(dict(w=w, b=b, stride=s, padding=((1, 1), (1, 1)),
+                                  groups=model.groups))
+                w, b = _fold_conv_bn(bp["conv3"], bp["bn3"], bs["bn3"])
+                convs.append(dict(w=w, b=b, stride=1, padding="VALID", groups=1))
+            else:
+                w, b = _fold_conv_bn(bp["conv1"], bp["bn1"], bs["bn1"])
+                convs.append(dict(w=w, b=b, stride=s, padding=((1, 1), (1, 1)),
+                                  groups=1))
+                w, b = _fold_conv_bn(bp["conv2"], bp["bn2"], bs["bn2"])
+                convs.append(dict(w=w, b=b, stride=1, padding=((1, 1), (1, 1)),
+                                  groups=1))
+            ds = None
+            if needs_ds:
+                w, b = _fold_conv_bn(bp["ds_conv"], bp["ds_bn"], bs["ds_bn"])
+                ds = dict(w=w, b=b, stride=s, padding="VALID", groups=1)
+            blocks.append({
+                "kind": "bottleneck" if is_bottleneck else "basic",
+                "convs": convs,
+                "ds": ds,
+            })
+            inplanes = planes * expansion
+    return stem, blocks
+
+
+def _conv_f32(x, w, b, stride, padding, groups=1):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + jnp.asarray(b)
+
+
+def folded_forward(model: ResNet, variables, x: jnp.ndarray) -> jnp.ndarray:
+    """f32 forward through the BN-folded serving graph — must equal the
+    flax eval forward exactly (fold-correctness oracle), and is the
+    calibration reference."""
+    stem, blocks = _folded_layers(model, variables)
+    feats, _ = _folded_run(stem, blocks, x, record=False)
+    return feats
+
+
+def _folded_run(stem, blocks, x, record: bool):
+    """Shared folded-f32 executor; optionally records each quantized conv's
+    input amax (calibration)."""
+    amaxes: List[jnp.ndarray] = []
+
+    def note(t):
+        if record:
+            amaxes.append(jnp.max(jnp.abs(t)))
+
+    x = jax.nn.relu(_conv_f32(x, stem["w"], stem["b"], stem["stride"],
+                              stem["padding"]))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for blk in blocks:
+        identity = x
+        outs = x
+        note(outs)
+        c = blk["convs"]
+        if blk["kind"] == "basic":
+            outs = jax.nn.relu(_conv_f32(outs, **c[0]))
+            note(outs)
+            outs = _conv_f32(outs, **c[1])
+        else:
+            outs = jax.nn.relu(_conv_f32(outs, **c[0]))
+            note(outs)
+            outs = jax.nn.relu(_conv_f32(outs, **c[1]))
+            note(outs)
+            outs = _conv_f32(outs, **c[2])
+        if blk["ds"] is not None:
+            identity = _conv_f32(x, **blk["ds"])
+        x = jax.nn.relu(outs + identity)
+    return jnp.mean(x, axis=(1, 2)), amaxes
+
+
+def quantize_featurizer(
+    model: ResNet,
+    variables,
+    calib_images: jnp.ndarray,
+    calib_batch: int = 64,
+) -> QuantizedResNet:
+    """Build the int8 serving featurizer from trained variables.
+
+    calib_images: a representative image batch (post-transform, NHWC) used
+    to calibrate per-tensor activation scales (max |x| over the set).
+    """
+    stem, blocks = _folded_layers(model, variables)
+
+    # Calibration: folded-f32 forward capturing per-conv input amaxes.
+    run = jax.jit(lambda xs: _folded_run(stem, blocks, xs, record=True)[1])
+    total: Optional[List[np.ndarray]] = None
+    n = calib_images.shape[0]
+    for start in range(0, n, calib_batch):
+        chunk = calib_images[start:start + calib_batch]
+        amaxes = [np.asarray(a) for a in run(jnp.asarray(chunk))]
+        total = amaxes if total is None else [
+            np.maximum(a, b) for a, b in zip(total, amaxes)
+        ]
+    it = iter(total)
+
+    def qconv(desc) -> QConv:
+        wq, w_scale = _quantize_weight(np.asarray(desc["w"], np.float32))
+        amax = float(next(it))
+        act_scale = amax / 127.0 if amax > 0 else 1.0
+        return QConv(
+            wq=wq, w_scale=w_scale, bias=jnp.asarray(desc["b"], jnp.float32),
+            act_scale=jnp.float32(act_scale), stride=desc["stride"],
+            padding=desc["padding"], groups=desc["groups"],
+        )
+
+    qblocks = []
+    for blk in blocks:
+        # note() order in _folded_run: block input, then post-relu
+        # intermediates — conv1 input first, then conv2 [, conv3].
+        convs = tuple(qconv(c) for c in blk["convs"])
+        ds = None
+        if blk["ds"] is not None:
+            # Downsample consumes the block INPUT: reuse conv1's act_scale.
+            wq, w_scale = _quantize_weight(
+                np.asarray(blk["ds"]["w"], np.float32)
+            )
+            ds = QConv(
+                wq=wq, w_scale=w_scale,
+                bias=jnp.asarray(blk["ds"]["b"], jnp.float32),
+                act_scale=convs[0].act_scale,
+                stride=blk["ds"]["stride"], padding=blk["ds"]["padding"],
+                groups=blk["ds"]["groups"],
+            )
+        qblocks.append(QBlock(kind=blk["kind"], convs=convs, downsample=ds))
+
+    return QuantizedResNet(
+        stem_w=jnp.asarray(stem["w"], jnp.bfloat16),
+        stem_b=jnp.asarray(stem["b"], jnp.float32),
+        stem_stride=stem["stride"],
+        stem_padding=stem["padding"],
+        blocks=tuple(qblocks),
+    )

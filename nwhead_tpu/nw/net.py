@@ -145,6 +145,7 @@ class NWNet:
         # merge (parallel.ShardedSupportBank).
         self.mesh = mesh
         self.sharded_bank = None
+        self.quantized_featurizer = None  # set by quantize_featurizer()
 
         self.model = NWModel(
             featurizer=featurizer,
@@ -275,6 +276,40 @@ class NWNet:
 
         (log_probs, updates) = self._apply_train(variables, jnp.asarray(x), sx, sy_dev)
         return log_probs, isin, updates["batch_stats"]
+
+    # -- serving quantization --------------------------------------------------
+
+    def quantize_featurizer(self, variables: Dict[str, Any], calib_images) -> None:
+        """Swap the eval/serving featurizer for an int8 post-training-
+        quantized one (``models/quantize.py``): BN-folded, per-channel int8
+        weights, activation scales calibrated on ``calib_images``. Training
+        (``forward``) keeps the float featurizer; call ``precompute`` after
+        this so the support bank is built with the same quantized features
+        as the queries. Serving-only — no reference equivalent (the
+        reference is pure-f32 torch)."""
+        from nwhead_tpu.models.quantize import quantize_featurizer as _quant
+
+        fvars = {
+            "params": variables["params"]["featurizer"],
+            "batch_stats": variables["batch_stats"]["featurizer"],
+        }
+        q = _quant(self.model.featurizer, fvars, jnp.asarray(calib_images))
+        proj = (
+            variables["params"]["proj"] if self.model.proj_dim > 0 else None
+        )
+
+        def feat(_variables, x):
+            f = q.apply(x)
+            if proj is not None:
+                f = f @ proj["kernel"] + proj["bias"]
+            return f
+
+        self.quantized_featurizer = q
+        self._featurize_eval = jax.jit(feat)
+        # Bank features must come from the same featurizer as queries.
+        self._prepared_full = None
+        self.sharded_bank = None
+        self._sharded_predict = None
 
     # -- precompute ----------------------------------------------------------
 

@@ -31,18 +31,26 @@ def _loop_maker(fn, n):
     return run
 
 
-def interleaved_time(named_makers, n1=5, n2=45, cycles=7):
+def interleaved_time(named_makers, cycles=7, target_s=0.06):
+    """Per-variant iteration counts are calibrated so the (n2-n1) loop delta
+    carries >= target_s seconds of signal (tunnel jitter is ~30 ms)."""
     fns = {}
     for name, fn, args in named_makers:
+        probe = _loop_maker(fn, 64)
+        float(probe(*args))  # compile
+        t0 = time.perf_counter(); float(probe(*args))
+        t_est = max((time.perf_counter() - t0) / 64, 1e-7)
+        delta = max(int(target_s / t_est), 64)
+        n1, n2 = 16, 16 + delta
         f1, f2 = _loop_maker(fn, n1), _loop_maker(fn, n2)
         float(f1(*args)); float(f2(*args))
-        fns[name] = (f1, f2, args)
+        fns[name] = (f1, f2, args, delta)
     samples = {name: [] for name, _, _ in named_makers}
     for _ in range(cycles):
-        for name, (f1, f2, args) in fns.items():
+        for name, (f1, f2, args, delta) in fns.items():
             t = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t
             t = time.perf_counter(); float(f2(*args)); t2 = time.perf_counter() - t
-            samples[name].append(max((t2 - t1) / (n2 - n1), 1e-9))
+            samples[name].append(max((t2 - t1) / delta, 1e-9))
     return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
 
 
@@ -73,20 +81,29 @@ def main():
         x8 = jnp.clip(jnp.round(xj * 10), -127, 127).astype(jnp.int8)
         w8 = jnp.clip(jnp.round(wj * 100), -127, 127).astype(jnp.int8)
 
-        # carry folds into the input so each iteration re-runs the conv.
+        # The loop carry enters through the WEIGHTS (tiny add) and the sum
+        # is re-barriered: conv is linear, so injecting the carry linearly
+        # into a visible operand lets XLA distribute conv over the add and
+        # hoist the real conv out of the loop (measured: impossible <10us
+        # timings). The barrier AFTER the add makes the operand opaque.
+        # ... and the OUTPUT is barriered before the reduction:
+        # sum(conv(x, w)) is linear in w, so XLA folds the whole conv into
+        # a precomputed patch-sum contraction otherwise.
         def f32_fn(xx, ww, carry, s=stride):
-            out = conv(xx + carry.astype(xx.dtype), ww, s)
-            return jnp.sum(out.astype(jnp.float32)) * 1e-20
+            w_dep = jax.lax.optimization_barrier(ww + carry.astype(ww.dtype))
+            out = jax.lax.optimization_barrier(conv(xx, w_dep, s))
+            return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
 
         def bf16_fn(xx, ww, carry, s=stride):
-            out = conv(xx + carry.astype(xx.dtype), ww, s)
-            return jnp.sum(out.astype(jnp.float32)) * 1e-20
+            w_dep = jax.lax.optimization_barrier(ww + carry.astype(ww.dtype))
+            out = jax.lax.optimization_barrier(conv(xx, w_dep, s))
+            return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
 
         def int8_fn(xx, ww, carry, s=stride):
-            # int8 carry injection: flip by a data-dependent 0/1.
-            dx = (carry > 1e30).astype(jnp.int8)
-            out = conv(xx + dx, ww, s, preferred=jnp.int32)
-            return jnp.sum(out.astype(jnp.float32)) * 1e-20
+            dw = (carry > 1e30).astype(jnp.int8)
+            w_dep = jax.lax.optimization_barrier(ww + dw)
+            out = jax.lax.optimization_barrier(conv(xx, w_dep, s, preferred=jnp.int32))
+            return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
 
         makers = [("f32", f32_fn, (xj, wj)), ("bf16", bf16_fn, (xb, wb))]
         try:
@@ -106,5 +123,50 @@ def main():
         print(f"  {name}: {line}", flush=True)
 
 
+def stack():
+    """Full ResNet-18 featurizer at B=64@224: bf16 flax vs int8 PTQ
+    (models/quantize.py). The real e2e question."""
+    import sys
+    sys.path.insert(0, ".")
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.quantize import quantize_featurizer
+
+    rng = np.random.default_rng(0)
+    B = 64
+    img = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32))
+    model_bf16 = load_model("resnet18", dtype=jnp.bfloat16)
+    model_f32 = load_model("resnet18")
+    variables = model_f32.init(jax.random.PRNGKey(0), img[:1], train=False)
+    q = quantize_featurizer(model_f32, variables, img[:32])
+
+    def bf16_fn(xx, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(
+            model_bf16.apply(variables, x_dep, train=False)
+        )
+        return jnp.sum(out[:1, :1]) * 1e-20
+
+    def int8_fn(xx, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(q.apply(x_dep))
+        return jnp.sum(out[:1, :1]) * 1e-20
+
+    res = interleaved_time(
+        [("bf16", bf16_fn, (img,)), ("int8", int8_fn, (img,))], cycles=7,
+        target_s=0.1,
+    )
+    for name, t in res.items():
+        print(f"  featurizer {name}: {t * 1e3:.3f} ms/batch-64 "
+              f"({B / t:.0f} img/s)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--stack" in sys.argv:
+        stack()
+    else:
+        main()
