@@ -313,3 +313,90 @@ def quantize_featurizer(
         stem_padding=stem["padding"],
         blocks=tuple(qblocks),
     )
+
+
+# ---------------------------------------------------------------------------
+# Serving-artifact serialization: quantize once, save, serve
+# ---------------------------------------------------------------------------
+
+
+def _pad_to_meta(p):
+    return p if isinstance(p, str) else [list(x) for x in p]
+
+
+def _pad_from_meta(p):
+    return p if isinstance(p, str) else tuple(tuple(x) for x in p)
+
+
+def save_quantized(q: QuantizedResNet, path: str) -> None:
+    """Serialize a quantized featurizer to one ``.npz`` (arrays + a JSON
+    manifest for the static structure). bf16 stem weights are stored as f32
+    (numpy has no bf16) and cast back on load — exact."""
+    import json
+
+    arrays: Dict[str, np.ndarray] = {
+        "stem_w": np.asarray(q.stem_w.astype(jnp.float32)),
+        "stem_b": np.asarray(q.stem_b),
+    }
+    meta = {
+        "stem_stride": q.stem_stride,
+        "stem_padding": _pad_to_meta(q.stem_padding),
+        "blocks": [],
+    }
+
+    def put(prefix: str, qc: QConv):
+        arrays[f"{prefix}.wq"] = np.asarray(qc.wq)
+        arrays[f"{prefix}.w_scale"] = np.asarray(qc.w_scale)
+        arrays[f"{prefix}.bias"] = np.asarray(qc.bias)
+        arrays[f"{prefix}.act_scale"] = np.asarray(qc.act_scale)
+        return {
+            "stride": qc.stride,
+            "padding": _pad_to_meta(qc.padding),
+            "groups": qc.groups,
+        }
+
+    for i, blk in enumerate(q.blocks):
+        bm = {"kind": blk.kind,
+              "convs": [put(f"b{i}.c{j}", c) for j, c in enumerate(blk.convs)],
+              "ds": put(f"b{i}.ds", blk.downsample) if blk.downsample else None}
+        meta["blocks"].append(bm)
+
+    np.savez(path, __meta__=np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    ), **arrays)
+
+
+def load_quantized(path: str) -> QuantizedResNet:
+    """Load a ``save_quantized`` artifact."""
+    import json
+
+    with np.load(path if str(path).endswith(".npz") else f"{path}.npz") as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+
+        def get(prefix: str, cm) -> QConv:
+            return QConv(
+                wq=jnp.asarray(z[f"{prefix}.wq"]),
+                w_scale=jnp.asarray(z[f"{prefix}.w_scale"]),
+                bias=jnp.asarray(z[f"{prefix}.bias"]),
+                act_scale=jnp.asarray(z[f"{prefix}.act_scale"]),
+                stride=cm["stride"],
+                padding=_pad_from_meta(cm["padding"]),
+                groups=cm["groups"],
+            )
+
+        blocks = []
+        for i, bm in enumerate(meta["blocks"]):
+            blocks.append(QBlock(
+                kind=bm["kind"],
+                convs=tuple(
+                    get(f"b{i}.c{j}", cm) for j, cm in enumerate(bm["convs"])
+                ),
+                downsample=get(f"b{i}.ds", bm["ds"]) if bm["ds"] else None,
+            ))
+        return QuantizedResNet(
+            stem_w=jnp.asarray(z["stem_w"]).astype(jnp.bfloat16),
+            stem_b=jnp.asarray(z["stem_b"]),
+            stem_stride=meta["stem_stride"],
+            stem_padding=_pad_from_meta(meta["stem_padding"]),
+            blocks=tuple(blocks),
+        )

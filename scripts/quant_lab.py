@@ -164,9 +164,70 @@ def stack():
               f"({B / t:.0f} img/s)", flush=True)
 
 
+def stem():
+    """Stem variants at B=64@224: conv7/s2 bf16 vs s2d(4x4, Cin=12) bf16 vs
+    s2d int8 — does the space-to-depth reparameterization pay off once the
+    MXU runs int8?"""
+    rng = np.random.default_rng(0)
+    B = 64
+    x = rng.standard_normal((B, 224, 224, 3)).astype(np.float32)
+    xj = jnp.asarray(x)
+    w7 = jnp.asarray((rng.standard_normal((7, 7, 3, 64)) * 0.05).astype(np.float32))
+    w4 = jnp.asarray((rng.standard_normal((4, 4, 12, 64)) * 0.05).astype(np.float32))
+
+    def s2d(t):
+        Bb, H, W, C = t.shape
+        t = t.reshape(Bb, H // 2, 2, W // 2, 2, C)
+        return t.transpose(0, 1, 3, 2, 4, 5).reshape(Bb, H // 2, W // 2, 4 * C)
+
+    def conv7_fn(xx, ww, carry):
+        w_dep = jax.lax.optimization_barrier(ww + carry.astype(ww.dtype))
+        out = jax.lax.optimization_barrier(
+            jax.lax.conv_general_dilated(
+                xx, w_dep, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+        return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
+
+    def s2d_fn(xx, ww, carry):
+        w_dep = jax.lax.optimization_barrier(ww + carry.astype(ww.dtype))
+        out = jax.lax.optimization_barrier(
+            jax.lax.conv_general_dilated(
+                s2d(xx), w_dep, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+        return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
+
+    def s2d_int8_fn(xx, ww, carry):
+        dw = (carry > 1e30).astype(jnp.int8)
+        w_dep = jax.lax.optimization_barrier(ww + dw)
+        out = jax.lax.optimization_barrier(
+            jax.lax.conv_general_dilated(
+                s2d(xx), w_dep, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+        )
+        return jnp.sum(out[:1, :1, :1].astype(jnp.float32)) * 1e-20
+
+    x8 = jnp.clip(jnp.round(xj * 50), -127, 127).astype(jnp.int8)
+    w4_8 = jnp.clip(jnp.round(w4 * 500), -127, 127).astype(jnp.int8)
+    res = interleaved_time([
+        ("conv7_bf16", conv7_fn, (xj.astype(jnp.bfloat16), w7.astype(jnp.bfloat16))),
+        ("s2d_bf16", s2d_fn, (xj.astype(jnp.bfloat16), w4.astype(jnp.bfloat16))),
+        ("s2d_int8", s2d_int8_fn, (x8, w4_8)),
+    ])
+    for name, t in res.items():
+        print(f"  stem {name}: {t * 1e6:.1f} us", flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if "--stack" in sys.argv:
         stack()
+    elif "--stem" in sys.argv:
+        stem()
     else:
         main()

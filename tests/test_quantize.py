@@ -100,6 +100,23 @@ def test_nwnet_quantized_serving_parity(rng):
     assert np.max(np.abs(np.exp(lp_q) - np.exp(lp_f32))) < 0.15
 
 
+def test_save_load_roundtrip(rng, tmp_path):
+    """Serialized quantized featurizer reproduces identical features."""
+    from nwhead_tpu.models.quantize import load_quantized, save_quantized
+
+    model = load_model("resnet10")
+    img = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    variables = _init_trained_like(model, rng, img)
+    q = quantize_featurizer(model, variables, img)
+
+    path = str(tmp_path / "q.npz")
+    save_quantized(q, path)
+    q2 = load_quantized(path)
+    np.testing.assert_array_equal(
+        np.asarray(q.apply(img)), np.asarray(q2.apply(img))
+    )
+
+
 def test_eval_cli_int8_featurizer(tmp_path):
     """eval.py --featurizer_precision int8 runs end to end (synthetic set,
     CIFAR_ResNet would not quantize — use the ImageNet-style arch)."""
