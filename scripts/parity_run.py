@@ -207,6 +207,25 @@ def run_tpu_stack(train_ds, val_ds, args) -> dict:
             "nll": trainer.val_metrics[f"loss:val:{mode}"].result(),
             "ece": trainer.val_metrics[f"ece:val:{mode}"].result(),
         }
+
+    if getattr(args, "int8_eval", False):
+        # int8-PTQ serving accuracy on the TRAINED weights: quantize the
+        # featurizer, rebuild the bank, re-evaluate full mode — the accuracy
+        # cost of the fast serving path, measured on this exact run.
+        variables = trainer.state.variables()
+        calib = train_ds.gather(
+            np.arange(min(getattr(args, "calib_images", 256), len(train_ds)))
+        )
+        net.quantize_featurizer(variables, calib)
+        net.precompute(variables)
+        outs, labels_all = [], np.asarray(val_ds.targets)
+        for s in range(0, len(val_ds), args.batch_size):
+            idx = np.arange(s, min(s + args.batch_size, len(val_ds)))
+            out = net.predict(variables, val_ds.gather(idx), "full")
+            outs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
+        results["full_int8"] = _metrics_from_logprobs(
+            np.concatenate(outs), labels_all
+        )
     return results
 
 
@@ -241,6 +260,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--stacks", default="both", choices=["both", "reference", "tpu"])
+    p.add_argument("--int8_eval", action="store_true",
+                   help="also evaluate full mode through the int8-PTQ serving "
+                        "featurizer (tpu stack only; reported as 'full_int8')")
+    p.add_argument("--calib_images", type=int, default=256)
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--update_baseline", action="store_true",
                    help="append the results table to BASELINE.md")

@@ -29,6 +29,7 @@ def test_parity_runner_fixture_scale(tmp_path):
         "--batch_size", "3", "--n_way", "3", "--n_shot", "2",
         "--lr", "0.01", "--milestones", "100",
         "--modes", "random", "full",
+        "--int8_eval", "--calib_images", "32",
         "--out", str(out),
     ])
 
@@ -42,3 +43,10 @@ def test_parity_runner_fixture_scale(tmp_path):
     assert set(report["delta"]) == {"random", "full"}
     saved = json.loads(out.read_text())
     assert saved["tpu"]["full"]["acc"] == report["tpu"]["full"]["acc"]
+    # int8-PTQ serving accuracy on the trained weights: close to float full
+    # mode on the fixture task.
+    m8 = report["tpu"]["full_int8"]
+    assert np.isfinite([m8["acc"], m8["nll"], m8["ece"]]).all()
+    assert abs(m8["acc"] - report["tpu"]["full"]["acc"]) <= 10.0, (
+        m8, report["tpu"]["full"]
+    )
