@@ -258,11 +258,18 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "CUB-200 full-mode NW inference (resnet18 + fused head, S=5994, C=200)",
-                "value": round(qps, 1),
+                # Headline = the framework's serving path: int8-PTQ ResNet-18
+                # (BN-folded, accuracy-validated in tests + the parity
+                # protocol) + int8 prepared fused head. Float-path numbers
+                # are all preserved below (e2e_qps_float, head_*,
+                # featurizer_ms_per_batch).
+                "metric": "CUB-200 full-mode NW inference (int8-PTQ resnet18 + fused head serving path, S=5994, C=200)",
+                "value": round(qps_int8, 1),
                 "unit": "queries/sec/chip",
-                "vs_baseline": round(qps / qps_ref_style, 3),
-                "baseline_def": "same chip, reference-style materialized cdist->softmax->bmm head",
+                "vs_baseline": round(qps_int8 / qps_ref_style, 3),
+                "baseline_def": "same chip, reference-style stack: bf16 resnet18 + materialized cdist->softmax->bmm head",
+                "e2e_qps_float": round(qps, 1),
+                "vs_baseline_float": round(qps / qps_ref_style, 3),
                 "head_us_per_batch": round(t_head * 1e6, 1),
                 "head_raw_us_per_batch": round(head_t["head_raw"] * 1e6, 1),
                 "head_only_qps": round(B / t_head, 1),

@@ -87,9 +87,11 @@ def _quantize_weight(w: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
-    """Quantize input -> int8 conv (MXU) -> dequantize + bias. Returns f32
-    (pre-activation); XLA fuses the requantize into the producer and the
-    epilogue into the conv."""
+    """Quantize input -> int8 conv (MXU) -> dequantize + bias. The scale/
+    bias math is f32 but the tensor is carried in bf16 between convs —
+    activations move at half the f32 bytes and the epilogue fuses into the
+    conv; the next conv's requantize step re-rounds from bf16 (the int8
+    rounding error dominates the bf16 carry error)."""
     inv = 1.0 / qc.act_scale
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
         jnp.int8
@@ -100,18 +102,21 @@ def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
         feature_group_count=qc.groups,
         preferred_element_type=jnp.int32,
     )
-    return y.astype(jnp.float32) * (qc.act_scale * qc.w_scale) + qc.bias
+    y = y.astype(jnp.float32) * (qc.act_scale * qc.w_scale) + qc.bias
+    return y.astype(jnp.bfloat16)
 
 
 def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
-    x = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), q.stem_w,
-        (q.stem_stride, q.stem_stride), q.stem_padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).astype(jnp.float32) + q.stem_b
+    x = (
+        jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), q.stem_w,
+            (q.stem_stride, q.stem_stride), q.stem_padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32) + q.stem_b
+    ).astype(jnp.bfloat16)
     x = jax.nn.relu(x)
     x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
 
@@ -128,7 +133,7 @@ def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
             identity = _qconv_apply(x, blk.downsample)
         x = jax.nn.relu(out + identity)
 
-    return jnp.mean(x, axis=(1, 2))
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 # ---------------------------------------------------------------------------
