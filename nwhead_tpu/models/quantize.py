@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nwhead_tpu.models.densenet import DenseNet
 from nwhead_tpu.models.resnet import BasicBlock, Bottleneck, ResNet
 
 
@@ -257,16 +258,20 @@ def _folded_run(stem, blocks, x, record: bool):
 
 
 def quantize_featurizer(
-    model: ResNet,
+    model,
     variables,
     calib_images: jnp.ndarray,
     calib_batch: int = 64,
-) -> QuantizedResNet:
+):
     """Build the int8 serving featurizer from trained variables.
 
-    calib_images: a representative image batch (post-transform, NHWC) used
-    to calibrate per-tensor activation scales (max |x| over the set).
+    Dispatches on the backbone family: ResNet/ResNeXt (BN-folded) or
+    DenseNet-BC (BN kept as affine). calib_images: a representative image
+    batch (post-transform, NHWC) used to calibrate per-tensor activation
+    scales (max |x| over the set).
     """
+    if isinstance(model, DenseNet):
+        return quantize_densenet(model, variables, calib_images, calib_batch)
     stem, blocks = _folded_layers(model, variables)
 
     # Calibration: folded-f32 forward capturing per-conv input amaxes.
@@ -321,6 +326,199 @@ def quantize_featurizer(
 
 
 # ---------------------------------------------------------------------------
+# DenseNet: pre-activation BN-ReLU-Conv — BN cannot fold across the ReLU, so
+# it stays as a precomputed per-channel affine (two fused VPU ops); every
+# conv still runs int8 on the MXU.
+# ---------------------------------------------------------------------------
+
+
+class QAffine(NamedTuple):
+    """BatchNorm at inference, reduced to y = x * scale + shift."""
+
+    scale: jnp.ndarray  # (C,) f32
+    shift: jnp.ndarray  # (C,) f32
+
+    def __call__(self, x):
+        return (
+            x.astype(jnp.float32) * self.scale + self.shift
+        ).astype(jnp.bfloat16)
+
+
+class QDenseLayer(NamedTuple):
+    bn1: QAffine
+    conv1: QConv  # 1x1 bottleneck
+    bn2: QAffine
+    conv2: QConv  # 3x3 growth
+
+
+class QuantizedDenseNet(NamedTuple):
+    """Serving-only quantized DenseNet-BC: mirrors
+    ``DenseNet.__call__(train=False)`` (``models/densenet.py:149-190``)."""
+
+    stem_w: jnp.ndarray  # bf16 conv0 kernel
+    bn0: QAffine
+    blocks: Tuple[Tuple[QDenseLayer, ...], ...]
+    transitions: Tuple[Optional[Tuple[QAffine, QConv]], ...]  # len = blocks
+    final_bn: QAffine
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), self.stem_w, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = jax.nn.relu(self.bn0(x))
+        x = jax.lax.reduce_window(
+            x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1),
+            (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        for block, trans in zip(self.blocks, self.transitions):
+            for layer in block:
+                h = jax.nn.relu(layer.bn1(x))
+                h = _qconv_apply(h, layer.conv1)
+                h = jax.nn.relu(layer.bn2(h))
+                h = _qconv_apply(h, layer.conv2)
+                x = jnp.concatenate([x, h], axis=-1)
+            if trans is not None:
+                t_bn, t_conv = trans
+                h = jax.nn.relu(t_bn(x))
+                h = _qconv_apply(h, t_conv)
+                x = jax.lax.reduce_window(
+                    h, jnp.bfloat16(0.0), jax.lax.add, (1, 2, 2, 1),
+                    (1, 2, 2, 1), ((0, 0), (0, 0), (0, 0), (0, 0)),
+                ) * 0.25
+        x = jax.nn.relu(self.final_bn(x))
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def _bn_affine(bn_p, bn_s, eps: float = 1e-5) -> QAffine:
+    gamma = np.asarray(bn_p["scale"], np.float32)
+    beta = np.asarray(bn_p["bias"], np.float32)
+    mean = np.asarray(bn_s["mean"], np.float32)
+    var = np.asarray(bn_s["var"], np.float32)
+    inv_std = 1.0 / np.sqrt(var + eps)
+    return QAffine(
+        scale=jnp.asarray(gamma * inv_std),
+        shift=jnp.asarray(beta - gamma * mean * inv_std),
+    )
+
+
+def quantize_densenet(
+    model: DenseNet,
+    variables,
+    calib_images: jnp.ndarray,
+    calib_batch: int = 64,
+) -> QuantizedDenseNet:
+    """int8 PTQ for the ImageNet DenseNet-BC family: convs quantized
+    (per-out-channel weights + calibrated per-tensor activation scales),
+    BNs kept as precomputed affines (pre-activation layout — no fold across
+    the ReLU)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    # Structure walk + an f32 calibration forward that records each
+    # quantized conv's input amax (post relu(BN), exactly what serving
+    # quantizes).
+    def conv_w(p):
+        return np.asarray(p["kernel"], np.float32)
+
+    def run_calib(x):
+        amaxes = []
+
+        def qin(t):
+            amaxes.append(jnp.max(jnp.abs(t)))
+            return t
+
+        def conv(t, w, stride=1, padding="VALID"):
+            return jax.lax.conv_general_dilated(
+                t, jnp.asarray(w), (stride, stride), padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def bn(t, name_p, name_s):
+            a = _bn_affine(name_p, name_s)
+            return t * a.scale + a.shift
+
+        t = conv(x, conv_w(params["conv0"]), 2, ((3, 3), (3, 3)))
+        t = jax.nn.relu(bn(t, params["norm0"], stats["norm0"]))
+        t = jax.lax.reduce_window(
+            t, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        for i, num_layers in enumerate(model.block_config):
+            bname = f"denseblock{i + 1}"
+            bp, bs = params[bname], stats[bname]
+            for j in range(num_layers):
+                lp, ls = bp[f"denselayer{j + 1}"], bs[f"denselayer{j + 1}"]
+                h = jax.nn.relu(bn(t, lp["norm1"], ls["norm1"]))
+                h = conv(qin(h), conv_w(lp["conv1"]))
+                h = jax.nn.relu(bn(h, lp["norm2"], ls["norm2"]))
+                h = conv(qin(h), conv_w(lp["conv2"]), 1, ((1, 1), (1, 1)))
+                t = jnp.concatenate([t, h], axis=-1)
+            if i != len(model.block_config) - 1:
+                tname = f"transition{i + 1}"
+                tp, ts = params[tname], stats[tname]
+                h = jax.nn.relu(bn(t, tp["norm"], ts["norm"]))
+                h = conv(qin(h), conv_w(tp["conv"]))
+                t = jax.lax.reduce_window(
+                    h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                    ((0, 0), (0, 0), (0, 0), (0, 0)),
+                ) * 0.25
+        return amaxes
+
+    run = jax.jit(run_calib)
+    total = None
+    for start in range(0, calib_images.shape[0], calib_batch):
+        chunk = jnp.asarray(calib_images[start:start + calib_batch])
+        amaxes = [np.asarray(a) for a in run(chunk)]
+        total = amaxes if total is None else [
+            np.maximum(a, b) for a, b in zip(total, amaxes)
+        ]
+    it = iter(total)
+
+    def qconv(p, stride=1, padding="VALID") -> QConv:
+        w = np.asarray(p["kernel"], np.float32)
+        wq, w_scale = _quantize_weight(w)
+        amax = float(next(it))
+        return QConv(
+            wq=wq, w_scale=w_scale,
+            bias=jnp.zeros((w.shape[-1],), jnp.float32),
+            act_scale=jnp.float32(amax / 127.0 if amax > 0 else 1.0),
+            stride=stride, padding=padding, groups=1,
+        )
+
+    blocks, transitions = [], []
+    for i, num_layers in enumerate(model.block_config):
+        bname = f"denseblock{i + 1}"
+        bp, bs = params[bname], stats[bname]
+        layers = []
+        for j in range(num_layers):
+            lp, ls = bp[f"denselayer{j + 1}"], bs[f"denselayer{j + 1}"]
+            layers.append(QDenseLayer(
+                bn1=_bn_affine(lp["norm1"], ls["norm1"]),
+                conv1=qconv(lp["conv1"]),
+                bn2=_bn_affine(lp["norm2"], ls["norm2"]),
+                conv2=qconv(lp["conv2"], 1, ((1, 1), (1, 1))),
+            ))
+        blocks.append(tuple(layers))
+        if i != len(model.block_config) - 1:
+            tname = f"transition{i + 1}"
+            tp, ts = params[tname], stats[tname]
+            transitions.append(
+                (_bn_affine(tp["norm"], ts["norm"]), qconv(tp["conv"]))
+            )
+        else:
+            transitions.append(None)
+
+    return QuantizedDenseNet(
+        stem_w=jnp.asarray(params["conv0"]["kernel"], jnp.bfloat16),
+        bn0=_bn_affine(params["norm0"], stats["norm0"]),
+        blocks=tuple(blocks),
+        transitions=tuple(transitions),
+        final_bn=_bn_affine(params["norm5"], stats["norm5"]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Serving-artifact serialization: quantize once, save, serve
 # ---------------------------------------------------------------------------
 
@@ -333,21 +531,14 @@ def _pad_from_meta(p):
     return p if isinstance(p, str) else tuple(tuple(x) for x in p)
 
 
-def save_quantized(q: QuantizedResNet, path: str) -> None:
-    """Serialize a quantized featurizer to one ``.npz`` (arrays + a JSON
-    manifest for the static structure). bf16 stem weights are stored as f32
-    (numpy has no bf16) and cast back on load — exact."""
+def save_quantized(q, path: str) -> None:
+    """Serialize a quantized featurizer (ResNet or DenseNet family) to one
+    ``.npz`` (arrays + a JSON manifest for the static structure). bf16 stem
+    weights are stored as f32 (numpy has no bf16) and cast back on load —
+    exact."""
     import json
 
-    arrays: Dict[str, np.ndarray] = {
-        "stem_w": np.asarray(q.stem_w.astype(jnp.float32)),
-        "stem_b": np.asarray(q.stem_b),
-    }
-    meta = {
-        "stem_stride": q.stem_stride,
-        "stem_padding": _pad_to_meta(q.stem_padding),
-        "blocks": [],
-    }
+    arrays: Dict[str, np.ndarray] = {}
 
     def put(prefix: str, qc: QConv):
         arrays[f"{prefix}.wq"] = np.asarray(qc.wq)
@@ -360,19 +551,58 @@ def save_quantized(q: QuantizedResNet, path: str) -> None:
             "groups": qc.groups,
         }
 
-    for i, blk in enumerate(q.blocks):
-        bm = {"kind": blk.kind,
-              "convs": [put(f"b{i}.c{j}", c) for j, c in enumerate(blk.convs)],
-              "ds": put(f"b{i}.ds", blk.downsample) if blk.downsample else None}
-        meta["blocks"].append(bm)
+    def put_affine(prefix: str, a: QAffine):
+        arrays[f"{prefix}.scale"] = np.asarray(a.scale)
+        arrays[f"{prefix}.shift"] = np.asarray(a.shift)
+
+    if isinstance(q, QuantizedResNet):
+        arrays["stem_w"] = np.asarray(q.stem_w.astype(jnp.float32))
+        arrays["stem_b"] = np.asarray(q.stem_b)
+        meta = {
+            "family": "resnet",
+            "stem_stride": q.stem_stride,
+            "stem_padding": _pad_to_meta(q.stem_padding),
+            "blocks": [
+                {
+                    "kind": blk.kind,
+                    "convs": [
+                        put(f"b{i}.c{j}", c) for j, c in enumerate(blk.convs)
+                    ],
+                    "ds": put(f"b{i}.ds", blk.downsample)
+                    if blk.downsample else None,
+                }
+                for i, blk in enumerate(q.blocks)
+            ],
+        }
+    elif isinstance(q, QuantizedDenseNet):
+        arrays["stem_w"] = np.asarray(q.stem_w.astype(jnp.float32))
+        put_affine("bn0", q.bn0)
+        put_affine("final_bn", q.final_bn)
+        meta = {"family": "densenet", "blocks": []}
+        for i, (block, trans) in enumerate(zip(q.blocks, q.transitions)):
+            layers = []
+            for j, layer in enumerate(block):
+                put_affine(f"b{i}.l{j}.bn1", layer.bn1)
+                put_affine(f"b{i}.l{j}.bn2", layer.bn2)
+                layers.append({
+                    "conv1": put(f"b{i}.l{j}.c1", layer.conv1),
+                    "conv2": put(f"b{i}.l{j}.c2", layer.conv2),
+                })
+            tm = None
+            if trans is not None:
+                put_affine(f"t{i}.bn", trans[0])
+                tm = put(f"t{i}.conv", trans[1])
+            meta["blocks"].append({"layers": layers, "transition": tm})
+    else:
+        raise NotImplementedError(f"cannot serialize {type(q).__name__}")
 
     np.savez(path, __meta__=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     ), **arrays)
 
 
-def load_quantized(path: str) -> QuantizedResNet:
-    """Load a ``save_quantized`` artifact."""
+def load_quantized(path: str):
+    """Load a ``save_quantized`` artifact (either family)."""
     import json
 
     with np.load(path if str(path).endswith(".npz") else f"{path}.npz") as z:
@@ -387,6 +617,36 @@ def load_quantized(path: str) -> QuantizedResNet:
                 stride=cm["stride"],
                 padding=_pad_from_meta(cm["padding"]),
                 groups=cm["groups"],
+            )
+
+        def get_affine(prefix: str) -> QAffine:
+            return QAffine(
+                scale=jnp.asarray(z[f"{prefix}.scale"]),
+                shift=jnp.asarray(z[f"{prefix}.shift"]),
+            )
+
+        if meta.get("family", "resnet") == "densenet":
+            blocks, transitions = [], []
+            for i, bm in enumerate(meta["blocks"]):
+                blocks.append(tuple(
+                    QDenseLayer(
+                        bn1=get_affine(f"b{i}.l{j}.bn1"),
+                        conv1=get(f"b{i}.l{j}.c1", lm["conv1"]),
+                        bn2=get_affine(f"b{i}.l{j}.bn2"),
+                        conv2=get(f"b{i}.l{j}.c2", lm["conv2"]),
+                    )
+                    for j, lm in enumerate(bm["layers"])
+                ))
+                transitions.append(
+                    (get_affine(f"t{i}.bn"), get(f"t{i}.conv", bm["transition"]))
+                    if bm["transition"] else None
+                )
+            return QuantizedDenseNet(
+                stem_w=jnp.asarray(z["stem_w"]).astype(jnp.bfloat16),
+                bn0=get_affine("bn0"),
+                blocks=tuple(blocks),
+                transitions=tuple(transitions),
+                final_bn=get_affine("final_bn"),
             )
 
         blocks = []

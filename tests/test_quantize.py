@@ -100,6 +100,25 @@ def test_nwnet_quantized_serving_parity(rng):
     assert np.max(np.abs(np.exp(lp_q) - np.exp(lp_f32))) < 0.15
 
 
+def test_densenet_quantized_features_track_f32(rng):
+    """DenseNet-BC path: BN stays affine (pre-activation layout), convs
+    int8 — features must track the flax eval forward."""
+    model = load_model("densenet121")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = _init_trained_like(model, rng, img)
+    q = quantize_featurizer(model, variables, img)
+    got = np.asarray(q.apply(img))
+    want = np.asarray(model.apply(variables, img, train=False))
+    scale = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 0.06, (
+        np.max(np.abs(got - want)) / scale
+    )
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
 def test_save_load_roundtrip(rng, tmp_path):
     """Serialized quantized featurizer reproduces identical features."""
     from nwhead_tpu.models.quantize import load_quantized, save_quantized
@@ -110,6 +129,21 @@ def test_save_load_roundtrip(rng, tmp_path):
     q = quantize_featurizer(model, variables, img)
 
     path = str(tmp_path / "q.npz")
+    save_quantized(q, path)
+    q2 = load_quantized(path)
+    np.testing.assert_array_equal(
+        np.asarray(q.apply(img)), np.asarray(q2.apply(img))
+    )
+
+
+def test_densenet_save_load_roundtrip(rng, tmp_path):
+    from nwhead_tpu.models.quantize import load_quantized, save_quantized
+
+    model = load_model("densenet121")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = _init_trained_like(model, rng, img)
+    q = quantize_featurizer(model, variables, img)
+    path = str(tmp_path / "qd.npz")
     save_quantized(q, path)
     q2 = load_quantized(path)
     np.testing.assert_array_equal(

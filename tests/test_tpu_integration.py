@@ -58,6 +58,50 @@ def test_resnet18_nw_learns_on_tpu():
     assert acc1 > acc0 + 15, (acc0, acc1)
 
 
+def test_int8_serving_parity_on_tpu():
+    """The int8 serving stack on the real chip: quantize a trained-ish
+    featurizer, rebuild the bank, and require full-mode predictions to track
+    the float pipeline (the real int8 MXU path, not interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+
+    C = 10
+    r = np.random.default_rng(3)
+    y = np.tile(np.arange(C), 20)
+    patterns = np.random.default_rng(42).normal(0, 1, (C, 32, 32, 3)).astype(np.float32)
+    x = patterns[y] * 0.8 + r.normal(0, 0.5, (len(y), 32, 32, 3)).astype(np.float32)
+    ds = ArrayDataset(x.astype(np.float32), y, num_classes=C)
+
+    net = NWNet(load_model("resnet18"), C, support_dataset=ds,
+                feat_dim=512, n_shot_full=20, seed=0)
+    xq = jnp.asarray(ds.gather(np.arange(16)))
+    variables = net.init(jax.random.PRNGKey(0), xq)
+
+    net.precompute(variables)
+    lp_f = np.asarray(net.predict(variables, xq, "full"))
+
+    net.quantize_featurizer(variables, ds.gather(np.arange(64)))
+    net.precompute(variables)
+    lp_q = np.asarray(net.predict(variables, xq, "full"))
+
+    # On-chip f32 exp/log rounding leaves ~2e-5 of mass error.
+    np.testing.assert_allclose(np.exp(lp_q).sum(-1), 1.0, rtol=1e-4)
+    assert np.max(np.abs(np.exp(lp_q) - np.exp(lp_f))) < 0.15
+    agree = (lp_q.argmax(-1) == lp_f.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+
+
 def test_cli_full_path_on_disk_dataset(tmp_path):
     """The complete CLI path over a real on-disk image dataset: CUB-format
     manifests -> JPEG decode -> RandomResizedCrop/flip/normalize -> episodic
