@@ -108,18 +108,23 @@ def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
 
 
 def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
-    x = (
-        jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), q.stem_w,
-            (q.stem_stride, q.stem_stride), q.stem_padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32) + q.stem_b
-    ).astype(jnp.bfloat16)
-    x = jax.nn.relu(x)
+    # Stem: conv -> maxpool -> bias+relu, in that ORDER. The per-channel
+    # bias and the (monotone) relu both commute with the window max, so
+    # this equals relu(conv + b) -> maxpool exactly — but the elementwise
+    # pass runs on the 4x-smaller POOLED tensor. XLA does not fuse the
+    # bias/relu into the conv's output write, and on the (B, 112, 112, 64)
+    # stem output that unfused pass costs more HBM traffic than the conv
+    # itself (measured, quant_lab --decompose).
+    x = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), q.stem_w,
+        (q.stem_stride, q.stem_stride), q.stem_padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     x = jax.lax.reduce_window(
         x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+    x = jax.nn.relu(x + q.stem_b.astype(jnp.bfloat16))
 
     for blk in q.blocks:
         identity = x

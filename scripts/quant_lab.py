@@ -223,11 +223,71 @@ def stem():
         print(f"  stem {name}: {t * 1e6:.1f} us", flush=True)
 
 
+def decompose():
+    """Per-stage cost of the quantized resnet18 at B=64@224 via prefix
+    differentials: time the forward truncated after the stem and after each
+    block; stage cost = prefix[k] - prefix[k-1]."""
+    import sys
+    sys.path.insert(0, ".")
+    import jax.nn
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.quantize import (
+        _qconv_apply, quantize_featurizer,
+    )
+
+    rng = np.random.default_rng(0)
+    B = 64
+    img = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32))
+    model = load_model("resnet18")
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+    q = quantize_featurizer(model, variables, img[:32])
+
+    def prefix_fn(n_blocks):
+        def fn(xx, carry):
+            x_dep = jax.lax.optimization_barrier(
+                xx + carry.astype(xx.dtype) * 1e-30
+            )
+            x = jax.lax.conv_general_dilated(
+                x_dep.astype(jnp.bfloat16), q.stem_w, (2, 2),
+                q.stem_padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jax.lax.reduce_window(
+                x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1),
+                (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+            x = jax.nn.relu(x + q.stem_b.astype(jnp.bfloat16))
+            for blk in q.blocks[:n_blocks]:
+                identity = x
+                out = jax.nn.relu(_qconv_apply(x, blk.convs[0]))
+                out = _qconv_apply(out, blk.convs[1])
+                if blk.downsample is not None:
+                    identity = _qconv_apply(x, blk.downsample)
+                x = jax.nn.relu(out + identity)
+            x = jax.lax.optimization_barrier(x)
+            return jnp.sum(x[:1, :1, :1].astype(jnp.float32)) * 1e-20
+
+        return fn
+
+    makers = [(f"prefix{k}", prefix_fn(k), (img,))
+              for k in range(len(q.blocks) + 1)]
+    res = interleaved_time(makers, cycles=5)
+    prev = 0.0
+    names = ["stem+pool"] + [f"block{k}" for k in range(len(q.blocks))]
+    for k, name in enumerate(names):
+        t = res[f"prefix{k}"]
+        print(f"  {name}: +{(t - prev) * 1e6:7.1f} us (cum {t * 1e6:7.1f})",
+              flush=True)
+        prev = t
+
+
 if __name__ == "__main__":
     import sys
     if "--stack" in sys.argv:
         stack()
     elif "--stem" in sys.argv:
         stem()
+    elif "--decompose" in sys.argv:
+        decompose()
     else:
         main()
