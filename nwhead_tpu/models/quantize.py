@@ -275,8 +275,12 @@ def quantize_featurizer(
     batch (post-transform, NHWC) used to calibrate per-tensor activation
     scales (max |x| over the set).
     """
+    from nwhead_tpu.models.vit import VisionTransformer
+
     if isinstance(model, DenseNet):
         return quantize_densenet(model, variables, calib_images, calib_batch)
+    if isinstance(model, VisionTransformer):
+        return quantize_vit(model, variables, calib_images, calib_batch)
     stem, blocks = _folded_layers(model, variables)
 
     # Calibration: folded-f32 forward capturing per-conv input amaxes.
@@ -524,6 +528,247 @@ def quantize_densenet(
 
 
 # ---------------------------------------------------------------------------
+# ViT (DINOv2-style): every Dense (qkv / proj / fc1 / fc2) runs int8 on the
+# MXU; LayerNorms and the attention softmax stay f32; the patch-embed conv
+# (3 input channels) and the residual stream stay bf16.
+# ---------------------------------------------------------------------------
+
+
+class QDense(NamedTuple):
+    """int8 Dense: per-out-channel weight scales + per-tensor input scale."""
+
+    wq: jnp.ndarray        # (din, dout) int8
+    w_scale: jnp.ndarray   # (dout,) f32
+    bias: jnp.ndarray      # (dout,) f32
+    act_scale: jnp.ndarray  # () f32
+
+    def __call__(self, x):
+        inv = 1.0 / self.act_scale
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * inv), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x8, self.wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (self.act_scale * self.w_scale) + self.bias
+        return y.astype(jnp.bfloat16)
+
+
+class QLayerNorm(NamedTuple):
+    scale: jnp.ndarray
+    bias: jnp.ndarray
+
+    def __call__(self, x, eps: float = 1e-6):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps) * self.scale + self.bias
+        return y.astype(jnp.bfloat16)
+
+
+class QViTBlock(NamedTuple):
+    norm1: QLayerNorm
+    qkv: QDense
+    proj: QDense
+    ls1: Optional[jnp.ndarray]  # (dim,) LayerScale gamma or None
+    norm2: QLayerNorm
+    fc1: QDense
+    fc2: QDense
+    ls2: Optional[jnp.ndarray]
+
+
+class QuantizedViT(NamedTuple):
+    """Serving-only quantized ViT; mirrors
+    ``VisionTransformer.__call__(train=False)`` (``models/vit.py:119-163``)."""
+
+    patch_w: jnp.ndarray   # bf16 (p, p, 3, D)
+    patch_b: jnp.ndarray   # f32 (D,)
+    cls_token: jnp.ndarray  # (1, 1, D) f32
+    pos_embed: jnp.ndarray  # (1, n_pos + 1, D) f32
+    patch_size: int
+    num_heads: int
+    blocks: Tuple[QViTBlock, ...]
+    final_norm: QLayerNorm
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        from nwhead_tpu.models.vit import _interpolate_pos_embed
+
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+        D = self.patch_w.shape[-1]
+        x = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), self.patch_w,
+            (self.patch_size, self.patch_size), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + self.patch_b.astype(jnp.bfloat16)
+        x = x.reshape(B, gh * gw, D)
+
+        cls_pos, patch_pos = self.pos_embed[:, :1], self.pos_embed[:, 1:]
+        patch_pos = _interpolate_pos_embed(patch_pos, gh * gw, gh, gw)
+        x = x + patch_pos.astype(x.dtype)
+        cls_tok = (self.cls_token + cls_pos).astype(x.dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_tok, (B, 1, D)), x], axis=1
+        )
+
+        head_dim = D // self.num_heads
+        for blk in self.blocks:
+            h = blk.qkv(blk.norm1(x))
+            N = h.shape[1]
+            h = h.reshape(B, N, 3, self.num_heads, head_dim)
+            qh, kh, vh = h[:, :, 0], h[:, :, 1], h[:, :, 2]
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / np.sqrt(head_dim)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                jnp.bfloat16
+            )
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, D)
+            out = blk.proj(out)
+            if blk.ls1 is not None:
+                out = out * blk.ls1.astype(out.dtype)
+            x = x + out
+            h = blk.fc1(blk.norm2(x))
+            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+            h = blk.fc2(h)
+            if blk.ls2 is not None:
+                h = h * blk.ls2.astype(h.dtype)
+            x = x + h
+
+        x = self.final_norm(x)
+        return x[:, 0].astype(jnp.float32)
+
+
+def quantize_vit(
+    model,
+    variables,
+    calib_images: jnp.ndarray,
+    calib_batch: int = 64,
+) -> QuantizedViT:
+    """int8 PTQ for the ViT zoo: the four Dense matmuls per block quantized
+    (per-out-channel weights, calibrated per-tensor activation scales);
+    LayerNorm/softmax/GELU f32, attention contractions and the residual
+    stream bf16, patch embed bf16 (3-channel input)."""
+    params = variables["params"]
+
+    # Calibration: f32 flax-equivalent forward, recording each Dense input's
+    # amax — norm1 out (qkv), attention out (proj), norm2 out (fc1), gelu
+    # out (fc2), in block order.
+    from nwhead_tpu.models.vit import _interpolate_pos_embed
+
+    def run_calib(x):
+        amaxes = []
+
+        def note(t):
+            amaxes.append(jnp.max(jnp.abs(t)))
+            return t
+
+        def ln(t, p):
+            mean = jnp.mean(t, -1, keepdims=True)
+            var = jnp.mean(jnp.square(t - mean), -1, keepdims=True)
+            return (t - mean) * jax.lax.rsqrt(var + 1e-6) * jnp.asarray(
+                p["scale"]
+            ) + jnp.asarray(p["bias"])
+
+        def dense(t, p):
+            return t @ jnp.asarray(p["kernel"]) + jnp.asarray(p["bias"])
+
+        B, H, W, _ = x.shape
+        p = model.patch_size
+        gh, gw = H // p, W // p
+        D = model.embed_dim
+        t = jax.lax.conv_general_dilated(
+            x, jnp.asarray(params["patch_embed"]["kernel"]), (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(params["patch_embed"]["bias"])
+        t = t.reshape(B, gh * gw, D)
+        pos = jnp.asarray(params["pos_embed"])
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        patch_pos = _interpolate_pos_embed(patch_pos, gh * gw, gh, gw)
+        t = t + patch_pos
+        cls_tok = jnp.asarray(params["cls_token"]) + cls_pos
+        t = jnp.concatenate([jnp.broadcast_to(cls_tok, (B, 1, D)), t], axis=1)
+
+        head_dim = D // model.num_heads
+        for i in range(model.depth):
+            bp = params[f"block{i}"]
+            h = dense(note(ln(t, bp["norm1"])), bp["attn"]["qkv"])
+            N = h.shape[1]
+            h = h.reshape(B, N, 3, model.num_heads, head_dim)
+            qh, kh, vh = h[:, :, 0], h[:, :, 1], h[:, :, 2]
+            attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / np.sqrt(head_dim)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, D)
+            out = dense(note(out), bp["attn"]["proj"])
+            if "ls1_gamma" in bp:
+                out = out * jnp.asarray(bp["ls1_gamma"])
+            t = t + out
+            h = dense(note(ln(t, bp["norm2"])), bp["mlp"]["fc1"])
+            h = jax.nn.gelu(h, approximate=False)
+            h = dense(note(h), bp["mlp"]["fc2"])
+            if "ls2_gamma" in bp:
+                h = h * jnp.asarray(bp["ls2_gamma"])
+            t = t + h
+        return amaxes
+
+    run = jax.jit(run_calib)
+    total = None
+    for start in range(0, calib_images.shape[0], calib_batch):
+        chunk = jnp.asarray(calib_images[start:start + calib_batch])
+        amaxes = [np.asarray(a) for a in run(chunk)]
+        total = amaxes if total is None else [
+            np.maximum(a, b) for a, b in zip(total, amaxes)
+        ]
+    it = iter(total)
+
+    def qdense(p) -> QDense:
+        w = np.asarray(p["kernel"], np.float32)
+        amax_w = np.max(np.abs(w), axis=0)
+        w_scale = np.where(amax_w > 0, amax_w / 127.0, 1.0).astype(np.float32)
+        wq = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+        amax = float(next(it))
+        return QDense(
+            wq=jnp.asarray(wq), w_scale=jnp.asarray(w_scale),
+            bias=jnp.asarray(p["bias"], jnp.float32),
+            act_scale=jnp.float32(amax / 127.0 if amax > 0 else 1.0),
+        )
+
+    def qln(p) -> QLayerNorm:
+        return QLayerNorm(
+            scale=jnp.asarray(p["scale"], jnp.float32),
+            bias=jnp.asarray(p["bias"], jnp.float32),
+        )
+
+    blocks = []
+    for i in range(model.depth):
+        bp = params[f"block{i}"]
+        norm1 = qln(bp["norm1"])
+        qkv = qdense(bp["attn"]["qkv"])
+        proj = qdense(bp["attn"]["proj"])
+        norm2 = qln(bp["norm2"])
+        fc1 = qdense(bp["mlp"]["fc1"])
+        fc2 = qdense(bp["mlp"]["fc2"])
+        blocks.append(QViTBlock(
+            norm1=norm1, qkv=qkv, proj=proj,
+            ls1=jnp.asarray(bp["ls1_gamma"], jnp.float32)
+            if "ls1_gamma" in bp else None,
+            norm2=norm2, fc1=fc1, fc2=fc2,
+            ls2=jnp.asarray(bp["ls2_gamma"], jnp.float32)
+            if "ls2_gamma" in bp else None,
+        ))
+
+    return QuantizedViT(
+        patch_w=jnp.asarray(params["patch_embed"]["kernel"], jnp.bfloat16),
+        patch_b=jnp.asarray(params["patch_embed"]["bias"], jnp.float32),
+        cls_token=jnp.asarray(params["cls_token"], jnp.float32),
+        pos_embed=jnp.asarray(params["pos_embed"], jnp.float32),
+        patch_size=model.patch_size,
+        num_heads=model.num_heads,
+        blocks=tuple(blocks),
+        final_norm=qln(params["norm"]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Serving-artifact serialization: quantize once, save, serve
 # ---------------------------------------------------------------------------
 
@@ -579,6 +824,40 @@ def save_quantized(q, path: str) -> None:
                 for i, blk in enumerate(q.blocks)
             ],
         }
+    elif isinstance(q, QuantizedViT):
+        arrays["patch_w"] = np.asarray(q.patch_w.astype(jnp.float32))
+        arrays["patch_b"] = np.asarray(q.patch_b)
+        arrays["cls_token"] = np.asarray(q.cls_token)
+        arrays["pos_embed"] = np.asarray(q.pos_embed)
+
+        def put_dense(prefix: str, d: QDense):
+            arrays[f"{prefix}.wq"] = np.asarray(d.wq)
+            arrays[f"{prefix}.w_scale"] = np.asarray(d.w_scale)
+            arrays[f"{prefix}.bias"] = np.asarray(d.bias)
+            arrays[f"{prefix}.act_scale"] = np.asarray(d.act_scale)
+
+        def put_ln(prefix: str, n: QLayerNorm):
+            arrays[f"{prefix}.scale"] = np.asarray(n.scale)
+            arrays[f"{prefix}.bias"] = np.asarray(n.bias)
+
+        meta = {
+            "family": "vit",
+            "patch_size": q.patch_size,
+            "num_heads": q.num_heads,
+            "blocks": [],
+        }
+        for i, blk in enumerate(q.blocks):
+            put_ln(f"b{i}.norm1", blk.norm1)
+            put_ln(f"b{i}.norm2", blk.norm2)
+            for name in ("qkv", "proj", "fc1", "fc2"):
+                put_dense(f"b{i}.{name}", getattr(blk, name))
+            bm = {"ls1": blk.ls1 is not None, "ls2": blk.ls2 is not None}
+            if blk.ls1 is not None:
+                arrays[f"b{i}.ls1"] = np.asarray(blk.ls1)
+            if blk.ls2 is not None:
+                arrays[f"b{i}.ls2"] = np.asarray(blk.ls2)
+            meta["blocks"].append(bm)
+        put_ln("final_norm", q.final_norm)
     elif isinstance(q, QuantizedDenseNet):
         arrays["stem_w"] = np.asarray(q.stem_w.astype(jnp.float32))
         put_affine("bn0", q.bn0)
@@ -628,6 +907,45 @@ def load_quantized(path: str):
             return QAffine(
                 scale=jnp.asarray(z[f"{prefix}.scale"]),
                 shift=jnp.asarray(z[f"{prefix}.shift"]),
+            )
+
+        if meta.get("family", "resnet") == "vit":
+            def get_dense(prefix: str) -> QDense:
+                return QDense(
+                    wq=jnp.asarray(z[f"{prefix}.wq"]),
+                    w_scale=jnp.asarray(z[f"{prefix}.w_scale"]),
+                    bias=jnp.asarray(z[f"{prefix}.bias"]),
+                    act_scale=jnp.asarray(z[f"{prefix}.act_scale"]),
+                )
+
+            def get_ln(prefix: str) -> QLayerNorm:
+                return QLayerNorm(
+                    scale=jnp.asarray(z[f"{prefix}.scale"]),
+                    bias=jnp.asarray(z[f"{prefix}.bias"]),
+                )
+
+            blocks = tuple(
+                QViTBlock(
+                    norm1=get_ln(f"b{i}.norm1"),
+                    qkv=get_dense(f"b{i}.qkv"),
+                    proj=get_dense(f"b{i}.proj"),
+                    ls1=jnp.asarray(z[f"b{i}.ls1"]) if bm["ls1"] else None,
+                    norm2=get_ln(f"b{i}.norm2"),
+                    fc1=get_dense(f"b{i}.fc1"),
+                    fc2=get_dense(f"b{i}.fc2"),
+                    ls2=jnp.asarray(z[f"b{i}.ls2"]) if bm["ls2"] else None,
+                )
+                for i, bm in enumerate(meta["blocks"])
+            )
+            return QuantizedViT(
+                patch_w=jnp.asarray(z["patch_w"]).astype(jnp.bfloat16),
+                patch_b=jnp.asarray(z["patch_b"]),
+                cls_token=jnp.asarray(z["cls_token"]),
+                pos_embed=jnp.asarray(z["pos_embed"]),
+                patch_size=meta["patch_size"],
+                num_heads=meta["num_heads"],
+                blocks=blocks,
+                final_norm=get_ln("final_norm"),
             )
 
         if meta.get("family", "resnet") == "densenet":

@@ -291,7 +291,10 @@ class NWNet:
 
         fvars = {
             "params": variables["params"]["featurizer"],
-            "batch_stats": variables["batch_stats"]["featurizer"],
+            # BN-free backbones (ViT) carry no batch_stats collection.
+            "batch_stats": variables.get("batch_stats", {}).get(
+                "featurizer", {}
+            ),
         }
         q = _quant(self.model.featurizer, fvars, jnp.asarray(calib_images))
         proj = (

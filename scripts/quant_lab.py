@@ -223,6 +223,47 @@ def stem():
         print(f"  stem {name}: {t * 1e6:.1f} us", flush=True)
 
 
+def vit_stack():
+    """ViT-S/14 at B=64@224 (the reference dinov2 shape): bf16 flax vs int8
+    PTQ (all Dense matmuls on the int8 MXU)."""
+    import sys
+    sys.path.insert(0, ".")
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.models.quantize import quantize_featurizer
+
+    rng = np.random.default_rng(0)
+    B = 64
+    img = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32))
+    model_bf16 = load_model("vit_s14", dtype=jnp.bfloat16)
+    model_f32 = load_model("vit_s14")
+    variables = model_f32.init(jax.random.PRNGKey(0), img[:1], train=False)
+    q = quantize_featurizer(model_f32, variables, img[:16])
+
+    def bf16_fn(xx, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(
+            model_bf16.apply(variables, x_dep, train=False)
+        )
+        return jnp.sum(out[:1, :1]) * 1e-20
+
+    def int8_fn(xx, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(q.apply(x_dep))
+        return jnp.sum(out[:1, :1]) * 1e-20
+
+    res = interleaved_time(
+        [("bf16", bf16_fn, (img,)), ("int8", int8_fn, (img,))], cycles=7,
+        target_s=0.1,
+    )
+    for name, t in res.items():
+        print(f"  vit_s14 {name}: {t * 1e3:.3f} ms/batch-64 "
+              f"({B / t:.0f} img/s)", flush=True)
+
+
 def decompose():
     """Per-stage cost of the quantized resnet18 at B=64@224 via prefix
     differentials: time the forward truncated after the stem and after each
@@ -285,6 +326,8 @@ if __name__ == "__main__":
     import sys
     if "--stack" in sys.argv:
         stack()
+    elif "--vit" in sys.argv:
+        vit_stack()
     elif "--stem" in sys.argv:
         stem()
     elif "--decompose" in sys.argv:

@@ -136,6 +136,43 @@ def test_save_load_roundtrip(rng, tmp_path):
     )
 
 
+def test_vit_quantized_features_track_f32(rng):
+    """ViT path: all four Dense matmuls per block int8; CLS features must
+    track the flax eval forward. Random init is the HARD case for
+    per-tensor activation scales (wide activation ranges) — trained DINOv2
+    weights are better conditioned."""
+    model = load_model("vit_s16")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+
+    q = quantize_featurizer(model, variables, img)
+    got = np.asarray(q.apply(img))
+    want = np.asarray(model.apply(variables, img, train=False))
+    scale = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 0.06, (
+        np.max(np.abs(got - want)) / scale
+    )
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.99, cos.min()
+
+
+def test_vit_save_load_roundtrip(rng, tmp_path):
+    from nwhead_tpu.models.quantize import load_quantized, save_quantized
+
+    model = load_model("vit_s16")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+    q = quantize_featurizer(model, variables, img)
+    path = str(tmp_path / "qv.npz")
+    save_quantized(q, path)
+    q2 = load_quantized(path)
+    np.testing.assert_array_equal(
+        np.asarray(q.apply(img)), np.asarray(q2.apply(img))
+    )
+
+
 def test_densenet_save_load_roundtrip(rng, tmp_path):
     from nwhead_tpu.models.quantize import load_quantized, save_quantized
 
