@@ -612,23 +612,25 @@ class QuantizedViT(NamedTuple):
             [jnp.broadcast_to(cls_tok, (B, 1, D)), x], axis=1
         )
 
+        from nwhead_tpu.ops.pallas_attn import fused_attention_qkv
+
         head_dim = D // self.num_heads
         for blk in self.blocks:
             h = blk.qkv(blk.norm1(x))
             N = h.shape[1]
             h = h.reshape(B, N, 3, self.num_heads, head_dim)
-            qh, kh, vh = h[:, :, 0], h[:, :, 1], h[:, :, 2]
-            attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) / np.sqrt(head_dim)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-                jnp.bfloat16
-            )
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(B, N, D)
+            # Transpose-free fused VMEM attention: f32 softmax on-chip, no
+            # (B, H, N, N) HBM round-trip and no head transposes (both
+            # dominate the XLA chain's cost — vit_lab).
+            out = fused_attention_qkv(h, self.num_heads)
             out = blk.proj(out)
             if blk.ls1 is not None:
                 out = out * blk.ls1.astype(out.dtype)
             x = x + out
             h = blk.fc1(blk.norm2(x))
-            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+            # GELU in bf16: the f32 cast chain on the (B, N, 4D) tensor
+            # costs more than the fc matmuls themselves (vit_lab).
+            h = jax.nn.gelu(h, approximate=False)
             h = blk.fc2(h)
             if blk.ls2 is not None:
                 h = h * blk.ls2.astype(h.dtype)

@@ -41,6 +41,11 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = None
+    # 'xla' (default, differentiable) or 'fused' (inference-only Pallas
+    # kernel, ops/pallas_attn.py: f32 softmax entirely in VMEM — the XLA
+    # chain's f32-softmax HBM round-trip dominates encoder attention time,
+    # measured in scripts/vit_lab.py).
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -48,12 +53,17 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(head_dim)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        if self.dtype is not None:
-            attn = attn.astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
+        if self.attn_impl == "fused":
+            from nwhead_tpu.ops.pallas_attn import fused_attention_qkv
+
+            out = fused_attention_qkv(qkv, self.num_heads)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(head_dim)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            if self.dtype is not None:
+                attn = attn.astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -63,11 +73,13 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     layerscale_init: Optional[float] = 1e-5  # DINOv2 LayerScale
     dtype: Any = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype,
+                      attn_impl=self.attn_impl, name="attn")(h)
         if self.layerscale_init is not None:
             gamma1 = self.param(
                 "ls1_gamma", nn.initializers.constant(self.layerscale_init), (self.dim,)
@@ -108,6 +120,9 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     img_size: int = 518  # grid the stored pos-embed corresponds to (DINOv2)
     dtype: Any = None
+    # 'fused': inference-only Pallas attention (no VJP) — use for serving /
+    # frozen-featurizer precompute; keep 'xla' for finetuning.
+    attn_impl: str = "xla"
     # Local DINOv2-format checkpoint; merged at init (the reference always
     # hub-loads pretrained dinov2 weights, train.py:212-214).
     pretrained_path: Any = None
@@ -156,6 +171,7 @@ class VisionTransformer(nn.Module):
                 self.mlp_ratio,
                 self.layerscale_init,
                 dtype=self.dtype,
+                attn_impl=self.attn_impl,
                 name=f"block{i}",
             )(x)
 

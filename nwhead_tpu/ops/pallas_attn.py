@@ -1,0 +1,173 @@
+"""Fused multi-head attention Pallas kernel (serving/inference).
+
+Motivation (measured, scripts/vit_lab.py): XLA's unfused attention for
+ViT-S/14 at B=64 spends 754 us/block of which only ~60 us is matmul — the
+f32-softmax cast chain materializes the (B, H, N, N) score tensor in HBM
+three times. This kernel computes scores -> f32 softmax -> PV entirely in
+VMEM per (batch, head): for encoder-scale N (a few hundred tokens) the
+whole score matrix fits on-chip, so no online-softmax tiling is needed —
+one exact softmax per program.
+
+Layout lessons (first version measured SLOWER than XLA):
+  * pad minimally — N to the sublane multiple (16), head_dim not at all;
+    zero-padding hd to 128 lanes tripled the q/k/v HBM traffic;
+  * batch several (batch, head) pairs per grid program (``bh_block``) —
+    a (B*H,)-sized grid pays per-step overhead 12x per ViT forward.
+
+Scope: inference-only (no VJP), self-attention, no attention mask beyond
+sequence-length padding. The ViT serving path (``models/quantize.py``
+``QuantizedViT.apply``) uses it; it is also a public op for any
+encoder-style transformer at N up to ~1k (VMEM bound: N_pad^2 * 4 bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, n_valid: int,
+                 n_pad: int, bh_block: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    for s in range(bh_block):
+        q = q_ref[s]  # (n_pad, hd)
+        k = k_ref[s]
+        v = v_ref[s]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (n_pad, n_pad) f32
+        if n_valid < n_pad:
+            scores = jnp.where(col < n_valid, scores, _NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)  # valid rows: m finite; padded rows are
+        # sliced off by the wrapper.
+        l = jnp.sum(p, axis=1, keepdims=True)
+        probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+        out_ref[s] = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _attn_qkv_kernel(qkv_ref, out_ref, *, scale: float, H: int, hd: int,
+                     D: int):
+    x = qkv_ref[0]  # (N, 3*D) — q | k | v lanes, heads contiguous within
+    outs = []
+    for h in range(H):
+        q = x[:, h * hd:(h + 1) * hd]
+        k = x[:, D + h * hd:D + (h + 1) * hd]
+        v = x[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (N, N) f32
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+        )
+    out_ref[0] = jnp.concatenate(outs, axis=1)
+
+
+def fused_attention_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Transpose-free fused attention straight off the qkv projection.
+
+    qkv: (B, N, 3, H, hd) exactly as produced by reshaping the fused qkv
+    Dense output — NO host-side head transpose, padding, or copies (those
+    cost more than the attention itself at encoder scale; measured in
+    scripts/vit_lab.py). Heads are sliced as static lane windows inside the
+    kernel. Returns (B, N, H*hd). Inference-only.
+    """
+    B, N, three, H, hd = qkv.shape
+    assert three == 3 and H == num_heads
+    D = H * hd
+    if scale is None:
+        scale = 1.0 / float(hd) ** 0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_qkv_kernel, scale=float(scale), H=H, hd=hd, D=D
+        ),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x)
+    return out
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    bh_block: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Self-attention ``softmax(q @ k^T * scale) @ v`` fused in VMEM.
+
+    q, k, v: (B, H, N, hd); returns (B, H, N, hd) in q's dtype. Softmax is
+    computed in f32 on-chip (never hits HBM). Inference-only.
+    """
+    B, H, N, hd = q.shape
+    if scale is None:
+        scale = 1.0 / float(hd) ** 0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    BH = B * H
+    if bh_block is None:
+        bh_block = next((c for c in (8, 4, 2, 1) if BH % c == 0), 1)
+    n_pad = _round_up(N, 16)
+    pad = ((0, 0), (0, 0), (0, n_pad - N), (0, 0))
+    q_p = jnp.pad(q, pad).reshape(BH, n_pad, hd)
+    k_p = jnp.pad(k, pad).reshape(BH, n_pad, hd)
+    v_p = jnp.pad(v, pad).reshape(BH, n_pad, hd)
+
+    spec = pl.BlockSpec((bh_block, n_pad, hd), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=float(scale), n_valid=N, n_pad=n_pad,
+            bh_block=bh_block,
+        ),
+        grid=(BH // bh_block,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BH, n_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p)
+    return out.reshape(B, H, n_pad, hd)[:, :, :N, :]

@@ -235,6 +235,8 @@ def vit_stack():
     B = 64
     img = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32))
     model_bf16 = load_model("vit_s14", dtype=jnp.bfloat16)
+    model_bf16_fused = load_model("vit_s14", dtype=jnp.bfloat16,
+                                  attn_impl="fused")
     model_f32 = load_model("vit_s14")
     variables = model_f32.init(jax.random.PRNGKey(0), img[:1], train=False)
     q = quantize_featurizer(model_f32, variables, img[:16])
@@ -248,6 +250,15 @@ def vit_stack():
         )
         return jnp.sum(out[:1, :1]) * 1e-20
 
+    def bf16_fused_fn(xx, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(
+            model_bf16_fused.apply(variables, x_dep, train=False)
+        )
+        return jnp.sum(out[:1, :1]) * 1e-20
+
     def int8_fn(xx, carry):
         x_dep = jax.lax.optimization_barrier(
             xx + carry.astype(xx.dtype) * 1e-30
@@ -256,7 +267,9 @@ def vit_stack():
         return jnp.sum(out[:1, :1]) * 1e-20
 
     res = interleaved_time(
-        [("bf16", bf16_fn, (img,)), ("int8", int8_fn, (img,))], cycles=7,
+        [("bf16", bf16_fn, (img,)),
+         ("bf16+fused_attn", bf16_fused_fn, (img,)),
+         ("int8", int8_fn, (img,))], cycles=7,
         target_s=0.1,
     )
     for name, t in res.items():
