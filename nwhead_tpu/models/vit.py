@@ -29,12 +29,27 @@ class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Any = None
+    # 'fused': inference-only Pallas fc1->gelu->fc2 (hidden activation never
+    # leaves VMEM — XLA's chain round-trips it to HBM around the GELU).
+    mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        fc1 = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")
+        if self.mlp_impl == "fused":
+            from nwhead_tpu.ops.pallas_mlp import fused_mlp
+
+            # One-token dummy call materializes the SAME param tree as the
+            # xla branch; the fused kernel then consumes the raw weights.
+            _ = fc2(nn.gelu(fc1(x[:1, :1]), approximate=False))
+            p1 = fc1.variables["params"]
+            p2 = fc2.variables["params"]
+            return fused_mlp(x, p1["kernel"], p1["bias"],
+                             p2["kernel"], p2["bias"])
+        x = fc1(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return fc2(x)
 
 
 class Attention(nn.Module):
@@ -74,6 +89,7 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = 1e-5  # DINOv2 LayerScale
     dtype: Any = None
     attn_impl: str = "xla"
+    mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -87,7 +103,8 @@ class Block(nn.Module):
             h = h * gamma1
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(h)
+        h = MlpBlock(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                     mlp_impl=self.mlp_impl, name="mlp")(h)
         if self.layerscale_init is not None:
             gamma2 = self.param(
                 "ls2_gamma", nn.initializers.constant(self.layerscale_init), (self.dim,)
@@ -120,9 +137,10 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     img_size: int = 518  # grid the stored pos-embed corresponds to (DINOv2)
     dtype: Any = None
-    # 'fused': inference-only Pallas attention (no VJP) — use for serving /
-    # frozen-featurizer precompute; keep 'xla' for finetuning.
+    # 'fused': inference-only Pallas attention / MLP kernels (no VJP) — use
+    # for serving / frozen-featurizer precompute; keep 'xla' for finetuning.
     attn_impl: str = "xla"
+    mlp_impl: str = "xla"
     # Local DINOv2-format checkpoint; merged at init (the reference always
     # hub-loads pretrained dinov2 weights, train.py:212-214).
     pretrained_path: Any = None
@@ -172,6 +190,7 @@ class VisionTransformer(nn.Module):
                 self.layerscale_init,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                mlp_impl=self.mlp_impl,
                 name=f"block{i}",
             )(x)
 

@@ -1,0 +1,68 @@
+"""Fused transformer-MLP kernel (ops/pallas_mlp.py) vs the XLA chain."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nwhead_tpu.ops.pallas_mlp import fused_mlp
+
+
+def _naive(x, w1, b1, w2, b2):
+    h = x @ w1 + b1
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ w2 + b2
+
+
+@pytest.mark.parametrize("M,Din,Dh", [(300, 64, 256), (512, 128, 512)])
+def test_fused_mlp_matches_naive_f32(rng, M, Din, Dh):
+    x = jnp.asarray(rng.standard_normal((M, Din)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((Din, Dh)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(Dh).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((Dh, Din)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(Din).astype(np.float32))
+    got = np.asarray(fused_mlp(x, w1, b1, w2, b2, block_m=256))
+    want = np.asarray(_naive(x, w1, b1, w2, b2))
+    # The in-kernel erf is the A&S 7.1.26 approximation (abs err 1.5e-7);
+    # through the second matmul that bounds the output error well below
+    # any serving-relevant scale.
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_3d_and_bf16(rng):
+    B, N, D, Dh = 2, 37, 64, 128
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w1 = jnp.asarray((rng.standard_normal((D, Dh)) * 0.1).astype(np.float32))
+    b1 = jnp.zeros(Dh)
+    w2 = jnp.asarray((rng.standard_normal((Dh, D)) * 0.1).astype(np.float32))
+    b2 = jnp.zeros(D)
+    got = np.asarray(
+        fused_mlp(x, w1, b1, w2, b2, block_m=64).astype(jnp.float32)
+    )
+    assert got.shape == (B, N, D)
+    want = np.asarray(
+        _naive(x, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2)
+        .astype(jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_vit_fused_impls_match_xla(rng):
+    """Flax ViT with attn_impl/mlp_impl='fused' equals the xla forward,
+    with identical parameter trees (checkpoint compatible)."""
+    import jax.tree_util as jtu
+
+    from nwhead_tpu.models import load_model
+
+    m1 = load_model("vit_s16")
+    m2 = load_model("vit_s16", attn_impl="fused", mlp_impl="fused")
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(v1) == jtu.tree_structure(v2)
+    a = np.asarray(m1.apply(v1, x, train=False))
+    b = np.asarray(m2.apply(v1, x, train=False))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
