@@ -56,6 +56,9 @@ def main(argv=None):
                         "(BN-folded, per-channel int8 weights; ResNet archs)")
     p.add_argument("--calib_images", type=int, default=256,
                    help="calibration-set size for --featurizer_precision int8")
+    p.add_argument("--fused_inference", action="store_true",
+                   help="ViT archs: use the inference-only fused attention "
+                        "and MLP Pallas kernels (1.55x on vit_s14)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--decoder", type=str, default="native",
                    choices=["native", "native_fused", "pil"])
@@ -81,7 +84,13 @@ def main(argv=None):
     is_cifar = args.dataset in ("cifar10", "cifar100")
     name = {"resnet18": "CIFAR_ResNet18" if is_cifar else "resnet18",
             "densenet121": "CIFAR_DenseNet121" if is_cifar else "densenet121"}.get(args.arch, args.arch)
-    featurizer = load_model(name, pretrained=args.pretrained_path or False, dtype=dtype)
+    extra = {}
+    if args.fused_inference:
+        if not name.startswith("vit"):
+            raise SystemExit("--fused_inference applies to ViT archs only")
+        extra = {"attn_impl": "fused", "mlp_impl": "fused"}
+    featurizer = load_model(name, pretrained=args.pretrained_path or False,
+                            dtype=dtype, **extra)
 
     net = NWNet(
         featurizer,

@@ -108,6 +108,15 @@ def fused_attention_qkv(
         scale = 1.0 / float(hd) ** 0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # One (N, N) f32 score matrix + qkv + out must fit VMEM per program.
+    n_pad = _round_up(N, 8)
+    vmem_bytes = n_pad * n_pad * 4 + n_pad * 4 * D * qkv.dtype.itemsize
+    if vmem_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused_attention_qkv holds the whole (N, N) score matrix in "
+            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the ~100 MiB "
+            f"budget — use a flash-tiled attention for long sequences"
+        )
 
     x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
     out = pl.pallas_call(

@@ -202,6 +202,28 @@ def test_eval_cli_int8_featurizer(tmp_path):
     assert "full" in results and np.isfinite(results["full"]["nll"])
 
 
+def test_eval_cli_fused_inference_vit(tmp_path):
+    """eval.py --fused_inference runs the fused ViT kernels end to end."""
+    import eval as eval_cli
+
+    results = eval_cli.main([
+        "--dataset", "synthetic", "--arch", "vit_s16",
+        "--modes", "full", "--batch_size", "8", "--num_val_steps", "1",
+        "--n_shot_full", "5", "--fused_inference",
+    ])
+    assert np.isfinite(results["full"]["nll"])
+
+
+def test_eval_cli_fused_inference_rejects_cnn(tmp_path):
+    import eval as eval_cli
+
+    with pytest.raises(SystemExit, match="ViT"):
+        eval_cli.main([
+            "--dataset", "synthetic", "--arch", "resnet10",
+            "--modes", "full", "--fused_inference",
+        ])
+
+
 def test_eval_cli_int8_rejects_bank_cache(tmp_path):
     import eval as eval_cli
 
