@@ -201,11 +201,14 @@ def main():
     ]
     if on_tpu:  # measured directly (two batch tiles re-stream the bank)
         qfeat256 = jnp.asarray(rng.standard_normal((256, D)).astype(np.float32))
-        head_cases.append(
+        head_cases += [
             ("head_prepared_b256",
              lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
-             (qfeat256, prep))
-        )
+             (qfeat256, prep)),
+            ("head_int8_b256",
+             lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
+             (qfeat256, prep_int8)),
+        ]
     HN = (100, 1600) if on_tpu else (1, 3)
     head_t = _measure(head_cases, *HN)
 
@@ -251,7 +254,7 @@ def main():
     # Full int8 serving path: PTQ featurizer + int8 prepared head.
     qps_int8 = B / (feat_t["feat_int8_b64"] + head_t["head_int8"])
     qps_int8_b256 = (
-        256 / (feat_t["feat_int8_b256"] + head_t["head_int8"])
+        256 / (feat_t["feat_int8_b256"] + head_t["head_int8_b256"])
         if on_tpu else None
     )
 

@@ -281,6 +281,12 @@ def quantize_featurizer(
         return quantize_densenet(model, variables, calib_images, calib_batch)
     if isinstance(model, VisionTransformer):
         return quantize_vit(model, variables, calib_images, calib_batch)
+    if not isinstance(model, ResNet):
+        raise NotImplementedError(
+            f"quantize_featurizer supports the ImageNet ResNet/ResNeXt, "
+            f"DenseNet-BC, and ViT families; got {type(model).__name__} "
+            f"(the CIFAR variants are not supported)"
+        )
     stem, blocks = _folded_layers(model, variables)
 
     # Calibration: folded-f32 forward capturing per-conv input amaxes.

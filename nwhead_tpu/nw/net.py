@@ -308,17 +308,35 @@ class NWNet:
             return f
 
         self.quantized_featurizer = q
+        # The quantized closure bakes in THESE weights; a later checkpoint
+        # reload would silently diverge from the head params — remember the
+        # source tree and fail loudly if predict/precompute sees another.
+        self._quantized_variables_id = id(variables)
         self._featurize_eval = jax.jit(feat)
         # Bank features must come from the same featurizer as queries.
         self._prepared_full = None
         self.sharded_bank = None
         self._sharded_predict = None
 
+    def _check_quantized_variables(self, variables) -> None:
+        if (
+            self.quantized_featurizer is not None
+            and id(variables) != self._quantized_variables_id
+        ):
+            raise RuntimeError(
+                "the featurizer was quantized from a different variables "
+                "tree than the one passed now — the quantized weights are "
+                "baked in at quantize_featurizer() time; re-run "
+                "quantize_featurizer(new_variables, calib) after loading "
+                "new weights"
+            )
+
     # -- precompute ----------------------------------------------------------
 
     def precompute(self, variables: Dict[str, Any]) -> None:
         """Build the device-resident support feature bank + eval artifacts
         (``nw.py:118-125``). Batched, fixed-shape featurizer calls."""
+        self._check_quantized_variables(variables)
         feats_env: List[np.ndarray] = []
         y_env: List[np.ndarray] = []
         meta_env: List[np.ndarray] = []
@@ -413,6 +431,7 @@ class NWNet:
     def predict(self, variables: Dict[str, Any], x: jnp.ndarray, mode: str = "random"):
         """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an
         all-True mask if ``return_mask`` (``nw.py:152,158``)."""
+        self._check_quantized_variables(variables)
         qfeat = self._featurize_eval(variables, jnp.asarray(x))
 
         if self.debug_mode:

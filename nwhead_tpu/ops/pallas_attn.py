@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB; leave headroom
 
 
 def _round_up(x: int, m: int) -> int:
@@ -108,14 +109,17 @@ def fused_attention_qkv(
         scale = 1.0 / float(hd) ** 0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # One (N, N) f32 score matrix + qkv + out must fit VMEM per program.
+    # One (N, N) f32 score matrix (plus exp/probs copies the compiler may
+    # keep live) + qkv + out must fit the VMEM budget per program. The
+    # factor 3 on the score matrix reflects the softmax temporaries.
     n_pad = _round_up(N, 8)
-    vmem_bytes = n_pad * n_pad * 4 + n_pad * 4 * D * qkv.dtype.itemsize
-    if vmem_bytes > 100 * 1024 * 1024:
+    vmem_bytes = 3 * n_pad * n_pad * 4 + n_pad * 4 * D * qkv.dtype.itemsize
+    if vmem_bytes > _VMEM_LIMIT:
         raise ValueError(
             f"fused_attention_qkv holds the whole (N, N) score matrix in "
-            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the ~100 MiB "
-            f"budget — use a flash-tiled attention for long sequences"
+            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the "
+            f"{_VMEM_LIMIT >> 20} MiB budget — use a flash-tiled attention "
+            f"for long sequences"
         )
 
     x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
@@ -129,6 +133,7 @@ def fused_attention_qkv(
         out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(x)
@@ -176,6 +181,7 @@ def fused_attention(
         out_shape=jax.ShapeDtypeStruct((BH, n_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(q_p, k_p, v_p)

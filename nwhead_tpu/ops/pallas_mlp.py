@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MiB; leave headroom
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -96,6 +98,7 @@ def fused_mlp(
         out_shape=jax.ShapeDtypeStruct((m_pad, D_out), dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(xf, w1, b1, w2, b2)

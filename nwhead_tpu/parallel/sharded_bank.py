@@ -134,8 +134,12 @@ class ShardedSupportBank:
         if use_prepared is None:
             # The prepared serving kernel is a TPU Pallas program; elsewhere
             # it only runs in (slow) interpret mode, so default to the jnp
-            # raw path off-TPU.
-            use_prepared = jax.default_backend() == "tpu"
+            # raw path off-TPU — EXCEPT when a reduced-precision bank was
+            # requested, which only the prepared path implements (interpret
+            # mode is correct, just slow — fine for CPU dev/test meshes).
+            use_prepared = (
+                jax.default_backend() == "tpu" or precision != "f32"
+            )
         if precision != "f32" and not use_prepared:
             raise ValueError(
                 "bf16/int8 sharded banks require the prepared path "

@@ -12,46 +12,17 @@ loop-carried dependency rides lax.optimization_barrier; time = (loop(n2) -
 loop(n1)) / (n2 - n1); variants sampled round-robin).
 """
 
-import time
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _loop_maker(fn, n):
-    @jax.jit
-    def run(*a):
-        def body(i, acc):
-            a_b = jax.lax.optimization_barrier((*a, acc))
-            return acc + fn(*a_b[:-1], carry=a_b[-1])
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros(())).mean()
-
-    return run
-
-
-def interleaved_time(named_makers, cycles=7, target_s=0.06):
-    """Per-variant iteration counts are calibrated so the (n2-n1) loop delta
-    carries >= target_s seconds of signal (tunnel jitter is ~30 ms)."""
-    fns = {}
-    for name, fn, args in named_makers:
-        probe = _loop_maker(fn, 64)
-        float(probe(*args))  # compile
-        t0 = time.perf_counter(); float(probe(*args))
-        t_est = max((time.perf_counter() - t0) / 64, 1e-7)
-        delta = max(int(target_s / t_est), 64)
-        n1, n2 = 16, 16 + delta
-        f1, f2 = _loop_maker(fn, n1), _loop_maker(fn, n2)
-        float(f1(*args)); float(f2(*args))
-        fns[name] = (f1, f2, args, delta)
-    samples = {name: [] for name, _, _ in named_makers}
-    for _ in range(cycles):
-        for name, (f1, f2, args, delta) in fns.items():
-            t = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t
-            t = time.perf_counter(); float(f2(*args)); t2 = time.perf_counter() - t
-            samples[name].append(max((t2 - t1) / delta, 1e-9))
-    return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+from timing import _loop_maker, interleaved_time  # noqa: E402,F401
 
 
 def conv(x, w, stride, preferred=None):

@@ -17,7 +17,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))  # repo root (nwhead_tpu)
 sys.path.insert(0, _HERE)  # sibling labs
-from quant_lab import interleaved_time  # noqa: E402
+from timing import interleaved_time  # noqa: E402
 
 
 def main():

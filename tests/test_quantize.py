@@ -235,6 +235,34 @@ def test_eval_cli_int8_rejects_bank_cache(tmp_path):
         ])
 
 
+def test_quantized_net_rejects_stale_variables(rng):
+    """After quantize_featurizer, predict/precompute with a DIFFERENT
+    variables tree must fail loudly (the quantized weights are baked in)."""
+    import copy
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    ds = make_synthetic_dataset(n=24, n_classes=3, size=16, seed=0)
+    net = NWNet(load_model("resnet10"), 3, support_dataset=ds,
+                feat_dim=512, n_shot_full=4, seed=0)
+    x0 = jnp.asarray(ds.gather(np.arange(4)))
+    variables = net.init(jax.random.PRNGKey(0), x0)
+    net.quantize_featurizer(variables, ds.gather(np.arange(8)))
+    net.precompute(variables)  # same tree: fine
+    other = copy.copy(variables)  # a "reloaded checkpoint"
+    with pytest.raises(RuntimeError, match="quantize_featurizer"):
+        net.predict(other, x0, "full")
+
+
+def test_cifar_archs_rejected(rng):
+    model = load_model("CIFAR_ResNet10")
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    variables = _init_trained_like(model, rng, img)
+    with pytest.raises(NotImplementedError, match="CIFAR"):
+        quantize_featurizer(model, variables, img)
+
+
 def test_s2d_stem_rejected(rng):
     model = load_model("resnet10", stem="s2d")
     img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
