@@ -7,6 +7,8 @@ from nwhead_tpu.ops.pallas_nw import (
     nw_fused_from_prepared,
     prepare_support,
 )
+from nwhead_tpu.ops.pallas_attn import fused_attention, fused_attention_qkv
+from nwhead_tpu.ops.pallas_mlp import fused_mlp
 from nwhead_tpu.ops import metrics
 
 __all__ = [
@@ -19,5 +21,8 @@ __all__ = [
     "prepare_support",
     "PreparedSupport",
     "support_influence",
+    "fused_attention",
+    "fused_attention_qkv",
+    "fused_mlp",
     "metrics",
 ]
