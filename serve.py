@@ -1,0 +1,195 @@
+"""NW-head serving CLI: the production inference path, packaged.
+
+Builds the fastest serving configuration this framework offers — optional
+int8-PTQ featurizer (``models/quantize.py``), fused ViT kernels, prepared
+(f32/bf16/int8) support bank streamed by the double-buffered Pallas head —
+and then either answers queries from image files or runs a latency
+benchmark over the validation set.
+
+The reference has no serving tool at all (research repo, ``train.py``
+only); this is the deploy-side complement to train.py/eval.py.
+
+Examples:
+    # Latency benchmark of the full int8 serving stack
+    python serve.py --dataset bird --data_dir <cub_root> \
+        --ckpt runs/.../checkpoints/model.best \
+        --featurizer_precision int8 --head_precision int8 --latency_bench
+
+    # Classify images
+    python serve.py --dataset bird --data_dir <cub_root> --ckpt ... \
+        --queries 'photos/*.jpg' --topk 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_server(args):
+    """Construct (net, variables) ready to predict: checkpoint loaded,
+    featurizer optionally quantized, support bank precomputed/prepared."""
+    import train as train_cli
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.train import load_checkpoint
+
+    ds_args = argparse.Namespace(dataset=args.dataset, data_dir=args.data_dir,
+                                 seed=args.seed, workers=args.workers,
+                                 decoder=args.decoder)
+    train_ds, val_ds = train_cli.build_datasets(ds_args)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    extra = {}
+    if args.fused_inference:
+        if not args.arch.startswith("vit"):
+            raise SystemExit("--fused_inference applies to ViT archs only")
+        extra = {"attn_impl": "fused", "mlp_impl": "fused"}
+    featurizer = load_model(args.arch, pretrained=args.pretrained_path or False,
+                            dtype=dtype, **extra)
+
+    net = NWNet(
+        featurizer, train_ds.num_classes, support_dataset=train_ds,
+        feat_dim=featurizer.feat_dim, proj_dim=args.proj_dim,
+        kernel_type=args.kernel_type, n_shot_full=args.n_shot_full,
+        head_precision=args.head_precision, seed=args.seed,
+    )
+    sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
+    variables = net.init(jax.random.PRNGKey(args.seed), sample)
+    if args.ckpt:
+        restored = load_checkpoint(args.ckpt, target={
+            "params": variables["params"],
+            "batch_stats": variables["batch_stats"]})
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        print(f"Loaded checkpoint {args.ckpt}")
+
+    if args.featurizer_precision == "int8":
+        n_cal = min(args.calib_images, len(train_ds))
+        net.quantize_featurizer(variables, train_ds.gather(np.arange(n_cal)))
+        print(f"Quantized featurizer (int8 PTQ, {n_cal} calibration images)")
+
+    t0 = time.perf_counter()
+    net.precompute(variables)
+    print(f"Support bank prepared: {len(net.full_y)} items, "
+          f"{time.perf_counter() - t0:.1f}s (one-time)")
+    return net, variables, train_ds, val_ds
+
+
+def latency_bench(net, variables, val_ds, args):
+    """Wall-clock serving latency per predict call, INCLUDING host->device
+    transfer and readback — the number a deployment actually sees (unlike
+    bench.py's device-only differential numbers)."""
+    bs = args.batch_size
+    n = min(args.bench_batches, max(1, len(val_ds) // bs))
+    idx0 = np.arange(bs) % len(val_ds)
+    imgs = jnp.asarray(val_ds.gather(idx0))
+    for _ in range(3):  # warmup/compile
+        np.asarray(net.predict(variables, imgs, "full"))
+    lat = []
+    for i in range(n):
+        idx = (np.arange(bs) + i * bs) % len(val_ds)
+        batch = val_ds.gather(idx)
+        t0 = time.perf_counter()
+        out = net.predict(variables, jnp.asarray(batch), "full")
+        out = out[0] if isinstance(out, tuple) else out
+        _ = np.asarray(out)  # forced readback = request completed
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    report = {
+        "batch_size": bs,
+        "batches": n,
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "mean_ms": round(float(lat_ms.mean()), 2),
+        "queries_per_sec": round(bs / float(np.median(lat)), 1),
+        "featurizer_precision": args.featurizer_precision,
+        "head_precision": args.head_precision,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report))
+    return report
+
+
+def answer_queries(net, variables, train_ds, args):
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    paths = sorted(glob.glob(args.queries))
+    if not paths:
+        raise SystemExit(f"no files match {args.queries!r}")
+    is_cifar = args.dataset in ("cifar10", "cifar100")
+    t_eval = T.cifar_eval_transform() if is_cifar else T.imagenet_eval_transform()
+    qds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
+                           train_ds.num_classes, transform=t_eval,
+                           workers=args.workers, decoder=args.decoder)
+    results = []
+    for start in range(0, len(paths), args.batch_size):
+        chunk = paths[start:start + args.batch_size]
+        imgs = qds.gather(np.arange(start, start + len(chunk)))
+        out = net.predict(variables, jnp.asarray(imgs), "full")
+        out = np.asarray(out[0] if isinstance(out, tuple) else out)
+        top = np.argsort(-out, axis=-1)[:, :args.topk]
+        for p, t, lp in zip(chunk, top, out):
+            entry = {
+                "file": p,
+                "topk": [
+                    {"class": int(c), "prob": round(float(np.exp(lp[c])), 4)}
+                    for c in t
+                ],
+            }
+            results.append(entry)
+            print(json.dumps(entry))
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="NW Head Serving (TPU)")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_dir", default="./")
+    p.add_argument("--arch", default="resnet18")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--pretrained_path", default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--kernel_type", default="euclidean")
+    p.add_argument("--proj_dim", type=int, default=0)
+    p.add_argument("--n_shot_full", type=int, default=100)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--head_precision", default="f32",
+                   choices=["f32", "bf16", "int8"])
+    p.add_argument("--featurizer_precision", default="f32",
+                   choices=["f32", "int8"])
+    p.add_argument("--calib_images", type=int, default=256)
+    p.add_argument("--fused_inference", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--decoder", default="native",
+                   choices=["native", "native_fused", "pil"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--latency_bench", action="store_true")
+    p.add_argument("--bench_batches", type=int, default=50)
+    p.add_argument("--queries", default=None,
+                   help="glob of image files to classify")
+    p.add_argument("--topk", type=int, default=5)
+    args = p.parse_args(argv)
+
+    if not args.latency_bench and not args.queries:
+        raise SystemExit("pass --latency_bench and/or --queries")
+
+    net, variables, train_ds, val_ds = build_server(args)
+    out = {}
+    if args.latency_bench:
+        out["latency"] = latency_bench(net, variables, val_ds, args)
+    if args.queries:
+        out["queries"] = answer_queries(net, variables, train_ds, args)
+    return out
+
+
+if __name__ == "__main__":
+    main()
