@@ -112,6 +112,44 @@ def test_sharded_prepared_bank_precisions(rng):
                                    err_msg=precision)
 
 
+def test_nwnet_mesh_bf16_head_uses_prepared_bank(rng):
+    """NWNet(mesh=..., head_precision='bf16'): precompute must build the
+    PREPARED sharded bank (bf16 shards) and full-mode predictions must
+    track the unsharded f32 pipeline."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=0)
+    mesh = make_mesh(2, 4)
+    net = NWNet(Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+                n_shot=1, n_shot_full=5, seed=0, mesh=mesh,
+                head_precision="bf16")
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2))))
+    net.precompute(variables)
+    assert net.sharded_bank.prepared is not None
+    assert jnp.dtype(net.sharded_bank.prepared.s.dtype) == jnp.bfloat16
+
+    x = jnp.asarray(ds.gather(np.arange(4)))
+    got = np.asarray(net.predict(variables, x, "full"))
+
+    net_ref = NWNet(Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+                    n_shot=1, n_shot_full=5, seed=0)
+    net_ref.precompute(variables)
+    want = np.asarray(net_ref.predict(variables, x, "full"))
+    np.testing.assert_allclose(np.exp(got), np.exp(want), rtol=0.1, atol=0.05)
+
+
 def test_sharded_precision_requires_prepared(rng):
     mesh = make_mesh(2, 4)
     s = rng.standard_normal((64, 16)).astype(np.float32)

@@ -99,6 +99,12 @@ def test_nwnet_quantized_serving_parity(rng):
     # so we assert on the distribution, not just argmax).
     assert np.max(np.abs(np.exp(lp_q) - np.exp(lp_f32))) < 0.15
 
+    # Every other eval mode runs through the quantized featurizer too (the
+    # cluster/knn/random artifacts are rebuilt from the quantized bank).
+    for mode in ("random", "cluster", "knn"):
+        lp = np.asarray(net.predict(variables, x0, mode))
+        assert np.isfinite(lp).all(), mode
+
 
 def test_densenet_quantized_features_track_f32(rng):
     """DenseNet-BC path: BN stays affine (pre-activation layout), convs
