@@ -102,6 +102,33 @@ def test_int8_serving_parity_on_tpu():
     assert agree >= 0.9, agree
 
 
+def test_fused_vit_kernels_on_tpu():
+    """The fused attention + MLP Pallas kernels on REAL Mosaic (not
+    interpret mode): ViT forward must match the XLA implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+
+    from nwhead_tpu.models import load_model
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    m_xla = load_model("vit_s16")
+    m_fused = load_model("vit_s16", attn_impl="fused", mlp_impl="fused")
+    v = m_xla.init(jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(jax.jit(
+        lambda vv, xx: m_xla.apply(vv, xx, train=False))(v, x))
+    got = np.asarray(jax.jit(
+        lambda vv, xx: m_fused.apply(vv, xx, train=False))(v, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_cli_full_path_on_disk_dataset(tmp_path):
     """The complete CLI path over a real on-disk image dataset: CUB-format
     manifests -> JPEG decode -> RandomResizedCrop/flip/normalize -> episodic
