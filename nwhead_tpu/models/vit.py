@@ -56,10 +56,10 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = None
-    # 'xla' (default, differentiable) or 'fused' (inference-only Pallas
-    # kernel, ops/pallas_attn.py: f32 softmax entirely in VMEM — the XLA
-    # chain's f32-softmax HBM round-trip dominates encoder attention time,
-    # measured in scripts/vit_lab.py).
+    # 'xla' (default) or 'fused' (Pallas kernel, ops/pallas_attn.py: f32
+    # softmax entirely in VMEM — the XLA chain's f32-softmax HBM round-trip
+    # dominates encoder attention time, scripts/vit_lab.py). The fused
+    # kernel has a custom VJP (recompute-in-backward), so it trains too.
     attn_impl: str = "xla"
 
     @nn.compact
@@ -137,8 +137,9 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     img_size: int = 518  # grid the stored pos-embed corresponds to (DINOv2)
     dtype: Any = None
-    # 'fused': inference-only Pallas attention / MLP kernels (no VJP) — use
-    # for serving / frozen-featurizer precompute; keep 'xla' for finetuning.
+    # 'fused' Pallas kernels: attention is differentiable (custom VJP) and
+    # safe for finetuning; the fused MLP is inference-only (no VJP yet) —
+    # keep mlp_impl='xla' for training.
     attn_impl: str = "xla"
     mlp_impl: str = "xla"
     # Local DINOv2-format checkpoint; merged at init (the reference always

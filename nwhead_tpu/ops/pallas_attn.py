@@ -87,6 +87,131 @@ def _attn_qkv_kernel(qkv_ref, out_ref, *, scale: float, H: int, hd: int,
     out_ref[0] = jnp.concatenate(outs, axis=1)
 
 
+def _attn_qkv_bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, scale: float,
+                         H: int, hd: int, D: int):
+    """Backward per batch row: recompute scores/probs in VMEM (flash-style —
+    nothing but qkv is saved), then the standard softmax-attention VJP:
+    dV = P^T dO; dP = dO V^T; dS = P*(dP - rowsum(dP*P));
+    dQ = dS K * scale; dK = dS^T Q * scale. Transposes are expressed as
+    dot_general contractions over dim 0 (no Mosaic relayouts)."""
+    x = qkv_ref[0]   # (N, 3D)
+    do = dout_ref[0]  # (N, D)
+    grads = []  # dq_h list, then dk_h, dv_h — assembled in qkv lane order
+    dqs, dks, dvs = [], [], []
+    for h in range(H):
+        q = x[:, h * hd:(h + 1) * hd]
+        k = x[:, D + h * hd:D + (h + 1) * hd]
+        v = x[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+        p_c = p.astype(v.dtype)
+        # dV = P^T @ dO  (contract rows)
+        dv = jax.lax.dot_general(
+            p_c, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO @ V^T
+        dp = jax.lax.dot_general(
+            do_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # dK = dS^T @ Q (contract rows)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    grads = dqs + dks + dvs
+    dqkv_ref[0] = jnp.concatenate(grads, axis=1)
+
+
+def _check_attn_vmem(N: int, D: int, itemsize: int) -> None:
+    # One (N, N) f32 score matrix (plus exp/probs copies the compiler may
+    # keep live) + qkv + out must fit the VMEM budget per program. The
+    # factor 3 on the score matrix reflects the softmax temporaries.
+    n_pad = _round_up(N, 8)
+    vmem_bytes = 3 * n_pad * n_pad * 4 + n_pad * 4 * D * itemsize
+    if vmem_bytes > _VMEM_LIMIT:
+        raise ValueError(
+            f"fused_attention_qkv holds the whole (N, N) score matrix in "
+            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the "
+            f"{_VMEM_LIMIT >> 20} MiB budget — use a flash-tiled attention "
+            f"for long sequences"
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attn_qkv_core(x, H: int, hd: int, interpret: bool):
+    """x: (B, N, 3D) flat qkv; returns (B, N, D). scale fixed at
+    1/sqrt(hd) (the transformer convention)."""
+    return _attn_qkv_fwd_call(x, H, hd, interpret)
+
+
+def _attn_qkv_fwd_call(x, H, hd, interpret):
+    B, N, threeD = x.shape
+    D = threeD // 3
+    return pl.pallas_call(
+        functools.partial(
+            _attn_qkv_kernel, scale=1.0 / float(hd) ** 0.5, H=H, hd=hd, D=D
+        ),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(x)
+
+
+def _attn_qkv_core_fwd(x, H, hd, interpret):
+    return _attn_qkv_fwd_call(x, H, hd, interpret), (x,)
+
+
+def _attn_qkv_core_bwd(H, hd, interpret, residuals, g):
+    (x,) = residuals
+    B, N, threeD = x.shape
+    D = threeD // 3
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _attn_qkv_bwd_kernel, scale=1.0 / float(hd) ** 0.5, H=H, hd=hd,
+            D=D,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(x, g.astype(x.dtype))
+    return (dqkv,)
+
+
+_attn_qkv_core.defvjp(_attn_qkv_core_fwd, _attn_qkv_core_bwd)
+
+
 def fused_attention_qkv(
     qkv: jnp.ndarray,
     num_heads: int,
@@ -100,30 +225,26 @@ def fused_attention_qkv(
     Dense output — NO host-side head transpose, padding, or copies (those
     cost more than the attention itself at encoder scale; measured in
     scripts/vit_lab.py). Heads are sliced as static lane windows inside the
-    kernel. Returns (B, N, H*hd). Inference-only.
+    kernel. Returns (B, N, H*hd).
+
+    Differentiable: a custom VJP recomputes probs per batch row in VMEM
+    (flash-style — only qkv is saved) and runs the softmax-attention
+    backward as one more Pallas kernel, so ``attn_impl='fused'`` works for
+    finetuning too. A non-default ``scale`` is inference-only.
     """
     B, N, three, H, hd = qkv.shape
     assert three == 3 and H == num_heads
     D = H * hd
-    if scale is None:
-        scale = 1.0 / float(hd) ** 0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # One (N, N) f32 score matrix (plus exp/probs copies the compiler may
-    # keep live) + qkv + out must fit the VMEM budget per program. The
-    # factor 3 on the score matrix reflects the softmax temporaries.
-    n_pad = _round_up(N, 8)
-    vmem_bytes = 3 * n_pad * n_pad * 4 + n_pad * 4 * D * qkv.dtype.itemsize
-    if vmem_bytes > _VMEM_LIMIT:
-        raise ValueError(
-            f"fused_attention_qkv holds the whole (N, N) score matrix in "
-            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the "
-            f"{_VMEM_LIMIT >> 20} MiB budget — use a flash-tiled attention "
-            f"for long sequences"
-        )
+    _check_attn_vmem(N, D, qkv.dtype.itemsize)
 
     x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
-    out = pl.pallas_call(
+    if scale is None:
+        return _attn_qkv_core(x, H, hd, interpret)
+    # Custom scale: rare path (all in-repo users take the 1/sqrt(hd)
+    # default); forward-only kernel call.
+    return pl.pallas_call(
         functools.partial(
             _attn_qkv_kernel, scale=float(scale), H=H, hd=hd, D=D
         ),
@@ -137,7 +258,6 @@ def fused_attention_qkv(
         ),
         interpret=interpret,
     )(x)
-    return out
 
 
 def fused_attention(
