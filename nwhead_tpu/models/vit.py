@@ -29,8 +29,9 @@ class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Any = None
-    # 'fused': inference-only Pallas fc1->gelu->fc2 (hidden activation never
-    # leaves VMEM — XLA's chain round-trips it to HBM around the GELU).
+    # 'fused': Pallas fc1->gelu->fc2 (hidden activation never leaves VMEM —
+    # XLA's chain round-trips it to HBM around the GELU). Differentiable
+    # (custom VJP with cross-tile weight-grad accumulation).
     mlp_impl: str = "xla"
 
     @nn.compact
@@ -137,9 +138,8 @@ class VisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1e-5
     img_size: int = 518  # grid the stored pos-embed corresponds to (DINOv2)
     dtype: Any = None
-    # 'fused' Pallas kernels: attention is differentiable (custom VJP) and
-    # safe for finetuning; the fused MLP is inference-only (no VJP yet) —
-    # keep mlp_impl='xla' for training.
+    # 'fused' Pallas kernels for attention and the MLP; both carry custom
+    # VJPs (recompute-in-backward), so they are safe for finetuning too.
     attn_impl: str = "xla"
     mlp_impl: str = "xla"
     # Local DINOv2-format checkpoint; merged at init (the reference always

@@ -55,6 +55,154 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _mlp_bwd_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, do_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dw1_acc, db1_acc, dw2_acc, db2_acc,
+    *, n_m_tiles: int,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_acc[:] = jnp.zeros_like(dw1_acc)
+        db1_acc[:] = jnp.zeros_like(db1_acc)
+        dw2_acc[:] = jnp.zeros_like(dw2_acc)
+        db2_acc[:] = jnp.zeros_like(db2_acc)
+
+    x = x_ref[:]        # (TM, Din)
+    do = do_ref[:]      # (TM, Dout)
+    # Recompute forward intermediates (flash-style: nothing saved).
+    h = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    cdf = 0.5 * (1.0 + _erf(h * (0.5 ** 0.5)))
+    g = (h * cdf).astype(x.dtype)  # gelu(h)
+
+    # dg = dO @ w2^T; dh = dg * gelu'(h);  gelu' = cdf + h * pdf.
+    dg = jax.lax.dot_general(
+        do, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pdf = jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI
+    dh = (dg * (cdf + h * pdf)).astype(x.dtype)
+
+    dx_ref[:] = jax.lax.dot_general(
+        dh, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+    # Weight/bias grads accumulate across token tiles (dim-0 contractions;
+    # bias sums ride a ones-vector matmul to avoid relayouts).
+    dw1_acc[:] += jax.lax.dot_general(
+        x, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw2_acc[:] += jax.lax.dot_general(
+        g, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ones = jnp.ones((x.shape[0], 1), x.dtype)
+    db1_acc[:] += jax.lax.dot_general(
+        ones, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_acc[:] += jax.lax.dot_general(
+        ones, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == n_m_tiles - 1)
+    def _finalize():
+        dw1_ref[:] = dw1_acc[:].astype(dw1_ref.dtype)
+        db1_ref[:] = db1_acc[:].astype(db1_ref.dtype)
+        dw2_ref[:] = dw2_acc[:].astype(dw2_ref.dtype)
+        db2_ref[:] = db2_acc[:].astype(db2_ref.dtype)
+
+
+def _mlp_call(xf, w1, b1, w2, b2, *, block_m, interpret):
+    m_pad, D_in = xf.shape
+    D_h = w1.shape[1]
+    D_out = w2.shape[1]
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(m_pad // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
+            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, D_out), xf.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xf, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mlp_core(xf, w1, b1, w2, b2, block_m, interpret):
+    return _mlp_call(xf, w1, b1, w2, b2, block_m=block_m, interpret=interpret)
+
+
+def _mlp_core_fwd(xf, w1, b1, w2, b2, block_m, interpret):
+    out = _mlp_call(xf, w1, b1, w2, b2, block_m=block_m, interpret=interpret)
+    return out, (xf, w1, b1, w2, b2)
+
+
+def _mlp_core_bwd(block_m, interpret, residuals, g):
+    xf, w1, b1, w2, b2 = residuals
+    m_pad, D_in = xf.shape
+    D_h = w1.shape[1]
+    D_out = w2.shape[1]
+    n_m = m_pad // block_m
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, n_m_tiles=n_m),
+        grid=(n_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
+            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
+            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, D_in), xf.dtype),
+            jax.ShapeDtypeStruct((D_in, D_h), w1.dtype),
+            jax.ShapeDtypeStruct((1, D_h), b1.dtype),
+            jax.ShapeDtypeStruct((D_h, D_out), w2.dtype),
+            jax.ShapeDtypeStruct((1, D_out), b2.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D_in, D_h), jnp.float32),
+            pltpu.VMEM((1, D_h), jnp.float32),
+            pltpu.VMEM((D_h, D_out), jnp.float32),
+            pltpu.VMEM((1, D_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(xf, w1, b1, w2, b2, g.astype(xf.dtype))
+    return dx, dw1, db1, dw2, db2
+
+
+_mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
+
+
 def fused_mlp(
     x: jnp.ndarray,
     w1: jnp.ndarray,
@@ -66,7 +214,11 @@ def fused_mlp(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """``gelu(x @ w1 + b1) @ w2 + b2`` with the hidden activation kept in
-    VMEM. x: (..., D_in); w1: (D_in, D_h); w2: (D_h, D_out)."""
+    VMEM. x: (..., D_in); w1: (D_in, D_h); w2: (D_h, D_out).
+
+    Differentiable: the custom VJP recomputes the hidden activation per
+    token tile (flash-style) and accumulates weight/bias grads across tiles
+    in a second Pallas kernel — ``mlp_impl='fused'`` trains too."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     orig_shape = x.shape
@@ -75,31 +227,14 @@ def fused_mlp(
     D_out = w2.shape[1]
     xf = x.reshape(-1, D_in)
     M = xf.shape[0]
+    block_m = min(block_m, _round_up(M, 8))
     m_pad = _round_up(M, block_m)
     if m_pad != M:
         xf = jnp.pad(xf, ((0, m_pad - M), (0, 0)))
     dt = x.dtype
-    w1 = w1.astype(dt)
-    w2 = w2.astype(dt)
-    b1 = b1.astype(jnp.float32).reshape(1, D_h)
-    b2 = b2.astype(jnp.float32).reshape(1, D_out)
-
-    out = pl.pallas_call(
-        _mlp_kernel,
-        grid=(m_pad // block_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
-            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
-            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, D_out), dt),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(xf, w1, b1, w2, b2)
+    out = _mlp_core(
+        xf, w1.astype(dt), b1.astype(jnp.float32).reshape(1, D_h),
+        w2.astype(dt), b2.astype(jnp.float32).reshape(1, D_out),
+        block_m, interpret,
+    )
     return out[:M].reshape(*orig_shape[:-1], D_out)

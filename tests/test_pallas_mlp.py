@@ -66,3 +66,47 @@ def test_vit_fused_impls_match_xla(rng):
     a = np.asarray(m1.apply(v1, x, train=False))
     b = np.asarray(m2.apply(v1, x, train=False))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mlp_gradients_match_xla(rng):
+    """The custom VJP (recompute + cross-tile weight-grad accumulation)
+    must match autodiff through the XLA chain for ALL five inputs."""
+    M, Din, Dh = 130, 32, 96
+    x = jnp.asarray(rng.standard_normal((M, Din)).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((Din, Dh)) * 0.2).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(Dh).astype(np.float32) * 0.1)
+    w2 = jnp.asarray((rng.standard_normal((Dh, Din)) * 0.2).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(Din).astype(np.float32) * 0.1)
+    t = jnp.asarray(rng.standard_normal((M, Din)).astype(np.float32))
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.tanh(fused_mlp(x, w1, b1, w2, b2, block_m=64)) * t)
+
+    def loss_xla(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.tanh(_naive(x, w1, b1, w2, b2)) * t)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b, name in zip(gf, gx, ["dx", "dw1", "db1", "dw2", "db2"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=name
+        )
+
+
+def test_vit_fully_fused_trains(rng):
+    """Gradient flow through attn_impl='fused' AND mlp_impl='fused'."""
+    from nwhead_tpu.models import load_model
+
+    m = load_model("vit_s16", attn_impl="fused", mlp_impl="fused")
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        f = m.apply({"params": params}, x, train=True)
+        return jnp.sum(f * f)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in leaves)
+    gm = np.asarray(g["block0"]["mlp"]["fc1"]["kernel"])
+    assert np.abs(gm).max() > 0
