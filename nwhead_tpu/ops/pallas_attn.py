@@ -63,27 +63,54 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, n_valid: int,
 
 
 def _attn_qkv_kernel(qkv_ref, out_ref, *, scale: float, H: int, hd: int,
-                     D: int):
+                     D: int, k_chunk: int = 0):
+    """k_chunk == 0 (or >= N): single-pass — whole (N, N) scores in VMEM.
+    Otherwise: flash-style online softmax over K/V row chunks (the
+    long-sequence path; only the (N, k_chunk) chunk is live)."""
     x = qkv_ref[0]  # (N, 3*D) — q | k | v lanes, heads contiguous within
+    N = x.shape[0]
     outs = []
     for h in range(H):
         q = x[:, h * hd:(h + 1) * hd]
-        k = x[:, D + h * hd:D + (h + 1) * hd]
-        v = x[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (N, N) f32
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                probs, v, (((1,), (0,)), ((), ())),
+        if k_chunk <= 0 or k_chunk >= N:
+            k = x[:, D + h * hd:D + (h + 1) * hd]
+            v = x[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
-        )
+            ) * scale  # (N, N) f32
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    probs, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(out_ref.dtype)
+            )
+            continue
+        m = jnp.full((N, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((N, 1), jnp.float32)
+        acc = jnp.zeros((N, hd), jnp.float32)
+        for c0 in range(0, N, k_chunk):
+            c1 = min(c0 + k_chunk, N)
+            k_c = x[c0:c1, D + h * hd:D + (h + 1) * hd]
+            v_c = x[c0:c1, 2 * D + h * hd:2 * D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (N, c1-c0)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_c.dtype), v_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+        outs.append((acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype))
     out_ref[0] = jnp.concatenate(outs, axis=1)
 
 
@@ -139,19 +166,31 @@ def _attn_qkv_bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, scale: float,
     dqkv_ref[0] = jnp.concatenate(grads, axis=1)
 
 
-def _check_attn_vmem(N: int, D: int, itemsize: int) -> None:
-    # One (N, N) f32 score matrix (plus exp/probs copies the compiler may
-    # keep live) + qkv + out must fit the VMEM budget per program. The
-    # factor 3 on the score matrix reflects the softmax temporaries.
+_FLASH_CHUNK = 512
+
+
+def _select_k_chunk(N: int, D: int, itemsize: int) -> int:
+    """0 = single-pass (whole (N, N) scores fit VMEM, differentiable);
+    else the K/V chunk size for the flash-tiled forward. Raises only if
+    even the chunked footprint (linear in N) cannot fit."""
     n_pad = _round_up(N, 8)
-    vmem_bytes = 3 * n_pad * n_pad * 4 + n_pad * 4 * D * itemsize
-    if vmem_bytes > _VMEM_LIMIT:
+    # Single pass: (N, N) f32 scores + softmax temporaries (x3) + qkv/out.
+    single = 3 * n_pad * n_pad * 4 + n_pad * 4 * D * itemsize
+    if single <= _VMEM_LIMIT:
+        return 0
+    chunk = _FLASH_CHUNK
+    chunked = (
+        3 * n_pad * chunk * 4          # (N, chunk) scores + temporaries
+        + n_pad * 4 * D * itemsize     # qkv block + out
+        + 3 * n_pad * 4                # m / l / acc-ish per-row state
+    )
+    if chunked > _VMEM_LIMIT:
         raise ValueError(
-            f"fused_attention_qkv holds the whole (N, N) score matrix in "
-            f"VMEM; N={N} needs ~{vmem_bytes >> 20} MiB > the "
-            f"{_VMEM_LIMIT >> 20} MiB budget — use a flash-tiled attention "
-            f"for long sequences"
+            f"fused_attention_qkv: even the flash-tiled path needs "
+            f"~{chunked >> 20} MiB of VMEM at N={N}, D={D} — shard the "
+            f"sequence instead"
         )
+    return chunk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -230,23 +269,27 @@ def fused_attention_qkv(
     Differentiable: a custom VJP recomputes probs per batch row in VMEM
     (flash-style — only qkv is saved) and runs the softmax-attention
     backward as one more Pallas kernel, so ``attn_impl='fused'`` works for
-    finetuning too. A non-default ``scale`` is inference-only.
+    finetuning too. When N is too long for the whole (N, N) score matrix
+    to live in VMEM, the kernel switches to a flash-tiled online-softmax
+    sweep over K/V chunks — that long-sequence path (and a non-default
+    ``scale``) is forward-only.
     """
     B, N, three, H, hd = qkv.shape
     assert three == 3 and H == num_heads
     D = H * hd
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _check_attn_vmem(N, D, qkv.dtype.itemsize)
+    k_chunk = _select_k_chunk(N, D, qkv.dtype.itemsize)
 
     x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
-    if scale is None:
+    if scale is None and k_chunk == 0:
         return _attn_qkv_core(x, H, hd, interpret)
-    # Custom scale: rare path (all in-repo users take the 1/sqrt(hd)
-    # default); forward-only kernel call.
+    # Flash-tiled long-sequence path or custom scale: forward-only.
     return pl.pallas_call(
         functools.partial(
-            _attn_qkv_kernel, scale=float(scale), H=H, hd=hd, D=D
+            _attn_qkv_kernel,
+            scale=float(scale) if scale is not None else 1.0 / float(hd) ** 0.5,
+            H=H, hd=hd, D=D, k_chunk=k_chunk,
         ),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0))],

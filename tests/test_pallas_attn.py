@@ -103,6 +103,30 @@ def test_vit_fused_attention_trains(rng):
     assert np.abs(gq).max() > 0
 
 
+def test_flash_tiled_path_matches_single_pass(rng, monkeypatch):
+    """The k-chunked online-softmax (long-sequence) path must equal the
+    single-pass kernel exactly (forced by shrinking the VMEM budget)."""
+    import nwhead_tpu.ops.pallas_attn as pa
+
+    B, N, H, hd = 2, 300, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, H, hd)).astype(np.float32))
+    want = np.asarray(pa.fused_attention_qkv(qkv, H))
+
+    monkeypatch.setattr(pa, "_VMEM_LIMIT", 1 * 1024 * 1024)
+    monkeypatch.setattr(pa, "_FLASH_CHUNK", 64)
+    assert pa._select_k_chunk(N, H * hd, 4) == 64  # chunked path selected
+    got = np.asarray(pa.fused_attention_qkv(qkv, H))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_flash_tiled_raises_when_nothing_fits(monkeypatch):
+    import nwhead_tpu.ops.pallas_attn as pa
+
+    monkeypatch.setattr(pa, "_VMEM_LIMIT", 1024)
+    with pytest.raises(ValueError, match="shard the sequence"):
+        pa._select_k_chunk(4096, 384, 4)
+
+
 def test_rows_are_proper_distributions(rng):
     """Padded key columns must carry zero probability mass: out equals
     attention restricted to the true N."""
