@@ -2,7 +2,10 @@
 
 Measures the headline number from BASELINE.md: full-mode prediction
 (ResNet-18 featurize + NW head over the S~=5,994 x 512 support bank,
-C=200 classes) on one TPU chip.
+C=200 classes) on one TPU chip. The headline `value` is the SERVING path
+(int8-PTQ featurizer + int8 prepared head, accuracy-validated in tests and
+the parity protocol); every float-path number is reported alongside
+(e2e_qps_float, head_*, featurizer_ms_per_batch).
 
 Timing methodology (hardened in round 2):
   * the axon TPU tunnel has ~30 ms round-trip latency and
