@@ -633,11 +633,19 @@ class QuantizedViT(NamedTuple):
             if blk.ls1 is not None:
                 out = out * blk.ls1.astype(out.dtype)
             x = x + out
-            h = blk.fc1(blk.norm2(x))
-            # GELU in bf16: the f32 cast chain on the (B, N, 4D) tensor
-            # costs more than the fc matmuls themselves (vit_lab).
-            h = jax.nn.gelu(h, approximate=False)
-            h = blk.fc2(h)
+            # Fused int8 MLP: both matmuls on the int8 MXU with the
+            # requantize chains and the 4D hidden activation entirely in
+            # VMEM (the per-op QDense version lost its int8 gains to
+            # exactly those HBM round-trips).
+            from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
+
+            h = fused_mlp_int8(
+                blk.norm2(x),
+                blk.fc1.wq, blk.fc1.w_scale, blk.fc1.bias,
+                float(blk.fc1.act_scale),
+                blk.fc2.wq, blk.fc2.w_scale, blk.fc2.bias,
+                float(blk.fc2.act_scale),
+            )
             if blk.ls2 is not None:
                 h = h * blk.ls2.astype(h.dtype)
             x = x + h

@@ -203,6 +203,88 @@ def _mlp_core_bwd(block_m, interpret, residuals, g):
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
 
 
+def _mlp_int8_kernel(x_ref, wq1_ref, s1_ref, b1_ref, wq2_ref, s2_ref,
+                     b2_ref, out_ref, *, a1: float, a2: float):
+    """int8 PTQ MLP, fully fused: quantize -> int8 MXU dot -> dequant+bias
+    -> gelu -> requantize -> int8 MXU dot -> dequant+bias, with every
+    intermediate in VMEM. a1/a2 are the calibrated per-tensor activation
+    scales for the two matmul inputs."""
+    x8 = jnp.clip(
+        jnp.round(x_ref[:].astype(jnp.float32) * (1.0 / a1)), -127, 127
+    ).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        x8, wq1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (a1 * s1_ref[0]) + b1_ref[0]
+    h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))  # exact GELU, f32
+    g8 = jnp.clip(jnp.round(h * (1.0 / a2)), -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        g8, wq2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (a2 * s2_ref[0]) + b2_ref[0]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_mlp_int8(
+    x: jnp.ndarray,
+    wq1: jnp.ndarray,
+    w1_scale: jnp.ndarray,
+    b1: jnp.ndarray,
+    act_scale1,
+    wq2: jnp.ndarray,
+    w2_scale: jnp.ndarray,
+    b2: jnp.ndarray,
+    act_scale2,
+    *,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Quantized-serving MLP: same math as two ``QDense`` calls around a
+    GELU, but fused — the requantize chains and the 4D hidden activation
+    never touch HBM, and both matmuls run on the int8 MXU path.
+    Inference-only. Returns bf16."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    D_in = orig_shape[-1]
+    D_h = wq1.shape[1]
+    D_out = wq2.shape[1]
+    xf = x.reshape(-1, D_in)
+    M = xf.shape[0]
+    block_m = min(block_m, _round_up(M, 8))
+    m_pad = _round_up(M, block_m)
+    if m_pad != M:
+        xf = jnp.pad(xf, ((0, m_pad - M), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_int8_kernel, a1=float(act_scale1), a2=float(act_scale2)
+        ),
+        grid=(m_pad // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
+            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, D_out), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(
+        xf, wq1, w1_scale.astype(jnp.float32).reshape(1, D_h),
+        b1.astype(jnp.float32).reshape(1, D_h), wq2,
+        w2_scale.astype(jnp.float32).reshape(1, D_out),
+        b2.astype(jnp.float32).reshape(1, D_out),
+    )
+    return out[:M].reshape(*orig_shape[:-1], D_out)
+
+
 def fused_mlp(
     x: jnp.ndarray,
     w1: jnp.ndarray,
