@@ -309,19 +309,33 @@ class NWNet:
 
         self.quantized_featurizer = q
         # The quantized closure bakes in THESE weights; a later checkpoint
-        # reload would silently diverge from the head params — remember the
-        # source tree and fail loudly if predict/precompute sees another.
-        self._quantized_variables_id = id(variables)
+        # reload would silently diverge from the head params — fingerprint
+        # the source tree and fail loudly if predict/precompute sees
+        # different weights. Content-based (not id()): ids can be reused
+        # after GC, and an equal-content rebuilt tree is legitimately fine.
+        self._quantized_variables_fp = self._variables_fingerprint(variables)
         self._featurize_eval = jax.jit(feat)
         # Bank features must come from the same featurizer as queries.
         self._prepared_full = None
         self.sharded_bank = None
         self._sharded_predict = None
 
+    @staticmethod
+    def _variables_fingerprint(variables):
+        """Cheap content fingerprint of a variables tree: per-leaf
+        (shape, dtype, sum) for the handful of smallest leaves. Scalars
+        only cross the device boundary, so this costs microseconds."""
+        leaves = jax.tree_util.tree_leaves(variables)
+        small = sorted(leaves, key=lambda l: getattr(l, "size", 0))[:4]
+        return tuple(
+            (tuple(l.shape), str(l.dtype), float(jnp.sum(l))) for l in small
+        )
+
     def _check_quantized_variables(self, variables) -> None:
         if (
             self.quantized_featurizer is not None
-            and id(variables) != self._quantized_variables_id
+            and self._variables_fingerprint(variables)
+            != self._quantized_variables_fp
         ):
             raise RuntimeError(
                 "the featurizer was quantized from a different variables "

@@ -64,11 +64,13 @@ def build_server(args):
     sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
     variables = net.init(jax.random.PRNGKey(args.seed), sample)
     if args.ckpt:
-        restored = load_checkpoint(args.ckpt, target={
-            "params": variables["params"],
-            "batch_stats": variables["batch_stats"]})
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+        # BN-free backbones (ViT) init with only a 'params' collection.
+        target = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        restored = load_checkpoint(args.ckpt, target=target)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
         print(f"Loaded checkpoint {args.ckpt}")
 
     if args.featurizer_precision == "int8":

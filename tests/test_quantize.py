@@ -242,8 +242,10 @@ def test_eval_cli_int8_rejects_bank_cache(tmp_path):
 
 
 def test_quantized_net_rejects_stale_variables(rng):
-    """After quantize_featurizer, predict/precompute with a DIFFERENT
-    variables tree must fail loudly (the quantized weights are baked in)."""
+    """After quantize_featurizer, predict/precompute with DIFFERENT
+    weights must fail loudly (the quantized weights are baked in). The
+    guard is content-based: an equal-content rebuilt tree is fine; a
+    reloaded checkpoint with other weights is rejected."""
     import copy
 
     from nwhead_tpu.data import make_synthetic_dataset
@@ -256,7 +258,9 @@ def test_quantized_net_rejects_stale_variables(rng):
     variables = net.init(jax.random.PRNGKey(0), x0)
     net.quantize_featurizer(variables, ds.gather(np.arange(8)))
     net.precompute(variables)  # same tree: fine
-    other = copy.copy(variables)  # a "reloaded checkpoint"
+    rebuilt = copy.copy(variables)  # equal content, different object
+    net.predict(rebuilt, x0, "full")  # no spurious rejection
+    other = jax.tree_util.tree_map(lambda l: l + 1.0, variables)
     with pytest.raises(RuntimeError, match="quantize_featurizer"):
         net.predict(other, x0, "full")
 
