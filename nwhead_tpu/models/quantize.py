@@ -618,18 +618,32 @@ class QuantizedViT(NamedTuple):
             [jnp.broadcast_to(cls_tok, (B, 1, D)), x], axis=1
         )
 
-        from nwhead_tpu.ops.pallas_attn import fused_attention_qkv
+        from nwhead_tpu.ops.pallas_attn import (
+            fused_attention_qkv,
+            fused_attention_qkv_int8,
+            int8_attention_fits,
+        )
 
         head_dim = D // self.num_heads
         for blk in self.blocks:
-            h = blk.qkv(blk.norm1(x))
-            N = h.shape[1]
-            h = h.reshape(B, N, 3, self.num_heads, head_dim)
-            # Transpose-free fused VMEM attention: f32 softmax on-chip, no
-            # (B, H, N, N) HBM round-trip and no head transposes (both
-            # dominate the XLA chain's cost — vit_lab).
-            out = fused_attention_qkv(h, self.num_heads)
-            out = blk.proj(out)
+            xn = blk.norm1(x)
+            N = xn.shape[1]
+            if int8_attention_fits(N, D):
+                # Whole attention sublayer in one int8 kernel: qkv and
+                # proj on the int8 MXU, requant chains + per-head f32
+                # softmax in VMEM — no (B, N, 3D) HBM round-trip.
+                out = fused_attention_qkv_int8(
+                    xn, blk.qkv.wq, blk.qkv.w_scale, blk.qkv.bias,
+                    blk.qkv.act_scale, blk.proj.wq, blk.proj.w_scale,
+                    blk.proj.bias, blk.proj.act_scale, self.num_heads,
+                )
+            else:
+                # Long-sequence fallback: per-op QDense around the
+                # flash-tiled bf16 attention kernel.
+                h = blk.qkv(xn)
+                h = h.reshape(B, N, 3, self.num_heads, head_dim)
+                out = fused_attention_qkv(h, self.num_heads)
+                out = blk.proj(out)
             if blk.ls1 is not None:
                 out = out * blk.ls1.astype(out.dtype)
             x = x + out

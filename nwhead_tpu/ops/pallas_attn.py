@@ -14,10 +14,13 @@ Layout lessons (first version measured SLOWER than XLA):
   * batch several (batch, head) pairs per grid program (``bh_block``) —
     a (B*H,)-sized grid pays per-step overhead 12x per ViT forward.
 
-Scope: inference-only (no VJP), self-attention, no attention mask beyond
-sequence-length padding. The ViT serving path (``models/quantize.py``
-``QuantizedViT.apply``) uses it; it is also a public op for any
-encoder-style transformer at N up to ~1k (VMEM bound: N_pad^2 * 4 bytes).
+Scope: self-attention, no attention mask beyond sequence-length padding.
+``fused_attention_qkv`` is fully differentiable (custom VJP, flash-style
+recompute-in-backward, chunked at long N); the (q, k, v)-input
+``fused_attention`` remains inference-only. The ViT serving path
+(``models/quantize.py`` ``QuantizedViT.apply``) uses it; it is also a
+public op for any encoder-style transformer at any N whose linear
+footprint fits VMEM (the (N, N) score matrix never has to).
 """
 
 from __future__ import annotations
@@ -193,19 +196,89 @@ def _select_k_chunk(N: int, D: int, itemsize: int) -> int:
     return chunk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _attn_qkv_core(x, H: int, hd: int, interpret: bool):
-    """x: (B, N, 3D) flat qkv; returns (B, N, D). scale fixed at
-    1/sqrt(hd) (the transformer convention)."""
-    return _attn_qkv_fwd_call(x, H, hd, interpret)
+def _attn_qkv_chunked_bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, scale: float,
+                                 H: int, hd: int, D: int, k_chunk: int):
+    """Flash-style chunked backward: nothing but qkv is saved. Per head,
+    sweep 1 recomputes the online-softmax stats (m, l) AND the output
+    (for delta = rowsum(dO * O)); sweep 2 recomputes each (N, chunk)
+    probability block and emits the per-chunk dK/dV stores plus the dQ
+    accumulation. Only O(N * k_chunk) score memory is ever live, so the
+    backward runs at every N the flash-tiled forward supports."""
+    x = qkv_ref[0]    # (N, 3D)
+    do = dout_ref[0]  # (N, D)
+    N = x.shape[0]
+    for h in range(H):
+        q = x[:, h * hd:(h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        # Sweep 1: online-softmax recompute -> m, l, out_h, delta.
+        m = jnp.full((N, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((N, 1), jnp.float32)
+        acc = jnp.zeros((N, hd), jnp.float32)
+        for c0 in range(0, N, k_chunk):
+            c1 = min(c0 + k_chunk, N)
+            k_c = x[c0:c1, D + h * hd:D + (h + 1) * hd]
+            v_c = x[c0:c1, 2 * D + h * hd:2 * D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_c.dtype), v_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = m_new
+        l = jnp.maximum(l, 1e-30)
+        out_h = acc / l
+        delta = jnp.sum(do_h.astype(jnp.float32) * out_h, axis=1,
+                        keepdims=True)
+        # Sweep 2: per-chunk grads. dV_c = P_c^T dO; dP_c = dO V_c^T;
+        # dS_c = P_c*(dP_c - delta); dQ += dS_c K_c * scale;
+        # dK_c = dS_c^T Q * scale.
+        dq = jnp.zeros((N, hd), jnp.float32)
+        for c0 in range(0, N, k_chunk):
+            c1 = min(c0 + k_chunk, N)
+            k_c = x[c0:c1, D + h * hd:D + (h + 1) * hd]
+            v_c = x[c0:c1, 2 * D + h * hd:2 * D + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jnp.exp(s - m) / l  # (N, c) f32, final probabilities
+            p_c = p.astype(v_c.dtype)
+            dv = jax.lax.dot_general(
+                p_c, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do_h, v_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta)).astype(q.dtype)
+            dq = dq + jax.lax.dot_general(
+                ds, k_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dqkv_ref[0, c0:c1, D + h * hd:D + (h + 1) * hd] = (
+                dk.astype(dqkv_ref.dtype))
+            dqkv_ref[0, c0:c1, 2 * D + h * hd:2 * D + (h + 1) * hd] = (
+                dv.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
 
 
-def _attn_qkv_fwd_call(x, H, hd, interpret):
+def _attn_qkv_fwd_call(x, H, hd, scale, k_chunk, interpret):
     B, N, threeD = x.shape
     D = threeD // 3
     return pl.pallas_call(
         functools.partial(
-            _attn_qkv_kernel, scale=1.0 / float(hd) ** 0.5, H=H, hd=hd, D=D
+            _attn_qkv_kernel, scale=scale, H=H, hd=hd, D=D, k_chunk=k_chunk
         ),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0))],
@@ -219,19 +292,32 @@ def _attn_qkv_fwd_call(x, H, hd, interpret):
     )(x)
 
 
-def _attn_qkv_core_fwd(x, H, hd, interpret):
-    return _attn_qkv_fwd_call(x, H, hd, interpret), (x,)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _attn_qkv_core(x, H: int, hd: int, scale: float, k_chunk: int,
+                   interpret: bool):
+    """x: (B, N, 3D) flat qkv; returns (B, N, D). k_chunk == 0 selects the
+    single-pass kernel (and its whole-score-matrix backward); k_chunk > 0
+    selects the flash-tiled forward + chunked backward pair."""
+    return _attn_qkv_fwd_call(x, H, hd, scale, k_chunk, interpret)
 
 
-def _attn_qkv_core_bwd(H, hd, interpret, residuals, g):
+def _attn_qkv_core_fwd(x, H, hd, scale, k_chunk, interpret):
+    return _attn_qkv_fwd_call(x, H, hd, scale, k_chunk, interpret), (x,)
+
+
+def _attn_qkv_core_bwd(H, hd, scale, k_chunk, interpret, residuals, g):
     (x,) = residuals
     B, N, threeD = x.shape
     D = threeD // 3
+    if k_chunk <= 0:
+        kern = functools.partial(
+            _attn_qkv_bwd_kernel, scale=scale, H=H, hd=hd, D=D)
+    else:
+        kern = functools.partial(
+            _attn_qkv_chunked_bwd_kernel, scale=scale, H=H, hd=hd, D=D,
+            k_chunk=k_chunk)
     dqkv = pl.pallas_call(
-        functools.partial(
-            _attn_qkv_bwd_kernel, scale=1.0 / float(hd) ** 0.5, H=H, hd=hd,
-            D=D,
-        ),
+        kern,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0)),
@@ -266,13 +352,14 @@ def fused_attention_qkv(
     scripts/vit_lab.py). Heads are sliced as static lane windows inside the
     kernel. Returns (B, N, H*hd).
 
-    Differentiable: a custom VJP recomputes probs per batch row in VMEM
-    (flash-style — only qkv is saved) and runs the softmax-attention
-    backward as one more Pallas kernel, so ``attn_impl='fused'`` works for
-    finetuning too. When N is too long for the whole (N, N) score matrix
-    to live in VMEM, the kernel switches to a flash-tiled online-softmax
-    sweep over K/V chunks — that long-sequence path (and a non-default
-    ``scale``) is forward-only.
+    Differentiable in every configuration: a custom VJP recomputes probs
+    per batch row in VMEM (flash-style — only qkv is saved) and runs the
+    softmax-attention backward as one more Pallas kernel, so
+    ``attn_impl='fused'`` works for finetuning too. When N is too long for
+    the whole (N, N) score matrix to live in VMEM, both the forward and
+    the backward switch to flash-tiled online-softmax sweeps over K/V
+    chunks (the backward recomputes stats + output in a first sweep, then
+    emits per-chunk dK/dV and accumulates dQ in a second).
     """
     B, N, three, H, hd = qkv.shape
     assert three == 3 and H == num_heads
@@ -280,27 +367,137 @@ def fused_attention_qkv(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k_chunk = _select_k_chunk(N, D, qkv.dtype.itemsize)
+    sc = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
 
     x = qkv.reshape(B, N, 3 * D)  # free reshape (contiguous)
-    if scale is None and k_chunk == 0:
-        return _attn_qkv_core(x, H, hd, interpret)
-    # Flash-tiled long-sequence path or custom scale: forward-only.
+    return _attn_qkv_core(x, H, hd, sc, k_chunk, interpret)
+
+
+def _attn_int8_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref,
+                      sproj_ref, bproj_ref, out_ref, *, scale: float, H: int,
+                      hd: int, D: int, a_qkv: float, a_proj: float):
+    """Whole attention sublayer, int8-fused: quantize -> int8 MXU qkv
+    matmul -> dequant+bias -> per-head f32 softmax attention (bf16 score/
+    PV matmuls) -> requantize -> int8 MXU proj matmul -> dequant+bias.
+    The (N, 3D) qkv tensor, every requant chain, and the attention
+    intermediates never touch HBM."""
+    x8 = jnp.clip(
+        jnp.round(x_ref[0].astype(jnp.float32) * (1.0 / a_qkv)), -127, 127
+    ).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        x8, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (a_qkv * sqkv_ref[0]) + bqkv_ref[0]
+    h = h.astype(jnp.bfloat16)  # (N, 3D)
+    outs = []
+    for hh in range(H):
+        q = h[:, hh * hd:(hh + 1) * hd]
+        k = h[:, D + hh * hd:D + (hh + 1) * hd]
+        v = h[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    att = jnp.concatenate(outs, axis=1)  # (N, D) f32
+    a8 = jnp.clip(
+        jnp.round(att * (1.0 / a_proj)), -127, 127
+    ).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        a8, wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (a_proj * sproj_ref[0]) + bproj_ref[0]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def int8_attention_fits(N: int, D: int) -> bool:
+    """Whether the single-pass int8 attention sublayer fits VMEM at
+    sequence length N, embed dim D (per batch row: weights + (N, 3D) qkv
+    + one (N, N) f32 score matrix + requant temporaries)."""
+    n_pad = _round_up(N, 8)
+    need = (
+        3 * D * D + D * D            # int8 qkv + proj weights
+        + n_pad * 3 * D * 2          # bf16 qkv tensor
+        + 3 * n_pad * n_pad * 4      # score matrix + softmax temporaries
+        + 4 * n_pad * D * 4          # x8/att/requant/out temporaries
+    )
+    return need <= _VMEM_LIMIT
+
+
+def fused_attention_qkv_int8(
+    x: jnp.ndarray,
+    wq_qkv: jnp.ndarray,
+    qkv_w_scale: jnp.ndarray,
+    qkv_bias: jnp.ndarray,
+    qkv_act_scale,
+    wq_proj: jnp.ndarray,
+    proj_w_scale: jnp.ndarray,
+    proj_bias: jnp.ndarray,
+    proj_act_scale,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Quantized-serving attention sublayer: same math as
+    ``QDense(qkv) -> fused_attention_qkv -> QDense(proj)`` but in ONE
+    kernel — both projections run on the int8 MXU and nothing between the
+    LayerNorm input and the proj output touches HBM. Inference-only.
+
+    x: (B, N, D) activations (bf16); wq_*: int8 weights with per-out-
+    channel scales; *_act_scale: calibrated per-tensor input scales.
+    Returns (B, N, D) bf16.
+    """
+    B, N, D = x.shape
+    H = num_heads
+    hd = D // H
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not int8_attention_fits(N, D):
+        raise ValueError(
+            f"fused_attention_qkv_int8: N={N}, D={D} exceeds the single-"
+            f"pass VMEM budget — fall back to the unfused QDense + "
+            f"fused_attention_qkv composition"
+        )
+    sc = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
     return pl.pallas_call(
         functools.partial(
-            _attn_qkv_kernel,
-            scale=float(scale) if scale is not None else 1.0 / float(hd) ** 0.5,
-            H=H, hd=hd, D=D, k_chunk=k_chunk,
+            _attn_int8_kernel, scale=sc, H=H, hd=hd, D=D,
+            a_qkv=float(qkv_act_scale), a_proj=float(proj_act_scale),
         ),
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, N, 3 * D), lambda b: (b, 0, 0))],
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+            pl.BlockSpec((D, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+        ],
         out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(x)
+    )(
+        x.astype(jnp.bfloat16), wq_qkv,
+        qkv_w_scale.astype(jnp.float32).reshape(1, 3 * D),
+        qkv_bias.astype(jnp.float32).reshape(1, 3 * D), wq_proj,
+        proj_w_scale.astype(jnp.float32).reshape(1, D),
+        proj_bias.astype(jnp.float32).reshape(1, D),
+    )
 
 
 def fused_attention(

@@ -194,21 +194,21 @@ def stem():
         print(f"  stem {name}: {t * 1e6:.1f} us", flush=True)
 
 
-def vit_stack():
-    """ViT-S/14 at B=64@224 (the reference dinov2 shape): bf16 flax vs int8
-    PTQ (all Dense matmuls on the int8 MXU)."""
+def vit_stack(arch="vit_s14", B=64):
+    """ViT at B@224 (the reference dinov2 shape): bf16 flax vs fully-fused
+    bf16 (Pallas attention + MLP) vs int8 PTQ (fused int8 attention
+    sublayer + fused int8 MLP — every Dense on the int8 MXU)."""
     import sys
     sys.path.insert(0, ".")
     from nwhead_tpu.models import load_model
     from nwhead_tpu.models.quantize import quantize_featurizer
 
     rng = np.random.default_rng(0)
-    B = 64
     img = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(np.float32))
-    model_bf16 = load_model("vit_s14", dtype=jnp.bfloat16)
-    model_bf16_fused = load_model("vit_s14", dtype=jnp.bfloat16,
-                                  attn_impl="fused")
-    model_f32 = load_model("vit_s14")
+    model_bf16 = load_model(arch, dtype=jnp.bfloat16)
+    model_bf16_fused = load_model(arch, dtype=jnp.bfloat16,
+                                  attn_impl="fused", mlp_impl="fused")
+    model_f32 = load_model(arch)
     variables = model_f32.init(jax.random.PRNGKey(0), img[:1], train=False)
     q = quantize_featurizer(model_f32, variables, img[:16])
 
@@ -239,12 +239,12 @@ def vit_stack():
 
     res = interleaved_time(
         [("bf16", bf16_fn, (img,)),
-         ("bf16+fused_attn", bf16_fused_fn, (img,)),
+         ("bf16+fully_fused", bf16_fused_fn, (img,)),
          ("int8", int8_fn, (img,))], cycles=7,
         target_s=0.1,
     )
     for name, t in res.items():
-        print(f"  vit_s14 {name}: {t * 1e3:.3f} ms/batch-64 "
+        print(f"  {arch} {name}: {t * 1e3:.3f} ms/batch-{B} "
               f"({B / t:.0f} img/s)", flush=True)
 
 
@@ -311,7 +311,11 @@ if __name__ == "__main__":
     if "--stack" in sys.argv:
         stack()
     elif "--vit" in sys.argv:
-        vit_stack()
+        arch = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--arch=")), "vit_s14")
+        bsz = int(next((a.split("=", 1)[1] for a in sys.argv
+                        if a.startswith("--batch=")), "64"))
+        vit_stack(arch, bsz)
     elif "--stem" in sys.argv:
         stem()
     elif "--decompose" in sys.argv:

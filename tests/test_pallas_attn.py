@@ -119,12 +119,118 @@ def test_flash_tiled_path_matches_single_pass(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_flash_tiled_gradients_match_xla(rng, monkeypatch):
+    """The chunked backward (two-sweep flash recompute) must produce the
+    same qkv gradients as autodiff through the XLA chain — training at
+    long N is supported, not silently forward-only."""
+    import nwhead_tpu.ops.pallas_attn as pa
+
+    B, N, H, hd = 2, 200, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, H, hd)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((H * hd,)).astype(np.float32))
+
+    def loss_fused(qkv_):
+        return jnp.sum(jnp.tanh(pa.fused_attention_qkv(qkv_, H)) * w)
+
+    def loss_xla(qkv_):
+        q, k, v = qkv_[:, :, 0], qkv_[:, :, 1], qkv_[:, :, 2]
+        out = _naive(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), 1.0 / hd ** 0.5,
+        ).transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+        return jnp.sum(jnp.tanh(out) * w)
+
+    monkeypatch.setattr(pa, "_VMEM_LIMIT", 512 * 1024)
+    monkeypatch.setattr(pa, "_FLASH_CHUNK", 64)
+    assert pa._select_k_chunk(N, H * hd, 4) == 64  # chunked path selected
+    g_fused = np.asarray(jax.grad(loss_fused)(qkv))
+    g_xla = np.asarray(jax.grad(loss_xla)(qkv))
+    np.testing.assert_allclose(g_fused, g_xla, rtol=2e-3, atol=2e-5)
+
+
+def test_custom_scale_forward_and_grad(rng):
+    """A non-default scale is first-class: forward matches the naive chain
+    and the VJP differentiates (no forward-only configurations remain)."""
+    from nwhead_tpu.ops.pallas_attn import fused_attention_qkv
+
+    B, N, H, hd = 1, 33, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3, H, hd)).astype(np.float32))
+    scale = 0.31
+    got = np.asarray(fused_attention_qkv(qkv, H, scale=scale))
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    want = np.asarray(
+        _naive(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), scale,
+        ).transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def loss_fused(qkv_):
+        return jnp.sum(fused_attention_qkv(qkv_, H, scale=scale) ** 2)
+
+    def loss_xla(qkv_):
+        q_, k_, v_ = qkv_[:, :, 0], qkv_[:, :, 1], qkv_[:, :, 2]
+        out = _naive(
+            q_.transpose(0, 2, 1, 3), k_.transpose(0, 2, 1, 3),
+            v_.transpose(0, 2, 1, 3), scale,
+        ).transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+        return jnp.sum(out ** 2)
+
+    g_fused = np.asarray(jax.grad(loss_fused)(qkv))
+    g_xla = np.asarray(jax.grad(loss_xla)(qkv))
+    np.testing.assert_allclose(g_fused, g_xla, rtol=2e-3, atol=2e-5)
+
+
 def test_flash_tiled_raises_when_nothing_fits(monkeypatch):
     import nwhead_tpu.ops.pallas_attn as pa
 
     monkeypatch.setattr(pa, "_VMEM_LIMIT", 1024)
     with pytest.raises(ValueError, match="shard the sequence"):
         pa._select_k_chunk(4096, 384, 4)
+
+
+def test_fused_int8_attention_matches_composition(rng):
+    """The one-kernel int8 attention sublayer must match the unfused
+    QDense(qkv) -> fused_attention_qkv -> QDense(proj) composition it
+    replaces (same math, same quantization points)."""
+    from nwhead_tpu.models.quantize import QDense
+    from nwhead_tpu.ops.pallas_attn import (
+        fused_attention_qkv, fused_attention_qkv_int8, int8_attention_fits)
+
+    B, N, H, hd = 2, 57, 3, 16
+    D = H * hd
+    assert int8_attention_fits(N, D)
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk_qdense(din, dout):
+        w = rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return QDense(jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b),
+                      jnp.float32(0.05))
+
+    qkv_d = mk_qdense(D, 3 * D)
+    proj_d = mk_qdense(D, D)
+
+    got = np.asarray(
+        fused_attention_qkv_int8(
+            x, qkv_d.wq, qkv_d.w_scale, qkv_d.bias, qkv_d.act_scale,
+            proj_d.wq, proj_d.w_scale, proj_d.bias, proj_d.act_scale, H,
+        ).astype(jnp.float32)
+    )
+    h = qkv_d(x).reshape(B, N, 3, H, hd)
+    want = np.asarray(proj_d(fused_attention_qkv(h, H)).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_int8_attention_rejects_oversize():
+    from nwhead_tpu.ops.pallas_attn import int8_attention_fits
+
+    assert not int8_attention_fits(20000, 768)
 
 
 def test_rows_are_proper_distributions(rng):
