@@ -1,0 +1,248 @@
+"""Multi-chip scaling benchmark: fires the day real multi-chip hardware
+exists (the way scripts/parity_run.py does for real data).
+
+Measures, on an N-device mesh:
+  1. support-sharded full-mode NW predict throughput (the 'support' mesh
+     axis — SURVEY.md §2.5's SP/CP analog) vs the same bank on ONE device,
+  2. data-parallel NW training-step time at fixed per-device batch (weak
+     scaling) vs one device,
+and reports scaling efficiencies as one JSON line.
+
+On this environment (one real TPU chip behind the axon tunnel) it runs as
+a smoke test on the virtual CPU mesh: correctness + the full measurement
+code path, not meaningful absolute numbers. Pass ``--devices N`` on a real
+pod and the same command produces the scaling table.
+
+Usage:
+    python scripts/multichip_bench.py --cpu 8            # virtual-mesh smoke
+    python scripts/multichip_bench.py --devices 8        # real pod
+    python scripts/multichip_bench.py --cpu 8 --tiny     # fixture-test shapes
+
+Reference: the reference is strictly single-GPU (/root/reference/
+train.py:128-133); there is no upstream counterpart to compare against —
+the baseline here is our own single-device path.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser(description="NW multi-chip scaling bench")
+    p.add_argument("--devices", type=int, default=0,
+                   help="mesh size (0 = all available devices)")
+    p.add_argument("--cpu", type=int, default=0, metavar="N",
+                   help="force an N-device virtual CPU mesh (smoke mode)")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--support", type=int, default=8192,
+                   help="global support-bank rows")
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--classes", type=int, default=200)
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "bf16", "int8"])
+    p.add_argument("--train_batch_per_device", type=int, default=8)
+    p.add_argument("--img", type=int, default=32,
+                   help="train-step image size (resnet10 backbone)")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="fixture-test shapes (seconds, not minutes)")
+    return p.parse_args(argv)
+
+
+def _time_calls(fn, args, iters):
+    """Throughput timing: dispatch ``iters`` calls, force completion once.
+
+    Under the axon tunnel ``block_until_ready`` does NOT wait — the final
+    scalar readback is the only reliable completion barrier, and amortizing
+    it over the loop measures throughput (the quantity a pod serves)."""
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    acc = jnp.sum(out[..., :1]) * 1e-20 if hasattr(out, "ndim") else out
+    float(acc)  # warm/compile + completion
+    t0 = time.perf_counter()
+    acc = 0.0
+    outs = []
+    for _ in range(iters):
+        outs.append(fn(*args))
+    acc = sum(float(jnp.sum(o[..., :1]) * 1e-20) for o in outs[-1:])
+    dt = time.perf_counter() - t0
+    del acc
+    return dt / iters
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    if args.tiny:
+        args.batch, args.support, args.dim = 8, 256, 128
+        args.classes, args.iters = 8, 3
+        args.train_batch_per_device, args.img = 2, 32
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        ).strip()
+
+    import jax
+
+    if args.cpu:
+        # The axon jaxlib ignores the JAX_PLATFORMS env var; the config
+        # path is the supported way to select the CPU backend.
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nwhead_tpu.parallel import ShardedSupportBank, make_mesh
+
+    n = args.devices or (args.cpu or jax.device_count())
+    devices = jax.devices()[:n]
+    assert len(devices) == n, f"need {n} devices, have {len(devices)}"
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((args.support, args.dim)).astype(np.float32)
+    labels = rng.integers(0, args.classes, args.support).astype(np.int32)
+    q = jnp.asarray(
+        rng.standard_normal((args.batch, args.dim)).astype(np.float32)
+    )
+
+    report = {
+        "devices": n,
+        "backend": jax.default_backend(),
+        "batch": args.batch,
+        "support": args.support,
+        "dim": args.dim,
+        "classes": args.classes,
+        "precision": args.precision,
+    }
+
+    # -- 1. support-sharded full-mode predict ------------------------------
+    def predict_qps(n_support_shards, device_subset):
+        mesh = make_mesh(1, n_support_shards, devices=device_subset)
+        bank = ShardedSupportBank.build(
+            feats, labels, mesh, args.classes, precision=args.precision
+        )
+        fn = bank.predict_fn()
+        t = _time_calls(fn, (q,), args.iters)
+        return args.batch / t, t
+
+    qps_1, t_1 = predict_qps(1, devices[:1])
+    report["predict_qps_1dev"] = round(qps_1, 1)
+    report["predict_ms_1dev"] = round(t_1 * 1e3, 3)
+    if n > 1:
+        qps_n, t_n = predict_qps(n, devices)
+        report["predict_qps_ndev"] = round(qps_n, 1)
+        report["predict_ms_ndev"] = round(t_n * 1e3, 3)
+        # Support sharding splits a FIXED bank: ideal speedup = n.
+        report["predict_scaling_efficiency"] = round(qps_n / (qps_1 * n), 3)
+
+    # -- 2. data-parallel training step (weak scaling) ---------------------
+    if not args.skip_train:
+        report.update(_train_scaling(args, devices))
+
+    print(json.dumps(report))
+    return report
+
+
+def _train_scaling(args, devices):
+    import numpy as np
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWModel
+    from nwhead_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    C = min(args.classes, 8)
+    S_ep = 2 * C
+    model = NWModel(
+        featurizer=load_model("resnet10"), n_classes=C, feat_dim=512
+    )
+    simg = jnp.asarray(
+        rng.standard_normal((S_ep, args.img, args.img, 3)).astype(np.float32)
+    )
+    sy = jnp.asarray(rng.integers(0, C, S_ep).astype(np.int32))
+    tx = optax.sgd(1e-2, momentum=0.9, nesterov=True)
+
+    def step_time(n_data, device_subset):
+        mesh = make_mesh(n_data, 1, devices=device_subset)
+        B = args.train_batch_per_device * n_data
+        qimg = jnp.asarray(
+            rng.standard_normal((B, args.img, args.img, 3)).astype(np.float32)
+        )
+        qy = jnp.asarray(rng.integers(0, C, B).astype(np.int32))
+        variables = model.init(
+            jax.random.PRNGKey(0), qimg[:1], simg, sy, train=False
+        )
+        opt_state = tx.init(variables["params"])
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        qimg = jax.device_put(qimg, data)
+        qy = jax.device_put(qy, data)
+        params = jax.device_put(variables["params"], repl)
+        stats = jax.device_put(variables.get("batch_stats", {}), repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, qimg, qy):
+            def loss_fn(p):
+                out, upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, qimg, simg,
+                    sy, train=True, mutable=["batch_stats"],
+                )
+                logp = out[0] if isinstance(out, tuple) else out
+                nll = -jnp.mean(
+                    jnp.take_along_axis(logp, qy[:, None], axis=1)
+                )
+                return nll, upd["batch_stats"]
+
+            (nll, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (
+                optax.apply_updates(params, updates), new_stats, new_opt, nll
+            )
+
+        # warm/compile
+        params, stats, opt_state, nll = train_step(
+            params, stats, opt_state, qimg, qy
+        )
+        float(nll)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            params, stats, opt_state, nll = train_step(
+                params, stats, opt_state, qimg, qy
+            )
+        float(nll)  # completion barrier for the chain
+        return (time.perf_counter() - t0) / args.iters, B
+
+    t1, B1 = step_time(1, devices[:1])
+    out = {
+        "train_ms_1dev": round(t1 * 1e3, 2),
+        "train_img_per_sec_1dev": round(B1 / t1, 1),
+    }
+    n = len(devices)
+    if n > 1:
+        tn, Bn = step_time(n, devices)
+        out["train_ms_ndev"] = round(tn * 1e3, 2)
+        out["train_img_per_sec_ndev"] = round(Bn / tn, 1)
+        # Weak scaling: ideal = same step time at n-fold global batch.
+        out["train_scaling_efficiency"] = round(t1 / tn, 3)
+    return out
+
+
+if __name__ == "__main__":
+    main()

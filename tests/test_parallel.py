@@ -2,6 +2,7 @@
 must equal the single-device op exactly (modulo fp32), and data-parallel
 training steps must run with sharded batches."""
 
+import os
 import numpy as np
 import pytest
 
@@ -379,3 +380,25 @@ def test_make_mesh_default_model_axis():
     """2-arg make_mesh keeps working: size-1 model axis by default."""
     mesh = make_mesh(4, 2)
     assert dict(mesh.shape) == {"data": 4, "support": 2, "model": 1}
+
+
+def test_multichip_bench_smoke():
+    """scripts/multichip_bench.py runs its full measurement path on the
+    virtual CPU mesh (the harness that fires on real multi-chip hardware)
+    and reports every scaling field."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "multichip_bench",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "multichip_bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main(["--cpu", "8", "--tiny"])
+    for key in ("predict_qps_1dev", "predict_qps_ndev",
+                "predict_scaling_efficiency", "train_ms_1dev",
+                "train_ms_ndev", "train_scaling_efficiency"):
+        assert key in report, key
+    assert report["devices"] == 8
+    assert report["predict_qps_ndev"] > 0
