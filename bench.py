@@ -159,6 +159,84 @@ def _train_step_case(on_tpu, img):
     return ("train_step", step, args)
 
 
+def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
+    """Images-in -> answers-out from JPEG BYTES: photo-sized (480x640)
+    JPEGs decoded by the native C++ pool in a producer thread, pipelined
+    with the int8 serving path (PTQ featurizer + int8 prepared head) on
+    the device. The steady-state rate is the max of the two stages — on
+    real photos host decode binds (hundreds of img/s/8-workers vs tens of
+    thousands of device qps), and this field says so honestly; the
+    tensor-fed numbers above are the device ceiling."""
+    import queue
+    import tempfile
+    import threading
+
+    from PIL import Image
+
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
+
+    nb = 8 if on_tpu else 2
+    rng = np.random.default_rng(3)
+    d = tempfile.mkdtemp(prefix="nw_bench_jpeg_")
+    paths = []
+    for i in range(min(nb * bs, 256)):
+        img = np.kron(
+            rng.integers(0, 255, (30, 40, 3)), np.ones((16, 16, 1))
+        ).astype(np.uint8)
+        p = f"{d}/{i}.jpg"
+        Image.fromarray(img).save(p, quality=90)
+        paths.append(p)
+    ds = ImageFileDataset(
+        paths, np.zeros(len(paths), np.int64), C,
+        transform=T.imagenet_eval_transform(IMG), workers=workers,
+    )
+
+    @jax.jit
+    def serve_fn(x):
+        return nw_fused_log_probs(q8.apply(x), prep_int8, None, C)
+
+    def batch(i):
+        return ds.gather((np.arange(bs) + i * bs) % len(ds))
+
+    imgs0 = batch(0)
+    float(jnp.sum(serve_fn(jnp.asarray(imgs0))))  # warm/compile
+
+    t0 = time.perf_counter()
+    for i in range(nb):
+        batch(i)
+    decode_rate = nb * bs / (time.perf_counter() - t0)
+
+    qq: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer():
+        for i in range(nb):
+            qq.put(batch(i))
+        qq.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    out = None
+    while True:
+        b = qq.get()
+        if b is None:
+            break
+        out = serve_fn(jnp.asarray(b))
+    float(jnp.sum(out))  # completion barrier
+    e2e = nb * bs / (time.perf_counter() - t0)
+    th.join()
+    return {
+        "e2e_qps_from_jpeg": round(e2e, 1),
+        "jpeg_decode_img_per_sec": round(decode_rate, 1),
+        "jpeg_decode_workers": workers,
+        "jpeg_bound_by": (
+            "host_decode" if decode_rate < device_qps else "device"
+        ),
+    }
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -241,6 +319,9 @@ def main():
     TN = (20, 120) if on_tpu else (1, 2)
     train_t = _measure([_train_step_case(on_tpu, IMG)], *TN)["train_step"]
 
+    qps_int8_early = B / (feat_t["feat_int8_b64"] + head_t["head_int8"])
+    jpeg_stats = _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, qps_int8_early)
+
     stream_bw = (
         stream_bytes / head_t["stream"] if on_tpu else 50e9  # bytes/sec
     )
@@ -292,6 +373,7 @@ def main():
                 "e2e_qps_int8_serving_b256": (
                     round(qps_int8_b256, 1) if qps_int8_b256 else None
                 ),
+                **jpeg_stats,
                 "train_step_ms": round(train_t * 1e3, 2),
                 "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,

@@ -120,6 +120,114 @@ def latency_bench(net, variables, val_ds, args):
     return report
 
 
+def jpeg_bench(net, variables, train_ds, args):
+    """Images-in -> answers-out serving throughput, starting from JPEG
+    BYTES on disk (what a deployment actually receives), not pre-decoded
+    tensors. Host decode (native C++ pool) runs in a producer thread
+    overlapped with device inference; the steady-state rate is the
+    pipelined max of the two stages. Reports both stages so the binding
+    one is explicit — on photo-sized JPEGs host decode binds by a wide
+    margin (the device serves tens of thousands of queries/sec while the
+    host decodes hundreds of images/sec per 8 workers)."""
+    import queue
+    import tempfile
+    import threading
+
+    from PIL import Image
+
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.data.datasets import ImageFileDataset
+
+    bs = args.batch_size
+    nb = args.bench_batches
+    if args.queries:
+        paths = sorted(glob.glob(args.queries))
+        if not paths:
+            raise SystemExit(f"no files match {args.queries!r}")
+    else:
+        # Synthesize photo-sized JPEGs (480x640, quality 90 — the
+        # pipeline_bench shape) so the bench runs without a dataset.
+        rng = np.random.default_rng(0)
+        d = tempfile.mkdtemp(prefix="nw_jpeg_bench_")
+        paths = []
+        for i in range(min(256, nb * bs)):
+            img = np.kron(
+                rng.integers(0, 255, (30, 40, 3)),
+                np.ones((16, 16, 1)),
+            ).astype(np.uint8)
+            p = f"{d}/{i}.jpg"
+            Image.fromarray(img).save(p, quality=90)
+            paths.append(p)
+
+    is_cifar = args.dataset in ("cifar10", "cifar100")
+    t_eval = T.cifar_eval_transform() if is_cifar else T.imagenet_eval_transform()
+    ds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
+                          train_ds.num_classes, transform=t_eval,
+                          workers=args.workers, decoder=args.decoder)
+
+    def batch(i):
+        return ds.gather((np.arange(bs) + i * bs) % len(ds))
+
+    def infer(imgs_np):
+        out = net.predict(variables, jnp.asarray(imgs_np), "full")
+        return out[0] if isinstance(out, tuple) else out
+
+    # Warm both stages (decode pool spin-up + device compile).
+    np.asarray(infer(batch(0)))
+
+    # Stage rates in isolation.
+    t0 = time.perf_counter()
+    for i in range(nb):
+        batch(i)
+    decode_rate = nb * bs / (time.perf_counter() - t0)
+    imgs0 = batch(0)
+    t0 = time.perf_counter()
+    for _ in range(nb):
+        out = infer(imgs0)
+    np.asarray(out)
+    device_rate = nb * bs / (time.perf_counter() - t0)
+
+    # Pipelined: producer decodes batch i+1 while the device runs batch i.
+    qq: "queue.Queue" = queue.Queue(maxsize=3)
+
+    def producer():
+        for i in range(nb):
+            qq.put(batch(i))
+        qq.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    out = None
+    while True:
+        b = qq.get()
+        if b is None:
+            break
+        out = infer(b)
+    np.asarray(out)  # completion barrier
+    e2e = nb * bs / (time.perf_counter() - t0)
+    th.join()
+
+    report = {
+        "batch_size": bs,
+        "batches": nb,
+        "jpeg_hw": "480x640" if not args.queries else "user files",
+        "decode_workers": args.workers,
+        "decoder": args.decoder,
+        "decode_img_per_sec": round(decode_rate, 1),
+        "device_qps_tensor_fed": round(device_rate, 1),
+        "e2e_qps_from_jpeg": round(e2e, 1),
+        "bound_by": (
+            "host_decode" if decode_rate < device_rate else "device"
+        ),
+        "featurizer_precision": args.featurizer_precision,
+        "head_precision": args.head_precision,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report))
+    return report
+
+
 def answer_queries(net, variables, train_ds, args):
     from nwhead_tpu.data import transforms as T
     from nwhead_tpu.data.datasets import ImageFileDataset
@@ -175,20 +283,25 @@ def main(argv=None):
                    choices=["native", "native_fused", "pil"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--latency_bench", action="store_true")
+    p.add_argument("--jpeg_bench", action="store_true",
+                   help="images-in->answers-out bench from JPEG bytes "
+                        "(host decode pipelined with device inference)")
     p.add_argument("--bench_batches", type=int, default=50)
     p.add_argument("--queries", default=None,
                    help="glob of image files to classify")
     p.add_argument("--topk", type=int, default=5)
     args = p.parse_args(argv)
 
-    if not args.latency_bench and not args.queries:
-        raise SystemExit("pass --latency_bench and/or --queries")
+    if not args.latency_bench and not args.jpeg_bench and not args.queries:
+        raise SystemExit("pass --latency_bench, --jpeg_bench and/or --queries")
 
     net, variables, train_ds, val_ds = build_server(args)
     out = {}
     if args.latency_bench:
         out["latency"] = latency_bench(net, variables, val_ds, args)
-    if args.queries:
+    if args.jpeg_bench:
+        out["jpeg"] = jpeg_bench(net, variables, train_ds, args)
+    if args.queries and not args.jpeg_bench:
         out["queries"] = answer_queries(net, variables, train_ds, args)
     return out
 

@@ -60,3 +60,20 @@ def test_serve_requires_an_action():
 
     with pytest.raises(SystemExit, match="latency_bench"):
         serve.main(["--dataset", "synthetic", "--arch", "resnet10"])
+
+
+def test_serve_jpeg_bench_synthetic():
+    """Images-in -> answers-out bench: decode stage + device stage +
+    pipelined rate all reported, from synthesized JPEG bytes."""
+    import serve
+
+    out = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "4", "--n_shot_full", "5",
+        "--jpeg_bench", "--bench_batches", "2", "--workers", "2",
+    ])
+    rep = out["jpeg"]
+    assert rep["e2e_qps_from_jpeg"] > 0
+    assert rep["decode_img_per_sec"] > 0
+    assert rep["device_qps_tensor_fed"] > 0
+    assert rep["bound_by"] in ("host_decode", "device")
