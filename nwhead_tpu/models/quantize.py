@@ -584,6 +584,85 @@ class QViTBlock(NamedTuple):
     ls2: Optional[jnp.ndarray]
 
 
+def _qvit_forward(statics, tree, x):
+    """Pure quantized-ViT forward. Weights ride in ``tree`` (a pytree of
+    arrays, a jit ARGUMENT) — closing over them would inline the whole
+    weight set as HLO constants, which the axon remote-compile service
+    rejects at ViT-B scale (HTTP 413). ``statics`` carries the shapes the
+    kernels need at trace time, including the calibrated activation
+    scales as Python floats (the fused kernels bake them in)."""
+    from nwhead_tpu.models.vit import _interpolate_pos_embed
+    from nwhead_tpu.ops.pallas_attn import (
+        fused_attention_qkv,
+        fused_attention_qkv_int8,
+        int8_attention_fits,
+    )
+    from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
+
+    patch_size, num_heads, scales = statics
+    patch_w, patch_b, cls_token, pos_embed, blocks, final_norm = tree
+
+    B, H, W, _ = x.shape
+    gh, gw = H // patch_size, W // patch_size
+    D = patch_w.shape[-1]
+    x = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), patch_w,
+        (patch_size, patch_size), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + patch_b.astype(jnp.bfloat16)
+    x = x.reshape(B, gh * gw, D)
+
+    cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+    patch_pos = _interpolate_pos_embed(patch_pos, gh * gw, gh, gw)
+    x = x + patch_pos.astype(x.dtype)
+    cls_tok = (cls_token + cls_pos).astype(x.dtype)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls_tok, (B, 1, D)), x], axis=1
+    )
+
+    head_dim = D // num_heads
+    for blk, (a_qkv, a_proj, a_fc1, a_fc2) in zip(blocks, scales):
+        xn = blk.norm1(x)
+        N = xn.shape[1]
+        if int8_attention_fits(N, D):
+            # Whole attention sublayer in one int8 kernel: qkv and
+            # proj on the int8 MXU, requant chains + per-head f32
+            # softmax in VMEM — no (B, N, 3D) HBM round-trip.
+            out = fused_attention_qkv_int8(
+                xn, blk.qkv.wq, blk.qkv.w_scale, blk.qkv.bias,
+                a_qkv, blk.proj.wq, blk.proj.w_scale,
+                blk.proj.bias, a_proj, num_heads,
+            )
+        else:
+            # Long-sequence fallback: per-op QDense around the
+            # flash-tiled bf16 attention kernel.
+            h = blk.qkv(xn)
+            h = h.reshape(B, N, 3, num_heads, head_dim)
+            out = fused_attention_qkv(h, num_heads)
+            out = blk.proj(out)
+        if blk.ls1 is not None:
+            out = out * blk.ls1.astype(out.dtype)
+        x = x + out
+        # Fused int8 MLP: both matmuls on the int8 MXU with the
+        # requantize chains and the 4D hidden activation entirely in
+        # VMEM (the per-op QDense version lost its int8 gains to
+        # exactly those HBM round-trips).
+        h = fused_mlp_int8(
+            blk.norm2(x),
+            blk.fc1.wq, blk.fc1.w_scale, blk.fc1.bias, a_fc1,
+            blk.fc2.wq, blk.fc2.w_scale, blk.fc2.bias, a_fc2,
+        )
+        if blk.ls2 is not None:
+            h = h * blk.ls2.astype(h.dtype)
+        x = x + h
+
+    x = final_norm(x)
+    return x[:, 0].astype(jnp.float32)
+
+
+_qvit_forward_jit = jax.jit(_qvit_forward, static_argnums=(0,))
+
+
 class QuantizedViT(NamedTuple):
     """Serving-only quantized ViT; mirrors
     ``VisionTransformer.__call__(train=False)`` (``models/vit.py:119-163``)."""
@@ -597,75 +676,22 @@ class QuantizedViT(NamedTuple):
     blocks: Tuple[QViTBlock, ...]
     final_norm: QLayerNorm
 
+    def split(self):
+        """(statics, array_tree) for ``_qvit_forward`` — statics hashable
+        (jit static arg), arrays a plain pytree (jit traced arg)."""
+        scales = tuple(
+            (float(b.qkv.act_scale), float(b.proj.act_scale),
+             float(b.fc1.act_scale), float(b.fc2.act_scale))
+            for b in self.blocks
+        )
+        statics = (self.patch_size, self.num_heads, scales)
+        tree = (self.patch_w, self.patch_b, self.cls_token, self.pos_embed,
+                self.blocks, self.final_norm)
+        return statics, tree
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        from nwhead_tpu.models.vit import _interpolate_pos_embed
-
-        B, H, W, _ = x.shape
-        gh, gw = H // self.patch_size, W // self.patch_size
-        D = self.patch_w.shape[-1]
-        x = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), self.patch_w,
-            (self.patch_size, self.patch_size), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + self.patch_b.astype(jnp.bfloat16)
-        x = x.reshape(B, gh * gw, D)
-
-        cls_pos, patch_pos = self.pos_embed[:, :1], self.pos_embed[:, 1:]
-        patch_pos = _interpolate_pos_embed(patch_pos, gh * gw, gh, gw)
-        x = x + patch_pos.astype(x.dtype)
-        cls_tok = (self.cls_token + cls_pos).astype(x.dtype)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_tok, (B, 1, D)), x], axis=1
-        )
-
-        from nwhead_tpu.ops.pallas_attn import (
-            fused_attention_qkv,
-            fused_attention_qkv_int8,
-            int8_attention_fits,
-        )
-
-        head_dim = D // self.num_heads
-        for blk in self.blocks:
-            xn = blk.norm1(x)
-            N = xn.shape[1]
-            if int8_attention_fits(N, D):
-                # Whole attention sublayer in one int8 kernel: qkv and
-                # proj on the int8 MXU, requant chains + per-head f32
-                # softmax in VMEM — no (B, N, 3D) HBM round-trip.
-                out = fused_attention_qkv_int8(
-                    xn, blk.qkv.wq, blk.qkv.w_scale, blk.qkv.bias,
-                    blk.qkv.act_scale, blk.proj.wq, blk.proj.w_scale,
-                    blk.proj.bias, blk.proj.act_scale, self.num_heads,
-                )
-            else:
-                # Long-sequence fallback: per-op QDense around the
-                # flash-tiled bf16 attention kernel.
-                h = blk.qkv(xn)
-                h = h.reshape(B, N, 3, self.num_heads, head_dim)
-                out = fused_attention_qkv(h, self.num_heads)
-                out = blk.proj(out)
-            if blk.ls1 is not None:
-                out = out * blk.ls1.astype(out.dtype)
-            x = x + out
-            # Fused int8 MLP: both matmuls on the int8 MXU with the
-            # requantize chains and the 4D hidden activation entirely in
-            # VMEM (the per-op QDense version lost its int8 gains to
-            # exactly those HBM round-trips).
-            from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
-
-            h = fused_mlp_int8(
-                blk.norm2(x),
-                blk.fc1.wq, blk.fc1.w_scale, blk.fc1.bias,
-                float(blk.fc1.act_scale),
-                blk.fc2.wq, blk.fc2.w_scale, blk.fc2.bias,
-                float(blk.fc2.act_scale),
-            )
-            if blk.ls2 is not None:
-                h = h * blk.ls2.astype(h.dtype)
-            x = x + h
-
-        x = self.final_norm(x)
-        return x[:, 0].astype(jnp.float32)
+        statics, tree = self.split()
+        return _qvit_forward_jit(statics, tree, x)
 
 
 def quantize_vit(
@@ -685,7 +711,10 @@ def quantize_vit(
     # out (fc2), in block order.
     from nwhead_tpu.models.vit import _interpolate_pos_embed
 
-    def run_calib(x):
+    def run_calib(params, x):
+        # params rides as a jit ARGUMENT: closing over it would inline the
+        # whole f32 weight tree as HLO constants, which the axon remote
+        # compile service rejects at ViT-B scale (HTTP 413 body limit).
         amaxes = []
 
         def note(t):
@@ -744,7 +773,7 @@ def quantize_vit(
     total = None
     for start in range(0, calib_images.shape[0], calib_batch):
         chunk = jnp.asarray(calib_images[start:start + calib_batch])
-        amaxes = [np.asarray(a) for a in run(chunk)]
+        amaxes = [np.asarray(a) for a in run(params, chunk)]
         total = amaxes if total is None else [
             np.maximum(a, b) for a, b in zip(total, amaxes)
         ]

@@ -301,6 +301,32 @@ class NWNet:
             variables["params"]["proj"] if self.model.proj_dim > 0 else None
         )
 
+        from nwhead_tpu.models.quantize import QuantizedViT
+
+        if isinstance(q, QuantizedViT):
+            # QuantizedViT.apply is internally jitted with its weights as
+            # jit ARGUMENTS; wrapping it in another jit would close over
+            # them and inline ViT-B-scale constants into the HLO (the
+            # axon remote-compile service rejects such bodies). The tiny
+            # projection rides its own jit.
+            projfn = jax.jit(lambda k, b, f: f @ k + b)
+
+            def feat(_variables, x):
+                f = q.apply(x)
+                if proj is not None:
+                    f = projfn(proj["kernel"], proj["bias"], f)
+                return f
+
+            self.quantized_featurizer = q
+            self._quantized_variables_fp = self._variables_fingerprint(
+                variables
+            )
+            self._featurize_eval = feat
+            self._prepared_full = None
+            self.sharded_bank = None
+            self._sharded_predict = None
+            return
+
         def feat(_variables, x):
             f = q.apply(x)
             if proj is not None:

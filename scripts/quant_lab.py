@@ -212,35 +212,42 @@ def vit_stack(arch="vit_s14", B=64):
     variables = model_f32.init(jax.random.PRNGKey(0), img[:1], train=False)
     q = quantize_featurizer(model_f32, variables, img[:16])
 
-    def bf16_fn(xx, carry):
+    # Weights ride as loop-maker ARGUMENTS (not closures): closed-over
+    # trees get inlined as HLO constants and the axon remote compile
+    # service rejects ViT-B-scale constant bodies (HTTP 413).
+    from nwhead_tpu.models.quantize import _qvit_forward
+
+    statics, qtree = q.split()
+
+    def bf16_fn(xx, vv, carry):
         x_dep = jax.lax.optimization_barrier(
             xx + carry.astype(xx.dtype) * 1e-30
         )
         out = jax.lax.optimization_barrier(
-            model_bf16.apply(variables, x_dep, train=False)
+            model_bf16.apply(vv, x_dep, train=False)
         )
         return jnp.sum(out[:1, :1]) * 1e-20
 
-    def bf16_fused_fn(xx, carry):
+    def bf16_fused_fn(xx, vv, carry):
         x_dep = jax.lax.optimization_barrier(
             xx + carry.astype(xx.dtype) * 1e-30
         )
         out = jax.lax.optimization_barrier(
-            model_bf16_fused.apply(variables, x_dep, train=False)
+            model_bf16_fused.apply(vv, x_dep, train=False)
         )
         return jnp.sum(out[:1, :1]) * 1e-20
 
-    def int8_fn(xx, carry):
+    def int8_fn(xx, tr, carry):
         x_dep = jax.lax.optimization_barrier(
             xx + carry.astype(xx.dtype) * 1e-30
         )
-        out = jax.lax.optimization_barrier(q.apply(x_dep))
+        out = jax.lax.optimization_barrier(_qvit_forward(statics, tr, x_dep))
         return jnp.sum(out[:1, :1]) * 1e-20
 
     res = interleaved_time(
-        [("bf16", bf16_fn, (img,)),
-         ("bf16+fully_fused", bf16_fused_fn, (img,)),
-         ("int8", int8_fn, (img,))], cycles=7,
+        [("bf16", bf16_fn, (img, variables)),
+         ("bf16+fully_fused", bf16_fused_fn, (img, variables)),
+         ("int8", int8_fn, (img, qtree))], cycles=7,
         target_s=0.1,
     )
     for name, t in res.items():

@@ -279,3 +279,23 @@ def test_s2d_stem_rejected(rng):
     variables = _init_trained_like(model, rng, img)
     with pytest.raises(NotImplementedError, match="conv7"):
         quantize_featurizer(model, variables, img)
+
+
+def test_quantized_vit_net_serving_path(rng):
+    """NWNet with an int8-quantized ViT featurizer serves end to end (the
+    ViT branch keeps the internally-jitted apply — weights as jit args,
+    never closure constants)."""
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    ds = make_synthetic_dataset(n=24, n_classes=3, size=32, seed=0)
+    model = load_model("vit_s16")
+    net = NWNet(model, 3, support_dataset=ds, feat_dim=model.feat_dim,
+                n_shot_full=4, seed=0)
+    x0 = jnp.asarray(ds.gather(np.arange(4)))
+    variables = net.init(jax.random.PRNGKey(0), x0)
+    net.quantize_featurizer(variables, ds.gather(np.arange(8)))
+    net.precompute(variables)
+    out = net.predict(variables, x0, "full")
+    logp = np.asarray(out[0] if isinstance(out, tuple) else out)
+    assert logp.shape == (4, 3) and np.isfinite(logp).all()
