@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nwhead_tpu.ops.nw import LOG_FLOOR
 
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
+_MASK_S2 = 1e30  # self-norm sentinel for masked rows (prepared l2 path)
 DEFAULT_BLOCK_S = 2048
 _SINGLE_TILE_BUDGET = 14_000_000  # bytes of (bank tile + one-hot scratch)
 _VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128 MiB VMEM; default limit is lower
@@ -165,6 +166,15 @@ def prepare_support(
             s2 = jnp.sum(s_deq * s_deq, axis=1)
         else:
             s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
+        # Validity folded into the self-norms: masked/padding rows get
+        # s2 = _MASK_S2, so their score is ~-1e15 and exp underflows to
+        # exactly 0 whenever any valid row exists (and an all-invalid
+        # support still collapses to the log-floor). The serving kernel
+        # then skips the per-tile mask compare/select entirely for l2.
+        mval = jnp.pad(
+            support_mask.astype(jnp.float32), (0, s_pad - S)
+        )
+        s2 = jnp.where(mval > 0, s2, _MASK_S2)
         s2c = s2.reshape(s_pad // block_s, nchunk, 128)
     lane, sub = _pack_labels(jnp.asarray(sy), support_mask, s_pad, block_s)
     return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale)
@@ -426,12 +436,12 @@ def _nw_prepared_kernel(
     s_hbm = refs[i]; i += 1       # (S_pad, D) ANY/HBM — manually DMA'd
     s2_ref = None
     if s2_input:
-        s2_ref = refs[i]; i += 1  # (n_tiles, nchunk, 128) VMEM (l2 only)
+        s2_ref = refs[i]; i += 1  # (n_tiles, 1, TS) VMEM (l2 only)
     qscale_ref = sscale_ref = None
     if quant:
         qscale_ref = refs[i]; i += 1  # (TB, 128) f32 per-query scales
-        sscale_ref = refs[i]; i += 1  # (n_tiles, nchunk, 128) f32 row scales
-    lane_ref = refs[i]; i += 1    # (n_tiles, nchunk, 128) VMEM
+        sscale_ref = refs[i]; i += 1  # (n_tiles, 1, TS) f32 row scales
+    lane_ref = refs[i]; i += 1    # (n_tiles, 1, TS) VMEM labels (flat)
     sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk) VMEM
     out_ref = refs[i]; i += 1     # (TB, C_pad)
     mstat_ref = lstat_ref = None
@@ -481,13 +491,10 @@ def _nw_prepared_kernel(
                 q, s, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            ssrow = jnp.concatenate(
-                [
-                    sscale_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
-                    for t in range(nchunk)
-                ],
-                axis=1,
-            )  # (1, TS)
+            # Flat (n_tiles, 1, TS) layout: one leading-dim slice per tile
+            # (the old (n_tiles, nchunk, 128) layout cost nchunk slices +
+            # a lane concat on the VPU every tile).
+            ssrow = sscale_ref[pl.ds(j, 1)].reshape(1, block_s)
             dot = dot_i.astype(jnp.float32) * qscale_ref[:, :1] * ssrow
         else:
             dot = jax.lax.dot_general(
@@ -501,13 +508,7 @@ def _nw_prepared_kernel(
                 qf = q.astype(jnp.float32)
             q2 = jnp.sum(qf * qf, axis=1, keepdims=True)
             if s2_input:
-                s2row = jnp.concatenate(
-                    [
-                        s2_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
-                        for t in range(nchunk)
-                    ],
-                    axis=1,
-                )
+                s2row = s2_ref[pl.ds(j, 1)].reshape(1, block_s)
             else:
                 sf = s.astype(jnp.float32)
                 s2row = jnp.sum(sf * sf, axis=1, keepdims=True).T
@@ -516,14 +517,13 @@ def _nw_prepared_kernel(
         else:
             score = dot * scale_ref[0, 0]
 
-        valid_row = jnp.concatenate(
-            [
-                lane_ref[pl.ds(j, 1), t:t + 1, :].reshape(1, 128)
-                for t in range(nchunk)
-            ],
-            axis=1,
-        ) >= 0.0
-        score = jnp.where(valid_row, score, _NEG_INF)
+        if mode != "l2" or not s2_input:
+            # l2 + prepared norms needs no mask here: prepare_support folds
+            # validity into the self-norms (_MASK_S2 -> score ~-1e15 ->
+            # exp underflows to exactly 0 against any valid row's max, and
+            # an all-invalid support still lands on the log-floor).
+            valid_row = lane_ref[pl.ds(j, 1)].reshape(1, block_s) >= 0.0
+            score = jnp.where(valid_row, score, _NEG_INF)
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
@@ -586,6 +586,10 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
 
     s2_input = s2c is not None
 
+    # Per-row metadata rides in the flat (n_tiles, 1, block_s) layout so
+    # the kernel loads each tile's row with ONE leading-dim slice (the
+    # rows are contiguous either way — this is a free reshape).
+    flat = (n_tiles, 1, block_s)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((block_b, D), lambda i: (i, 0)),
@@ -593,19 +597,19 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     ]
     inputs = [scale.reshape(1, 1), q_p, s_p]
     if s2_input:
-        in_specs.append(pl.BlockSpec(s2c.shape, lambda i: (0, 0, 0)))
-        inputs.append(s2c)
+        in_specs.append(pl.BlockSpec(flat, lambda i: (0, 0, 0)))
+        inputs.append(s2c.reshape(flat))
     if quant:
         in_specs += [
             pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
-            pl.BlockSpec(prepared.sscale.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec(flat, lambda i: (0, 0, 0)),
         ]
-        inputs += [qscale_b, prepared.sscale]
+        inputs += [qscale_b, prepared.sscale.reshape(flat)]
     in_specs += [
-        pl.BlockSpec(lane.shape, lambda i: (0, 0, 0)),
+        pl.BlockSpec(flat, lambda i: (0, 0, 0)),
         pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
     ]
-    inputs += [lane, sub]
+    inputs += [lane.reshape(flat), sub]
 
     out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32)

@@ -43,11 +43,19 @@ def interleaved_time(named_makers, cycles=7, target_s=0.06):
     """
     fns = {}
     for name, fn, args in named_makers:
-        probe = _loop_maker(fn, 64)
-        float(probe(*args))  # compile
-        t0 = time.perf_counter(); float(probe(*args))
-        t_est = max((time.perf_counter() - t0) / 64, 1e-7)
-        delta = max(int(target_s / t_est), 64)
+        # Differential probe: a single absolute timing of a 64-iter loop
+        # is dominated by the ~30 ms axon tunnel round trip for us-scale
+        # ops, which inflates t_est and shrinks the measurement delta
+        # below the jitter floor. Estimate the per-iteration slope from
+        # two loop lengths instead.
+        p1, p2 = _loop_maker(fn, 64), _loop_maker(fn, 256)
+        float(p1(*args)); float(p2(*args))  # compile
+        t0 = time.perf_counter(); float(p1(*args))
+        t64 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(p2(*args))
+        t256 = time.perf_counter() - t0
+        t_est = max((t256 - t64) / 192, 1e-8)
+        delta = min(max(int(target_s / t_est), 64), 65536)
         n1, n2 = 16, 16 + delta
         f1, f2 = _loop_maker(fn, n1), _loop_maker(fn, n2)
         float(f1(*args)); float(f2(*args))
