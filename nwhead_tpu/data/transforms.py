@@ -152,6 +152,11 @@ class Transform:
     mean: Sequence[float] = IMAGENET_MEAN
     std: Sequence[float] = IMAGENET_STD
     seed: Optional[int] = None
+    # When True, the transform stops after the geometric ops and returns
+    # uint8 — the caller ships uint8 to the device (4x less host->device
+    # traffic than f32, the binding stage on thin links) and normalizes
+    # there via ``device_normalize_fn`` (XLA folds it into the first conv).
+    device_normalize: bool = False
 
     def __post_init__(self):
         import threading
@@ -194,6 +199,8 @@ class Transform:
         for i, f in enumerate(flips):
             if f:
                 batch_u8[i] = batch_u8[i, :, ::-1].copy()
+        if self.device_normalize:
+            return batch_u8
         out = batch_u8.astype(np.float32)
         out *= np.float32(1.0 / 255.0)
         out -= np.asarray(self.mean, np.float32)
@@ -216,15 +223,42 @@ class Transform:
             pass
         else:
             raise ValueError(self.kind)
-        return normalize(to_float(np.ascontiguousarray(img)), self.mean, self.std)
+        img = np.ascontiguousarray(img)
+        if self.device_normalize:
+            return img
+        return normalize(to_float(img), self.mean, self.std)
 
 
-def imagenet_train_transform(size: int = 224, seed: Optional[int] = None) -> Transform:
-    return Transform("imagenet_train", size, IMAGENET_MEAN, IMAGENET_STD, seed)
+def device_normalize_fn(mean: Sequence[float] = IMAGENET_MEAN,
+                        std: Sequence[float] = IMAGENET_STD):
+    """Jitted on-device normalize for uint8 batches produced by a
+    ``device_normalize=True`` transform: (u8/255 - mean)/std in f32.
+    Ship uint8 over the host->device link (4x less traffic than f32 —
+    that link, not decode, binds under thin interconnects) and let XLA
+    fold this into the first conv."""
+    import jax
+    import jax.numpy as jnp
+
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+
+    @jax.jit
+    def f(u8):
+        return (u8.astype(jnp.float32) * (1.0 / 255.0) - m) / s
+
+    return f
 
 
-def imagenet_eval_transform(size: int = 224, seed: Optional[int] = None) -> Transform:
-    return Transform("imagenet_eval", size, IMAGENET_MEAN, IMAGENET_STD, seed)
+def imagenet_train_transform(size: int = 224, seed: Optional[int] = None,
+                             device_normalize: bool = False) -> Transform:
+    return Transform("imagenet_train", size, IMAGENET_MEAN, IMAGENET_STD,
+                     seed, device_normalize)
+
+
+def imagenet_eval_transform(size: int = 224, seed: Optional[int] = None,
+                            device_normalize: bool = False) -> Transform:
+    return Transform("imagenet_eval", size, IMAGENET_MEAN, IMAGENET_STD,
+                     seed, device_normalize)
 
 
 def cifar_train_transform(seed: Optional[int] = None) -> Transform:

@@ -85,6 +85,14 @@ class EpisodicSampler:
         uniq = sorted(set(np.asarray(targets).tolist()))
         self._remap = {y: i for i, y in enumerate(uniq)}
         self._label_of_class = np.asarray(uniq)
+        # Inverse lookup table: class bucket of each dataset index. Built
+        # once so per-episode label lookup is one vectorized gather (the
+        # per-item Python loop was O(S) host work per step in full-class
+        # sampling mode, sitting on the training critical path).
+        total = sum(len(l) for l in self.indices)
+        self._class_of_index = np.empty(total, dtype=np.int64)
+        for c, l in enumerate(self.indices):
+            self._class_of_index[l] = c
 
     def sample(self, qy: Optional[np.ndarray] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Sample one support episode.
@@ -127,20 +135,8 @@ class EpisodicSampler:
         support_idxs = np.stack(
             [self.rng.choice(row, size=self.n_shot, replace=False) for row in class_rows]
         ).flatten()
-        labels = np.asarray(
-            [self._label_of_class[self._remap_row(i)] for i in support_idxs]
-        )
+        labels = self._label_of_class[self._class_of_index[support_idxs]]
         return support_idxs, labels
-
-    def _remap_row(self, idx: int) -> int:
-        # Inverse lookup: which class bucket contains idx. Precompute once.
-        if not hasattr(self, "_class_of_index"):
-            total = sum(len(l) for l in self.indices)
-            owner = np.empty(total, dtype=np.int64)
-            for c, l in enumerate(self.indices):
-                owner[l] = c
-            self._class_of_index = owner
-        return int(self._class_of_index[idx])
 
 
 @dataclass

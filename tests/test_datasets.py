@@ -132,3 +132,29 @@ def test_transforms_shapes(rng):
     assert out.shape == (32, 32, 3)
     out = T.cifar_eval_transform()(cif)
     assert out.shape == (32, 32, 3)
+
+
+def test_device_normalize_transform_matches_host():
+    """device_normalize=True: the transform returns uint8 and the on-device
+    normalize reproduces the host-normalized f32 pipeline exactly (same
+    geometric ops, same constants)."""
+    import jax.numpy as jnp
+
+    from nwhead_tpu.data import transforms as T
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(300, 400, 3)).astype(np.uint8)
+
+    host_t = T.imagenet_eval_transform(size=64)
+    dev_t = T.imagenet_eval_transform(size=64, device_normalize=True)
+    u8 = dev_t(img)
+    assert u8.dtype == np.uint8
+    want = host_t(img)
+    got = np.asarray(T.device_normalize_fn()(jnp.asarray(u8)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # finish_batch honors the flag too (fused-decode path).
+    batch = np.stack([u8, u8])
+    out = dev_t.finish_batch(batch.copy(), [False, True])
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out[1], u8[:, ::-1])
