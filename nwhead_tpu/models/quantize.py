@@ -226,38 +226,66 @@ def folded_forward(model: ResNet, variables, x: jnp.ndarray) -> jnp.ndarray:
     return feats
 
 
-def _folded_run(stem, blocks, x, record: bool):
+def _folded_arrays(stem, blocks):
+    """The (w, b) pytree of a folded graph, mirroring its structure — for
+    passing the weights as jit ARGUMENTS (closing over them inlines the
+    folded f32 tree as HLO constants, which the axon remote compile
+    service rejects past ~resnet50/ViT-S scale — HTTP 413)."""
+    return {
+        "stem": {"w": stem["w"], "b": stem["b"]},
+        "blocks": [
+            {
+                "convs": [{"w": c["w"], "b": c["b"]} for c in blk["convs"]],
+                "ds": (
+                    {"w": blk["ds"]["w"], "b": blk["ds"]["b"]}
+                    if blk["ds"] is not None else None
+                ),
+            }
+            for blk in blocks
+        ],
+    }
+
+
+def _folded_run(stem, blocks, x, record: bool, arrays=None):
     """Shared folded-f32 executor; optionally records each quantized conv's
-    input amax (calibration)."""
+    input amax (calibration). When ``arrays`` (a ``_folded_arrays`` tree,
+    possibly of tracers) is given, weights come from it and stem/blocks
+    contribute only the static geometry."""
     amaxes: List[jnp.ndarray] = []
+    if arrays is None:
+        arrays = _folded_arrays(stem, blocks)
 
     def note(t):
         if record:
             amaxes.append(jnp.max(jnp.abs(t)))
 
-    x = jax.nn.relu(_conv_f32(x, stem["w"], stem["b"], stem["stride"],
-                              stem["padding"]))
+    def conv(t, desc, arr):
+        return _conv_f32(t, arr["w"], arr["b"], desc["stride"],
+                         desc["padding"], desc.get("groups", 1))
+
+    x = jax.nn.relu(conv(x, stem, arrays["stem"]))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    for blk in blocks:
+    for blk, a_blk in zip(blocks, arrays["blocks"]):
         identity = x
         outs = x
         note(outs)
         c = blk["convs"]
+        ac = a_blk["convs"]
         if blk["kind"] == "basic":
-            outs = jax.nn.relu(_conv_f32(outs, **c[0]))
+            outs = jax.nn.relu(conv(outs, c[0], ac[0]))
             note(outs)
-            outs = _conv_f32(outs, **c[1])
+            outs = conv(outs, c[1], ac[1])
         else:
-            outs = jax.nn.relu(_conv_f32(outs, **c[0]))
+            outs = jax.nn.relu(conv(outs, c[0], ac[0]))
             note(outs)
-            outs = jax.nn.relu(_conv_f32(outs, **c[1]))
+            outs = jax.nn.relu(conv(outs, c[1], ac[1]))
             note(outs)
-            outs = _conv_f32(outs, **c[2])
+            outs = conv(outs, c[2], ac[2])
         if blk["ds"] is not None:
-            identity = _conv_f32(x, **blk["ds"])
+            identity = conv(x, blk["ds"], a_blk["ds"])
         x = jax.nn.relu(outs + identity)
     return jnp.mean(x, axis=(1, 2)), amaxes
 
@@ -290,12 +318,17 @@ def quantize_featurizer(
     stem, blocks = _folded_layers(model, variables)
 
     # Calibration: folded-f32 forward capturing per-conv input amaxes.
-    run = jax.jit(lambda xs: _folded_run(stem, blocks, xs, record=True)[1])
+    # Weights ride as a jit ARGUMENT tree (see _folded_arrays).
+    arrays = _folded_arrays(stem, blocks)
+    run = jax.jit(
+        lambda arrs, xs: _folded_run(stem, blocks, xs, record=True,
+                                     arrays=arrs)[1]
+    )
     total: Optional[List[np.ndarray]] = None
     n = calib_images.shape[0]
     for start in range(0, n, calib_batch):
         chunk = calib_images[start:start + calib_batch]
-        amaxes = [np.asarray(a) for a in run(jnp.asarray(chunk))]
+        amaxes = [np.asarray(a) for a in run(arrays, jnp.asarray(chunk))]
         total = amaxes if total is None else [
             np.maximum(a, b) for a, b in zip(total, amaxes)
         ]
@@ -432,48 +465,63 @@ def quantize_densenet(
 
     # Structure walk + an f32 calibration forward that records each
     # quantized conv's input amax (post relu(BN), exactly what serving
-    # quantizes).
-    def conv_w(p):
-        return np.asarray(p["kernel"], np.float32)
+    # quantizes). Conv weights and the HOST-precomputed BN affines ride as
+    # jit ARGUMENTS (closing over them would inline the f32 weight tree as
+    # HLO constants, which the axon remote compile service caps at HTTP
+    # 413); precomputing the affines keeps the calibration numerics
+    # bit-identical to the serving graph's QAffine path.
+    def _aff(p, s):
+        a = _bn_affine(p, s)
+        return {"scale": a.scale, "shift": a.shift}
 
-    def run_calib(x):
+    affines = {"norm0": _aff(params["norm0"], stats["norm0"])}
+    for i, num_layers in enumerate(model.block_config):
+        bp, bs = params[f"denseblock{i + 1}"], stats[f"denseblock{i + 1}"]
+        for j in range(num_layers):
+            lp, ls = bp[f"denselayer{j + 1}"], bs[f"denselayer{j + 1}"]
+            affines[f"b{i}l{j}n1"] = _aff(lp["norm1"], ls["norm1"])
+            affines[f"b{i}l{j}n2"] = _aff(lp["norm2"], ls["norm2"])
+        if i != len(model.block_config) - 1:
+            tp, ts = params[f"transition{i + 1}"], stats[f"transition{i + 1}"]
+            affines[f"t{i}"] = _aff(tp["norm"], ts["norm"])
+
+    def run_calib(params, affines, x):
         amaxes = []
 
         def qin(t):
             amaxes.append(jnp.max(jnp.abs(t)))
             return t
 
-        def conv(t, w, stride=1, padding="VALID"):
+        def conv(t, p, stride=1, padding="VALID"):
             return jax.lax.conv_general_dilated(
-                t, jnp.asarray(w), (stride, stride), padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                t, p["kernel"].astype(jnp.float32), (stride, stride),
+                padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        def bn(t, name_p, name_s):
-            a = _bn_affine(name_p, name_s)
-            return t * a.scale + a.shift
+        def bn(t, key):
+            a = affines[key]
+            return t * a["scale"] + a["shift"]
 
-        t = conv(x, conv_w(params["conv0"]), 2, ((3, 3), (3, 3)))
-        t = jax.nn.relu(bn(t, params["norm0"], stats["norm0"]))
+        t = conv(x, params["conv0"], 2, ((3, 3), (3, 3)))
+        t = jax.nn.relu(bn(t, "norm0"))
         t = jax.lax.reduce_window(
             t, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             ((0, 0), (1, 1), (1, 1), (0, 0)),
         )
         for i, num_layers in enumerate(model.block_config):
-            bname = f"denseblock{i + 1}"
-            bp, bs = params[bname], stats[bname]
+            bp = params[f"denseblock{i + 1}"]
             for j in range(num_layers):
-                lp, ls = bp[f"denselayer{j + 1}"], bs[f"denselayer{j + 1}"]
-                h = jax.nn.relu(bn(t, lp["norm1"], ls["norm1"]))
-                h = conv(qin(h), conv_w(lp["conv1"]))
-                h = jax.nn.relu(bn(h, lp["norm2"], ls["norm2"]))
-                h = conv(qin(h), conv_w(lp["conv2"]), 1, ((1, 1), (1, 1)))
+                lp = bp[f"denselayer{j + 1}"]
+                h = jax.nn.relu(bn(t, f"b{i}l{j}n1"))
+                h = conv(qin(h), lp["conv1"])
+                h = jax.nn.relu(bn(h, f"b{i}l{j}n2"))
+                h = conv(qin(h), lp["conv2"], 1, ((1, 1), (1, 1)))
                 t = jnp.concatenate([t, h], axis=-1)
             if i != len(model.block_config) - 1:
                 tname = f"transition{i + 1}"
-                tp, ts = params[tname], stats[tname]
-                h = jax.nn.relu(bn(t, tp["norm"], ts["norm"]))
-                h = conv(qin(h), conv_w(tp["conv"]))
+                tp = params[tname]
+                h = jax.nn.relu(bn(t, f"t{i}"))
+                h = conv(qin(h), tp["conv"])
                 t = jax.lax.reduce_window(
                     h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                     ((0, 0), (0, 0), (0, 0), (0, 0)),
@@ -484,7 +532,7 @@ def quantize_densenet(
     total = None
     for start in range(0, calib_images.shape[0], calib_batch):
         chunk = jnp.asarray(calib_images[start:start + calib_batch])
-        amaxes = [np.asarray(a) for a in run(chunk)]
+        amaxes = [np.asarray(a) for a in run(params, affines, chunk)]
         total = amaxes if total is None else [
             np.maximum(a, b) for a, b in zip(total, amaxes)
         ]
