@@ -373,16 +373,40 @@ def fused_attention_qkv(
     return _attn_qkv_core(x, H, hd, sc, k_chunk, interpret)
 
 
-def _attn_int8_kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref,
-                      sproj_ref, bproj_ref, out_ref, *, scale: float, H: int,
-                      hd: int, D: int, a_qkv: float, a_proj: float):
-    """Whole attention sublayer, int8-fused: quantize -> int8 MXU qkv
-    matmul -> dequant+bias -> per-head f32 softmax attention (bf16 score/
-    PV matmuls) -> requantize -> int8 MXU proj matmul -> dequant+bias.
-    The (N, 3D) qkv tensor, every requant chain, and the attention
-    intermediates never touch HBM."""
+def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
+                      hd: int, D: int, a_qkv: float, a_proj: float,
+                      ln_eps: float = 0.0):
+    """Whole attention sublayer, int8-fused: [optional LayerNorm ->]
+    quantize -> int8 MXU qkv matmul -> dequant+bias -> per-head f32
+    softmax attention (bf16 score/PV matmuls) -> requantize -> int8 MXU
+    proj matmul -> dequant+bias. The normalized input, the (N, 3D) qkv
+    tensor, every requant chain, and the attention intermediates never
+    touch HBM (folding the LN saves its (B, N, D) HBM round trip)."""
+    i = 0
+    ln_s_ref = ln_b_ref = None
+    if ln_eps > 0.0:
+        ln_s_ref = refs[i]; i += 1   # (1, D) f32
+        ln_b_ref = refs[i]; i += 1   # (1, D) f32
+    wqkv_ref = refs[i]; i += 1
+    sqkv_ref = refs[i]; i += 1
+    bqkv_ref = refs[i]; i += 1
+    wproj_ref = refs[i]; i += 1
+    sproj_ref = refs[i]; i += 1
+    bproj_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+
+    xf = x_ref[0].astype(jnp.float32)
+    if ln_eps > 0.0:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[0] \
+            + ln_b_ref[0]
+        # Match the unfused QLayerNorm -> QDense chain bit-for-bit: the
+        # residual stream carries bf16, so round through bf16 before
+        # quantizing.
+        xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
     x8 = jnp.clip(
-        jnp.round(x_ref[0].astype(jnp.float32) * (1.0 / a_qkv)), -127, 127
+        jnp.round(xf * (1.0 / a_qkv)), -127, 127
     ).astype(jnp.int8)
     h = jax.lax.dot_general(
         x8, wqkv_ref[:], (((1,), (0,)), ((), ())),
@@ -446,12 +470,17 @@ def fused_attention_qkv_int8(
     num_heads: int,
     *,
     scale: Optional[float] = None,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Quantized-serving attention sublayer: same math as
-    ``QDense(qkv) -> fused_attention_qkv -> QDense(proj)`` but in ONE
-    kernel — both projections run on the int8 MXU and nothing between the
-    LayerNorm input and the proj output touches HBM. Inference-only.
+    ``[LayerNorm ->] QDense(qkv) -> fused_attention_qkv -> QDense(proj)``
+    but in ONE kernel — both projections run on the int8 MXU and nothing
+    between the residual-stream input and the proj output touches HBM.
+    Pass ``ln_scale``/``ln_bias`` to fold the pre-attention LayerNorm
+    in-kernel too (saves its (B, N, D) HBM round trip). Inference-only.
 
     x: (B, N, D) activations (bf16); wq_*: int8 weights with per-out-
     channel scales; *_act_scale: calibrated per-tensor input scales.
@@ -469,21 +498,41 @@ def fused_attention_qkv_int8(
             f"fused_attention_qkv composition"
         )
     sc = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
+    fold_ln = ln_scale is not None
+    in_specs = [pl.BlockSpec((1, N, D), lambda b: (b, 0, 0))]
+    inputs = [x.astype(jnp.bfloat16)]
+    if fold_ln:
+        in_specs += [
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+        ]
+        inputs += [
+            ln_scale.astype(jnp.float32).reshape(1, D),
+            ln_bias.astype(jnp.float32).reshape(1, D),
+        ]
+    in_specs += [
+        pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
+        pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+        pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+        pl.BlockSpec((D, D), lambda b: (0, 0)),
+        pl.BlockSpec((1, D), lambda b: (0, 0)),
+        pl.BlockSpec((1, D), lambda b: (0, 0)),
+    ]
+    inputs += [
+        wq_qkv,
+        qkv_w_scale.astype(jnp.float32).reshape(1, 3 * D),
+        qkv_bias.astype(jnp.float32).reshape(1, 3 * D), wq_proj,
+        proj_w_scale.astype(jnp.float32).reshape(1, D),
+        proj_bias.astype(jnp.float32).reshape(1, D),
+    ]
     return pl.pallas_call(
         functools.partial(
             _attn_int8_kernel, scale=sc, H=H, hd=hd, D=D,
             a_qkv=float(qkv_act_scale), a_proj=float(proj_act_scale),
+            ln_eps=float(ln_eps) if fold_ln else 0.0,
         ),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
-            pl.BlockSpec((D, D), lambda b: (0, 0)),
-            pl.BlockSpec((1, D), lambda b: (0, 0)),
-            pl.BlockSpec((1, D), lambda b: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -491,13 +540,7 @@ def fused_attention_qkv_int8(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(
-        x.astype(jnp.bfloat16), wq_qkv,
-        qkv_w_scale.astype(jnp.float32).reshape(1, 3 * D),
-        qkv_bias.astype(jnp.float32).reshape(1, 3 * D), wq_proj,
-        proj_w_scale.astype(jnp.float32).reshape(1, D),
-        proj_bias.astype(jnp.float32).reshape(1, D),
-    )
+    )(*inputs)
 
 
 def fused_attention(

@@ -203,14 +203,37 @@ def _mlp_core_bwd(block_m, interpret, residuals, g):
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
 
 
-def _mlp_int8_kernel(x_ref, wq1_ref, s1_ref, b1_ref, wq2_ref, s2_ref,
-                     b2_ref, out_ref, *, a1: float, a2: float):
-    """int8 PTQ MLP, fully fused: quantize -> int8 MXU dot -> dequant+bias
-    -> gelu -> requantize -> int8 MXU dot -> dequant+bias, with every
-    intermediate in VMEM. a1/a2 are the calibrated per-tensor activation
-    scales for the two matmul inputs."""
+def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
+                     ln_eps: float = 0.0):
+    """int8 PTQ MLP, fully fused: [optional LayerNorm ->] quantize ->
+    int8 MXU dot -> dequant+bias -> gelu -> requantize -> int8 MXU dot ->
+    dequant+bias, with every intermediate in VMEM. a1/a2 are the
+    calibrated per-tensor activation scales for the two matmul inputs;
+    folding the LN saves its (tokens, D) HBM round trip (LN is per-token,
+    so it tiles with the flattened token axis)."""
+    i = 0
+    ln_s_ref = ln_b_ref = None
+    if ln_eps > 0.0:
+        ln_s_ref = refs[i]; i += 1   # (1, D_in) f32
+        ln_b_ref = refs[i]; i += 1   # (1, D_in) f32
+    wq1_ref = refs[i]; i += 1
+    s1_ref = refs[i]; i += 1
+    b1_ref = refs[i]; i += 1
+    wq2_ref = refs[i]; i += 1
+    s2_ref = refs[i]; i += 1
+    b2_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+
+    xf = x_ref[:].astype(jnp.float32)
+    if ln_eps > 0.0:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[0] \
+            + ln_b_ref[0]
+        # bf16 round-trip matches the unfused QLayerNorm -> QDense chain.
+        xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
     x8 = jnp.clip(
-        jnp.round(x_ref[:].astype(jnp.float32) * (1.0 / a1)), -127, 127
+        jnp.round(xf * (1.0 / a1)), -127, 127
     ).astype(jnp.int8)
     h = jax.lax.dot_general(
         x8, wq1_ref[:], (((1,), (0,)), ((), ())),
@@ -236,12 +259,16 @@ def fused_mlp_int8(
     b2: jnp.ndarray,
     act_scale2,
     *,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-6,
     block_m: int = 512,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Quantized-serving MLP: same math as two ``QDense`` calls around a
     GELU, but fused — the requantize chains and the 4D hidden activation
-    never touch HBM, and both matmuls run on the int8 MXU path.
+    never touch HBM, and both matmuls run on the int8 MXU path. Pass
+    ``ln_scale``/``ln_bias`` to fold the pre-MLP LayerNorm in-kernel too.
     Inference-only. Returns bf16."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -255,20 +282,39 @@ def fused_mlp_int8(
     m_pad = _round_up(M, block_m)
     if m_pad != M:
         xf = jnp.pad(xf, ((0, m_pad - M), (0, 0)))
+    fold_ln = ln_scale is not None
+    in_specs = [pl.BlockSpec((block_m, D_in), lambda i: (i, 0))]
+    inputs = [xf]
+    if fold_ln:
+        in_specs += [
+            pl.BlockSpec((1, D_in), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_in), lambda i: (0, 0)),
+        ]
+        inputs += [
+            ln_scale.astype(jnp.float32).reshape(1, D_in),
+            ln_bias.astype(jnp.float32).reshape(1, D_in),
+        ]
+    in_specs += [
+        pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+        pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+    ]
+    inputs += [
+        wq1, w1_scale.astype(jnp.float32).reshape(1, D_h),
+        b1.astype(jnp.float32).reshape(1, D_h), wq2,
+        w2_scale.astype(jnp.float32).reshape(1, D_out),
+        b2.astype(jnp.float32).reshape(1, D_out),
+    ]
     out = pl.pallas_call(
         functools.partial(
-            _mlp_int8_kernel, a1=float(act_scale1), a2=float(act_scale2)
+            _mlp_int8_kernel, a1=float(act_scale1), a2=float(act_scale2),
+            ln_eps=float(ln_eps) if fold_ln else 0.0,
         ),
         grid=(m_pad // block_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, D_in), lambda i: (i, 0)),
-            pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_h), lambda i: (0, 0)),
-            pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, D_out), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -276,12 +322,7 @@ def fused_mlp_int8(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(
-        xf, wq1, w1_scale.astype(jnp.float32).reshape(1, D_h),
-        b1.astype(jnp.float32).reshape(1, D_h), wq2,
-        w2_scale.astype(jnp.float32).reshape(1, D_out),
-        b2.astype(jnp.float32).reshape(1, D_out),
-    )
+    )(*inputs)
     return out[:M].reshape(*orig_shape[:-1], D_out)
 
 

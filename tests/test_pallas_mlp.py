@@ -110,3 +110,37 @@ def test_vit_fully_fused_trains(rng):
     assert all(np.isfinite(np.asarray(t)).all() for t in leaves)
     gm = np.asarray(g["block0"]["mlp"]["fc1"]["kernel"])
     assert np.abs(gm).max() > 0
+
+
+def test_fused_int8_mlp_ln_folded(rng):
+    """Folding the LayerNorm into the int8 MLP kernel must equal
+    QLayerNorm -> fused_mlp_int8 exactly."""
+    from nwhead_tpu.models.quantize import QLayerNorm
+    from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
+
+    B, N, D, Dh = 2, 19, 32, 128
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk_q(din, dout):
+        w = rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b)
+
+    wq1, s1, b1 = mk_q(D, Dh)
+    wq2, s2, b2 = mk_q(Dh, D)
+    ln = QLayerNorm(
+        scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32)),
+        bias=jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32)),
+    )
+
+    fused = fused_mlp_int8(x, wq1, s1, b1, 0.05, wq2, s2, b2, 0.05,
+                           ln_scale=ln.scale, ln_bias=ln.bias)
+    unfused = fused_mlp_int8(ln(x), wq1, s1, b1, 0.05, wq2, s2, b2, 0.05)
+    np.testing.assert_allclose(
+        np.asarray(fused.astype(jnp.float32)),
+        np.asarray(unfused.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
+    )
