@@ -672,15 +672,17 @@ def _qvit_forward(statics, tree, x):
     N = x.shape[1]
     for blk, (a_qkv, a_proj, a_fc1, a_fc2) in zip(blocks, scales):
         if int8_attention_fits(N, D):
-            # Whole attention sublayer in one int8 kernel: LayerNorm,
+            # Whole attention HALF-BLOCK in one int8 kernel: LayerNorm,
             # qkv and proj on the int8 MXU, requant chains + per-head
-            # f32 softmax — neither the normalized input nor the
-            # (B, N, 3D) qkv tensor touches HBM.
-            out = fused_attention_qkv_int8(
+            # f32 softmax, LayerScale, residual add — nothing between
+            # one residual stream state and the next touches HBM, and
+            # no XLA elementwise pass runs between the two kernels.
+            x = fused_attention_qkv_int8(
                 x, blk.qkv.wq, blk.qkv.w_scale, blk.qkv.bias,
                 a_qkv, blk.proj.wq, blk.proj.w_scale,
                 blk.proj.bias, a_proj, num_heads,
                 ln_scale=blk.norm1.scale, ln_bias=blk.norm1.bias,
+                layerscale=blk.ls1, residual=True,
             )
         else:
             # Long-sequence fallback: per-op QDense around the
@@ -689,22 +691,21 @@ def _qvit_forward(statics, tree, x):
             h = h.reshape(B, N, 3, num_heads, head_dim)
             out = fused_attention_qkv(h, num_heads)
             out = blk.proj(out)
-        if blk.ls1 is not None:
-            out = out * blk.ls1.astype(out.dtype)
-        x = x + out
-        # Fused int8 MLP (LayerNorm folded too): both matmuls on the
-        # int8 MXU with the requantize chains and the 4D hidden
-        # activation entirely in VMEM (the per-op QDense version lost
-        # its int8 gains to exactly those HBM round-trips).
-        h = fused_mlp_int8(
+            if blk.ls1 is not None:
+                out = out * blk.ls1.astype(out.dtype)
+            x = x + out
+        # Fused int8 MLP half-block (LayerNorm + LayerScale + residual
+        # folded the same way): both matmuls on the int8 MXU with the
+        # requantize chains and the 4D hidden activation entirely in
+        # VMEM (the per-op QDense version lost its int8 gains to
+        # exactly those HBM round-trips).
+        x = fused_mlp_int8(
             x,
             blk.fc1.wq, blk.fc1.w_scale, blk.fc1.bias, a_fc1,
             blk.fc2.wq, blk.fc2.w_scale, blk.fc2.bias, a_fc2,
             ln_scale=blk.norm2.scale, ln_bias=blk.norm2.bias,
+            layerscale=blk.ls2, residual=True,
         )
-        if blk.ls2 is not None:
-            h = h * blk.ls2.astype(h.dtype)
-        x = x + h
 
     x = final_norm(x)
     return x[:, 0].astype(jnp.float32)

@@ -375,13 +375,16 @@ def fused_attention_qkv(
 
 def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
                       hd: int, D: int, a_qkv: float, a_proj: float,
-                      ln_eps: float = 0.0):
+                      ln_eps: float = 0.0, has_ls: bool = False,
+                      residual: bool = False):
     """Whole attention sublayer, int8-fused: [optional LayerNorm ->]
     quantize -> int8 MXU qkv matmul -> dequant+bias -> per-head f32
     softmax attention (bf16 score/PV matmuls) -> requantize -> int8 MXU
-    proj matmul -> dequant+bias. The normalized input, the (N, 3D) qkv
-    tensor, every requant chain, and the attention intermediates never
-    touch HBM (folding the LN saves its (B, N, D) HBM round trip)."""
+    proj matmul -> dequant+bias [-> optional LayerScale -> optional
+    residual add]. The normalized input, the (N, 3D) qkv tensor, every
+    requant chain, and the attention intermediates never touch HBM —
+    with LN + LayerScale + residual folded, a ViT block's attention half
+    is ONE kernel with zero XLA elementwise passes around it."""
     i = 0
     ln_s_ref = ln_b_ref = None
     if ln_eps > 0.0:
@@ -393,6 +396,9 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
     wproj_ref = refs[i]; i += 1
     sproj_ref = refs[i]; i += 1
     bproj_ref = refs[i]; i += 1
+    ls_ref = None
+    if has_ls:
+        ls_ref = refs[i]; i += 1     # (1, D) bf16 LayerScale gamma
     out_ref = refs[i]; i += 1
 
     xf = x_ref[0].astype(jnp.float32)
@@ -440,7 +446,14 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
         a8, wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (a_proj * sproj_ref[0]) + bproj_ref[0]
-    out_ref[0] = out.astype(out_ref.dtype)
+    # Tail folds, matching the XLA chain's bf16 residual-stream math:
+    # out_bf16 [* ls] [+ x].
+    out = out.astype(out_ref.dtype)
+    if has_ls:
+        out = out * ls_ref[0]
+    if residual:
+        out = x_ref[0] + out
+    out_ref[0] = out
 
 
 def int8_attention_fits(N: int, D: int) -> bool:
@@ -473,18 +486,20 @@ def fused_attention_qkv_int8(
     ln_scale: Optional[jnp.ndarray] = None,
     ln_bias: Optional[jnp.ndarray] = None,
     ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Quantized-serving attention sublayer: same math as
-    ``[LayerNorm ->] QDense(qkv) -> fused_attention_qkv -> QDense(proj)``
-    but in ONE kernel — both projections run on the int8 MXU and nothing
-    between the residual-stream input and the proj output touches HBM.
-    Pass ``ln_scale``/``ln_bias`` to fold the pre-attention LayerNorm
-    in-kernel too (saves its (B, N, D) HBM round trip). Inference-only.
+    ``[LayerNorm ->] QDense(qkv) -> fused_attention_qkv -> QDense(proj)
+    [-> * layerscale] [-> + x]`` but in ONE kernel — both projections run
+    on the int8 MXU and nothing between the residual-stream input and
+    the (optionally residual-added) output touches HBM. Inference-only.
 
     x: (B, N, D) activations (bf16); wq_*: int8 weights with per-out-
     channel scales; *_act_scale: calibrated per-tensor input scales.
-    Returns (B, N, D) bf16.
+    Returns (B, N, D) bf16 (the new residual stream when
+    ``residual=True``).
     """
     B, N, D = x.shape
     H = num_heads
@@ -525,11 +540,15 @@ def fused_attention_qkv_int8(
         proj_w_scale.astype(jnp.float32).reshape(1, D),
         proj_bias.astype(jnp.float32).reshape(1, D),
     ]
+    if layerscale is not None:
+        in_specs.append(pl.BlockSpec((1, D), lambda b: (0, 0)))
+        inputs.append(layerscale.astype(jnp.bfloat16).reshape(1, D))
     return pl.pallas_call(
         functools.partial(
             _attn_int8_kernel, scale=sc, H=H, hd=hd, D=D,
             a_qkv=float(qkv_act_scale), a_proj=float(proj_act_scale),
             ln_eps=float(ln_eps) if fold_ln else 0.0,
+            has_ls=layerscale is not None, residual=residual,
         ),
         grid=(B,),
         in_specs=in_specs,

@@ -204,7 +204,8 @@ _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
 
 
 def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
-                     ln_eps: float = 0.0):
+                     ln_eps: float = 0.0, has_ls: bool = False,
+                     residual: bool = False):
     """int8 PTQ MLP, fully fused: [optional LayerNorm ->] quantize ->
     int8 MXU dot -> dequant+bias -> gelu -> requantize -> int8 MXU dot ->
     dequant+bias, with every intermediate in VMEM. a1/a2 are the
@@ -222,6 +223,9 @@ def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
     wq2_ref = refs[i]; i += 1
     s2_ref = refs[i]; i += 1
     b2_ref = refs[i]; i += 1
+    ls_ref = None
+    if has_ls:
+        ls_ref = refs[i]; i += 1   # (1, D_out) bf16 LayerScale gamma
     out_ref = refs[i]; i += 1
 
     xf = x_ref[:].astype(jnp.float32)
@@ -245,7 +249,14 @@ def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
         g8, wq2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (a2 * s2_ref[0]) + b2_ref[0]
-    out_ref[:] = out.astype(out_ref.dtype)
+    # Tail folds, matching the XLA chain's bf16 residual-stream math:
+    # out_bf16 [* ls] [+ x] (residual requires D_out == D_in).
+    out = out.astype(out_ref.dtype)
+    if has_ls:
+        out = out * ls_ref[0]
+    if residual:
+        out = x_ref[:].astype(out_ref.dtype) + out
+    out_ref[:] = out
 
 
 def fused_mlp_int8(
@@ -262,14 +273,17 @@ def fused_mlp_int8(
     ln_scale: Optional[jnp.ndarray] = None,
     ln_bias: Optional[jnp.ndarray] = None,
     ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
     block_m: int = 512,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Quantized-serving MLP: same math as two ``QDense`` calls around a
     GELU, but fused — the requantize chains and the 4D hidden activation
     never touch HBM, and both matmuls run on the int8 MXU path. Pass
-    ``ln_scale``/``ln_bias`` to fold the pre-MLP LayerNorm in-kernel too.
-    Inference-only. Returns bf16."""
+    ``ln_scale``/``ln_bias`` to fold the pre-MLP LayerNorm in-kernel,
+    ``layerscale``/``residual=True`` to fold the output tail (requires
+    D_out == D_in for the residual). Inference-only. Returns bf16."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     orig_shape = x.shape
@@ -308,10 +322,16 @@ def fused_mlp_int8(
         w2_scale.astype(jnp.float32).reshape(1, D_out),
         b2.astype(jnp.float32).reshape(1, D_out),
     ]
+    if residual and D_out != D_in:
+        raise ValueError("residual=True requires D_out == D_in")
+    if layerscale is not None:
+        in_specs.append(pl.BlockSpec((1, D_out), lambda i: (0, 0)))
+        inputs.append(layerscale.astype(jnp.bfloat16).reshape(1, D_out))
     out = pl.pallas_call(
         functools.partial(
             _mlp_int8_kernel, a1=float(act_scale1), a2=float(act_scale2),
             ln_eps=float(ln_eps) if fold_ln else 0.0,
+            has_ls=layerscale is not None, residual=residual,
         ),
         grid=(m_pad // block_m,),
         in_specs=in_specs,

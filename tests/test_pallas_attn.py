@@ -285,3 +285,47 @@ def test_fused_int8_attention_ln_folded(rng):
         np.asarray(fused.astype(jnp.float32)),
         np.asarray(unfused.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_int8_attention_tail_folds(rng):
+    """LayerScale + residual folded in-kernel == the explicit XLA tail
+    (bf16 math matched)."""
+    from nwhead_tpu.models.quantize import QDense, QLayerNorm
+    from nwhead_tpu.ops.pallas_attn import fused_attention_qkv_int8
+
+    B, N, H, hd = 2, 21, 2, 16
+    D = H * hd
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk_qdense(din, dout):
+        w = rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return QDense(jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b),
+                      jnp.float32(0.05))
+
+    qkv_d, proj_d = mk_qdense(D, 3 * D), mk_qdense(D, D)
+    ln = QLayerNorm(
+        scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32)),
+        bias=jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32)),
+    )
+    ls = jnp.asarray((1e-1 * rng.standard_normal(D)).astype(np.float32))
+
+    folded = fused_attention_qkv_int8(
+        x, qkv_d.wq, qkv_d.w_scale, qkv_d.bias, qkv_d.act_scale,
+        proj_d.wq, proj_d.w_scale, proj_d.bias, proj_d.act_scale, H,
+        ln_scale=ln.scale, ln_bias=ln.bias, layerscale=ls, residual=True,
+    )
+    out = fused_attention_qkv_int8(
+        x, qkv_d.wq, qkv_d.w_scale, qkv_d.bias, qkv_d.act_scale,
+        proj_d.wq, proj_d.w_scale, proj_d.bias, proj_d.act_scale, H,
+        ln_scale=ln.scale, ln_bias=ln.bias,
+    )
+    want = x + out * ls.astype(out.dtype)
+    np.testing.assert_allclose(
+        np.asarray(folded.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
+    )

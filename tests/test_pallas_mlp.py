@@ -144,3 +144,47 @@ def test_fused_int8_mlp_ln_folded(rng):
         np.asarray(fused.astype(jnp.float32)),
         np.asarray(unfused.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_int8_mlp_tail_folds(rng):
+    """LayerScale + residual folded in-kernel == the explicit XLA tail."""
+    from nwhead_tpu.models.quantize import QLayerNorm
+    from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
+
+    B, N, D, Dh = 2, 13, 32, 128
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk_q(din, dout):
+        w = rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b)
+
+    wq1, s1, b1 = mk_q(D, Dh)
+    wq2, s2, b2 = mk_q(Dh, D)
+    ln = QLayerNorm(
+        scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32)),
+        bias=jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32)),
+    )
+    ls = jnp.asarray((1e-1 * rng.standard_normal(D)).astype(np.float32))
+
+    folded = fused_mlp_int8(x, wq1, s1, b1, 0.05, wq2, s2, b2, 0.05,
+                            ln_scale=ln.scale, ln_bias=ln.bias,
+                            layerscale=ls, residual=True)
+    out = fused_mlp_int8(x, wq1, s1, b1, 0.05, wq2, s2, b2, 0.05,
+                         ln_scale=ln.scale, ln_bias=ln.bias)
+    want = x + out * ls.astype(out.dtype)
+    np.testing.assert_allclose(
+        np.asarray(folded.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="D_out == D_in"):
+        fused_mlp_int8(x, wq1, s1, b1, 0.05,
+                       mk_q(Dh, D + 32)[0], *mk_q(Dh, D + 32)[1:], 0.05,
+                       residual=True)
