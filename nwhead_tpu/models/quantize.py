@@ -641,9 +641,9 @@ def _qvit_forward(statics, tree, x):
     scales as Python floats (the fused kernels bake them in)."""
     from nwhead_tpu.models.vit import _interpolate_pos_embed
     from nwhead_tpu.ops.pallas_attn import (
+        _int8_attn_k_chunk,
         fused_attention_qkv,
         fused_attention_qkv_int8,
-        int8_attention_fits,
     )
     from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
 
@@ -670,8 +670,16 @@ def _qvit_forward(statics, tree, x):
 
     head_dim = D // num_heads
     N = x.shape[1]
+    try:
+        # Single-pass OR flash-tiled — the int8 kernel chunks the score
+        # matrix itself at long N (the qkv tensor is linear in N and
+        # VMEM-resident either way).
+        _int8_attn_k_chunk(N, D)
+        int8_attn_ok = True
+    except ValueError:
+        int8_attn_ok = False
     for blk, (a_qkv, a_proj, a_fc1, a_fc2) in zip(blocks, scales):
-        if int8_attention_fits(N, D):
+        if int8_attn_ok:
             # Whole attention HALF-BLOCK in one int8 kernel: LayerNorm,
             # qkv and proj on the int8 MXU, requant chains + per-head
             # f32 softmax, LayerScale, residual add — nothing between

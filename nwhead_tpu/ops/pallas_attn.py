@@ -376,7 +376,7 @@ def fused_attention_qkv(
 def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
                       hd: int, D: int, a_qkv: float, a_proj: float,
                       ln_eps: float = 0.0, has_ls: bool = False,
-                      residual: bool = False):
+                      residual: bool = False, k_chunk: int = 0):
     """Whole attention sublayer, int8-fused: [optional LayerNorm ->]
     quantize -> int8 MXU qkv matmul -> dequant+bias -> per-head f32
     softmax attention (bf16 score/PV matmuls) -> requantize -> int8 MXU
@@ -419,25 +419,52 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (a_qkv * sqkv_ref[0]) + bqkv_ref[0]
     h = h.astype(jnp.bfloat16)  # (N, 3D)
+    N = h.shape[0]
     outs = []
     for hh in range(H):
         q = h[:, hh * hd:(hh + 1) * hd]
-        k = h[:, D + hh * hd:D + (hh + 1) * hd]
-        v = h[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                probs, v, (((1,), (0,)), ((), ())),
+        if k_chunk <= 0 or k_chunk >= N:
+            k = h[:, D + hh * hd:D + (hh + 1) * hd]
+            v = h[:, 2 * D + hh * hd:2 * D + (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            probs = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    probs, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            continue
+        # Flash-tiled long-N path: the qkv tensor is fully VMEM-resident
+        # (it's linear in N) — only the (N, N) score matrix is not, so
+        # sweep K/V row chunks with an online softmax.
+        m = jnp.full((N, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((N, 1), jnp.float32)
+        acc = jnp.zeros((N, hd), jnp.float32)
+        for c0 in range(0, N, k_chunk):
+            c1 = min(c0 + k_chunk, N)
+            k_c = h[c0:c1, D + hh * hd:D + (hh + 1) * hd]
+            v_c = h[c0:c1, 2 * D + hh * hd:2 * D + (hh + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_c.dtype), v_c, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        )
+            m = m_new
+        outs.append(acc / jnp.maximum(l, 1e-30))
     att = jnp.concatenate(outs, axis=1)  # (N, D) f32
     a8 = jnp.clip(
         jnp.round(att * (1.0 / a_proj)), -127, 127
@@ -456,18 +483,40 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
     out_ref[0] = out
 
 
+def _int8_attn_linear_bytes(N: int, D: int) -> int:
+    n_pad = _round_up(N, 8)
+    return (
+        3 * D * D + D * D            # int8 qkv + proj weights
+        + n_pad * 3 * D * 2          # bf16 qkv tensor
+        + 4 * n_pad * D * 4          # x8/att/requant/out temporaries
+    )
+
+
 def int8_attention_fits(N: int, D: int) -> bool:
     """Whether the single-pass int8 attention sublayer fits VMEM at
     sequence length N, embed dim D (per batch row: weights + (N, 3D) qkv
     + one (N, N) f32 score matrix + requant temporaries)."""
     n_pad = _round_up(N, 8)
-    need = (
-        3 * D * D + D * D            # int8 qkv + proj weights
-        + n_pad * 3 * D * 2          # bf16 qkv tensor
-        + 3 * n_pad * n_pad * 4      # score matrix + softmax temporaries
-        + 4 * n_pad * D * 4          # x8/att/requant/out temporaries
-    )
+    need = _int8_attn_linear_bytes(N, D) + 3 * n_pad * n_pad * 4
     return need <= _VMEM_LIMIT
+
+
+def _int8_attn_k_chunk(N: int, D: int) -> int:
+    """0 = single pass; else the K/V chunk for the flash-tiled int8 path.
+    Raises only when even the linear (chunk-independent) footprint cannot
+    fit — the qkv tensor itself is VMEM-resident in this kernel."""
+    if int8_attention_fits(N, D):
+        return 0
+    n_pad = _round_up(N, 8)
+    chunk = _FLASH_CHUNK
+    need = _int8_attn_linear_bytes(N, D) + 3 * n_pad * chunk * 4
+    if need > _VMEM_LIMIT:
+        raise ValueError(
+            f"fused_attention_qkv_int8: even the flash-tiled path needs "
+            f"~{need >> 20} MiB of VMEM at N={N}, D={D} — use the unfused "
+            f"QDense composition and shard the sequence"
+        )
+    return chunk
 
 
 def fused_attention_qkv_int8(
@@ -506,12 +555,7 @@ def fused_attention_qkv_int8(
     hd = D // H
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not int8_attention_fits(N, D):
-        raise ValueError(
-            f"fused_attention_qkv_int8: N={N}, D={D} exceeds the single-"
-            f"pass VMEM budget — fall back to the unfused QDense + "
-            f"fused_attention_qkv composition"
-        )
+    k_chunk = _int8_attn_k_chunk(N, D)  # raises if nothing fits
     sc = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
     fold_ln = ln_scale is not None
     in_specs = [pl.BlockSpec((1, N, D), lambda b: (b, 0, 0))]
@@ -549,6 +593,7 @@ def fused_attention_qkv_int8(
             a_qkv=float(qkv_act_scale), a_proj=float(proj_act_scale),
             ln_eps=float(ln_eps) if fold_ln else 0.0,
             has_ls=layerscale is not None, residual=residual,
+            k_chunk=k_chunk,
         ),
         grid=(B,),
         in_specs=in_specs,

@@ -329,3 +329,51 @@ def test_fused_int8_attention_tail_folds(rng):
         np.asarray(folded.astype(jnp.float32)),
         np.asarray(want.astype(jnp.float32)), rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_int8_attention_flash_tiled(rng, monkeypatch):
+    """The int8 kernel's flash-tiled long-N path (forced via a shrunken
+    VMEM budget) must equal the single-pass kernel, with all folds on."""
+    import nwhead_tpu.ops.pallas_attn as pa
+    from nwhead_tpu.models.quantize import QDense, QLayerNorm
+
+    B, N, H, hd = 1, 200, 2, 16
+    D = H * hd
+    x = jnp.asarray(
+        rng.standard_normal((B, N, D)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mk_qdense(din, dout):
+        w = rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return QDense(jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b),
+                      jnp.float32(0.05))
+
+    qkv_d, proj_d = mk_qdense(D, 3 * D), mk_qdense(D, D)
+    ln = QLayerNorm(
+        scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32)),
+        bias=jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32)),
+    )
+
+    def call():
+        return np.asarray(pa.fused_attention_qkv_int8(
+            x, qkv_d.wq, qkv_d.w_scale, qkv_d.bias, qkv_d.act_scale,
+            proj_d.wq, proj_d.w_scale, proj_d.bias, proj_d.act_scale, H,
+            ln_scale=ln.scale, ln_bias=ln.bias, residual=True,
+        ).astype(jnp.float32))
+
+    want = call()
+    monkeypatch.setattr(pa, "_VMEM_LIMIT", 600 * 1024)
+    monkeypatch.setattr(pa, "_FLASH_CHUNK", 64)
+    assert pa._int8_attn_k_chunk(N, D) == 64  # chunked path selected
+    got = call()
+    # bf16 probs round at different points (single-pass: p/l before the
+    # PV matmul; chunked: p per chunk, f32 normalize after) — agreement
+    # is at bf16 resolution, not exact.
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    monkeypatch.setattr(pa, "_VMEM_LIMIT", 1024)
+    with pytest.raises(ValueError, match="QDense composition"):
+        pa._int8_attn_k_chunk(4096, 768)
