@@ -236,7 +236,11 @@ def answer_queries(net, variables, train_ds, args):
     if not paths:
         raise SystemExit(f"no files match {args.queries!r}")
     is_cifar = args.dataset in ("cifar10", "cifar100")
-    t_eval = T.cifar_eval_transform() if is_cifar else T.imagenet_eval_transform()
+    # uint8 over the host->device link, normalize on device (same path as
+    # --jpeg_bench).
+    t_eval = (T.cifar_eval_transform() if is_cifar
+              else T.imagenet_eval_transform(device_normalize=True))
+    norm = T.device_normalize_fn()
     qds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
                            train_ds.num_classes, transform=t_eval,
                            workers=args.workers, decoder=args.decoder)
@@ -244,7 +248,10 @@ def answer_queries(net, variables, train_ds, args):
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start:start + args.batch_size]
         imgs = qds.gather(np.arange(start, start + len(chunk)))
-        out = net.predict(variables, jnp.asarray(imgs), "full")
+        x = jnp.asarray(imgs)
+        if x.dtype == jnp.uint8:
+            x = norm(x)
+        out = net.predict(variables, x, "full")
         out = np.asarray(out[0] if isinstance(out, tuple) else out)
         top = np.argsort(-out, axis=-1)[:, :args.topk]
         for p, t, lp in zip(chunk, top, out):
