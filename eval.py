@@ -51,9 +51,11 @@ def main(argv=None):
                    choices=["f32", "bf16", "int8"],
                    help="serving-bank precision for the fused full-mode path")
     p.add_argument("--featurizer_precision", type=str, default="f32",
-                   choices=["f32", "int8"],
+                   choices=["f32", "int8", "bf16_fused"],
                    help="int8: post-training-quantized serving featurizer "
-                        "(BN-folded, per-channel int8 weights; ResNet archs)")
+                        "(BN-folded, per-channel int8 weights); bf16_fused: "
+                        "the bf16 fused-serving ViT graph (one kernel per "
+                        "half-block, no calibration; ViT archs only)")
     p.add_argument("--calib_images", type=int, default=256,
                    help="calibration-set size for --featurizer_precision int8")
     p.add_argument("--fused_inference", action="store_true",
@@ -110,9 +112,13 @@ def main(argv=None):
     sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
     variables = net.init(jax.random.PRNGKey(args.seed), sample)
     if args.ckpt:
+        # BN-free backbones (ViT) init with only a 'params' collection.
         restored = load_checkpoint(args.ckpt, target={
-            "params": variables["params"], "batch_stats": variables["batch_stats"]})
-        variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {})})
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
         print(f"Loaded checkpoint {args.ckpt}")
 
     if args.featurizer_precision == "int8":
@@ -126,6 +132,15 @@ def main(argv=None):
         calib = train_ds.gather(np.arange(n_cal))
         net.quantize_featurizer(variables, calib)
         print(f"Quantized featurizer (int8 PTQ, {n_cal} calibration images)")
+    elif args.featurizer_precision == "bf16_fused":
+        if args.bank_cache:
+            raise SystemExit(
+                "--bank_cache cannot be combined with --featurizer_precision "
+                "bf16_fused: cached float bank features would mix with "
+                "fused-graph query features; precompute fresh"
+            )
+        net.fuse_featurizer(variables)
+        print("Fused featurizer (bf16 serving graph, LN/residual folded)")
 
     # Precompute (or restore) the support bank.
     from nwhead_tpu.data import FeatureBankCache

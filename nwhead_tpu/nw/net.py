@@ -346,6 +346,44 @@ class NWNet:
         self.sharded_bank = None
         self._sharded_predict = None
 
+    def fuse_featurizer(self, variables: Dict[str, Any]) -> None:
+        """Swap the eval/serving featurizer for the bf16 fused-serving
+        graph (``models/serving_vit.py``): one Pallas kernel per ViT
+        half-block with LayerNorm/LayerScale/residual folded. No
+        calibration (same math as the flax bf16 eval forward). ViT only;
+        for CNNs use ``quantize_featurizer`` or the flax bf16 path.
+        Serving-only, like ``quantize_featurizer``."""
+        from nwhead_tpu.models.serving_vit import fuse_vit_serving
+        from nwhead_tpu.models.vit import VisionTransformer
+
+        if not isinstance(self.model.featurizer, VisionTransformer):
+            raise NotImplementedError(
+                "fuse_featurizer is the ViT bf16 fused-serving path; for "
+                "CNN backbones use quantize_featurizer (int8) or "
+                "dtype=bfloat16 on the flax model"
+            )
+        fvars = {"params": variables["params"]["featurizer"]}
+        s = fuse_vit_serving(self.model.featurizer, fvars)
+        proj = (
+            variables["params"]["proj"] if self.model.proj_dim > 0 else None
+        )
+        projfn = jax.jit(lambda k, b, f: f @ k + b)
+
+        def feat(_variables, x):
+            f = s.apply(x)  # internally jitted, weights as jit args
+            if proj is not None:
+                f = projfn(proj["kernel"], proj["bias"], f)
+            return f
+
+        # Rides the same stale-weights guard and bank invalidation as the
+        # quantized path (the fused weights are baked in the same way).
+        self.quantized_featurizer = s
+        self._quantized_variables_fp = self._variables_fingerprint(variables)
+        self._featurize_eval = feat
+        self._prepared_full = None
+        self.sharded_bank = None
+        self._sharded_predict = None
+
     @staticmethod
     def _variables_fingerprint(variables):
         """Cheap content fingerprint of a variables tree: per-leaf

@@ -376,25 +376,31 @@ def fused_attention_qkv(
 def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
                       hd: int, D: int, a_qkv: float, a_proj: float,
                       ln_eps: float = 0.0, has_ls: bool = False,
-                      residual: bool = False, k_chunk: int = 0):
-    """Whole attention sublayer, int8-fused: [optional LayerNorm ->]
-    quantize -> int8 MXU qkv matmul -> dequant+bias -> per-head f32
-    softmax attention (bf16 score/PV matmuls) -> requantize -> int8 MXU
-    proj matmul -> dequant+bias [-> optional LayerScale -> optional
-    residual add]. The normalized input, the (N, 3D) qkv tensor, every
-    requant chain, and the attention intermediates never touch HBM —
-    with LN + LayerScale + residual folded, a ViT block's attention half
-    is ONE kernel with zero XLA elementwise passes around it."""
+                      residual: bool = False, k_chunk: int = 0,
+                      quant: bool = True):
+    """Whole attention sublayer in one kernel: [optional LayerNorm ->]
+    qkv matmul -> per-head f32 softmax attention (bf16 score/PV matmuls)
+    -> proj matmul [-> optional LayerScale -> optional residual add].
+    ``quant=True``: both projections run as quantize -> int8 MXU dot ->
+    dequant+bias (requant chains in VMEM); ``quant=False``: bf16 weights,
+    bf16 MXU dots with f32 accumulation (the float serving variant). The
+    normalized input, the (N, 3D) qkv tensor, and the attention
+    intermediates never touch HBM — with LN + LayerScale + residual
+    folded, a ViT block's attention half is ONE kernel with zero XLA
+    elementwise passes around it."""
     i = 0
     ln_s_ref = ln_b_ref = None
     if ln_eps > 0.0:
         ln_s_ref = refs[i]; i += 1   # (1, D) f32
         ln_b_ref = refs[i]; i += 1   # (1, D) f32
+    sqkv_ref = sproj_ref = None
     wqkv_ref = refs[i]; i += 1
-    sqkv_ref = refs[i]; i += 1
+    if quant:
+        sqkv_ref = refs[i]; i += 1
     bqkv_ref = refs[i]; i += 1
     wproj_ref = refs[i]; i += 1
-    sproj_ref = refs[i]; i += 1
+    if quant:
+        sproj_ref = refs[i]; i += 1
     bproj_ref = refs[i]; i += 1
     ls_ref = None
     if has_ls:
@@ -407,17 +413,22 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[0] \
             + ln_b_ref[0]
-        # Match the unfused QLayerNorm -> QDense chain bit-for-bit: the
-        # residual stream carries bf16, so round through bf16 before
-        # quantizing.
+        # Match the unfused (Q)LayerNorm -> matmul chain bit-for-bit: the
+        # residual stream carries bf16, so round through bf16 first.
         xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
-    x8 = jnp.clip(
-        jnp.round(xf * (1.0 / a_qkv)), -127, 127
-    ).astype(jnp.int8)
-    h = jax.lax.dot_general(
-        x8, wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (a_qkv * sqkv_ref[0]) + bqkv_ref[0]
+    if quant:
+        x8 = jnp.clip(
+            jnp.round(xf * (1.0 / a_qkv)), -127, 127
+        ).astype(jnp.int8)
+        h = jax.lax.dot_general(
+            x8, wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a_qkv * sqkv_ref[0]) + bqkv_ref[0]
+    else:
+        h = jax.lax.dot_general(
+            xf.astype(jnp.bfloat16), wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[0]
     h = h.astype(jnp.bfloat16)  # (N, 3D)
     N = h.shape[0]
     outs = []
@@ -466,13 +477,19 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
             m = m_new
         outs.append(acc / jnp.maximum(l, 1e-30))
     att = jnp.concatenate(outs, axis=1)  # (N, D) f32
-    a8 = jnp.clip(
-        jnp.round(att * (1.0 / a_proj)), -127, 127
-    ).astype(jnp.int8)
-    out = jax.lax.dot_general(
-        a8, wproj_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (a_proj * sproj_ref[0]) + bproj_ref[0]
+    if quant:
+        a8 = jnp.clip(
+            jnp.round(att * (1.0 / a_proj)), -127, 127
+        ).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            a8, wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a_proj * sproj_ref[0]) + bproj_ref[0]
+    else:
+        out = jax.lax.dot_general(
+            att.astype(jnp.bfloat16), wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj_ref[0]
     # Tail folds, matching the XLA chain's bf16 residual-stream math:
     # out_bf16 [* ls] [+ x].
     out = out.astype(out_ref.dtype)
@@ -483,12 +500,12 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
     out_ref[0] = out
 
 
-def _int8_attn_linear_bytes(N: int, D: int) -> int:
+def _int8_attn_linear_bytes(N: int, D: int, w_itemsize: int = 1) -> int:
     n_pad = _round_up(N, 8)
     return (
-        3 * D * D + D * D            # int8 qkv + proj weights
-        + n_pad * 3 * D * 2          # bf16 qkv tensor
-        + 4 * n_pad * D * 4          # x8/att/requant/out temporaries
+        (3 * D * D + D * D) * w_itemsize  # qkv + proj weights
+        + n_pad * 3 * D * 2               # bf16 qkv tensor
+        + 4 * n_pad * D * 4               # x8/att/requant/out temporaries
     )
 
 
@@ -591,6 +608,97 @@ def fused_attention_qkv_int8(
         functools.partial(
             _attn_int8_kernel, scale=sc, H=H, hd=hd, D=D,
             a_qkv=float(qkv_act_scale), a_proj=float(proj_act_scale),
+            ln_eps=float(ln_eps) if fold_ln else 0.0,
+            has_ls=layerscale is not None, residual=residual,
+            k_chunk=k_chunk,
+        ),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _bf16_attn_k_chunk(N: int, D: int) -> int:
+    """Chunk selection for the bf16 block kernel (weights 2 bytes)."""
+    n_pad = _round_up(N, 8)
+    if _int8_attn_linear_bytes(N, D, 2) + 3 * n_pad * n_pad * 4 <= _VMEM_LIMIT:
+        return 0
+    chunk = _FLASH_CHUNK
+    need = _int8_attn_linear_bytes(N, D, 2) + 3 * n_pad * chunk * 4
+    if need > _VMEM_LIMIT:
+        raise ValueError(
+            f"fused_attention_block_bf16: even the flash-tiled path needs "
+            f"~{need >> 20} MiB of VMEM at N={N}, D={D} — use the unfused "
+            f"composition and shard the sequence"
+        )
+    return chunk
+
+
+def fused_attention_block_bf16(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    qkv_bias: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    proj_bias: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Float-serving attention half-block: the ``quant=False`` variant of
+    ``fused_attention_qkv_int8`` — bf16 weights, bf16 MXU dots with f32
+    accumulation, with the same optional LayerNorm / LayerScale /
+    residual folds. Inference-only (no VJP); for training use
+    ``fused_attention_qkv``. Returns (B, N, D) bf16."""
+    B, N, D = x.shape
+    H = num_heads
+    hd = D // H
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k_chunk = _bf16_attn_k_chunk(N, D)  # raises if nothing fits
+    sc = float(scale) if scale is not None else 1.0 / float(hd) ** 0.5
+    fold_ln = ln_scale is not None
+    in_specs = [pl.BlockSpec((1, N, D), lambda b: (b, 0, 0))]
+    inputs = [x.astype(jnp.bfloat16)]
+    if fold_ln:
+        in_specs += [
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+            pl.BlockSpec((1, D), lambda b: (0, 0)),
+        ]
+        inputs += [
+            ln_scale.astype(jnp.float32).reshape(1, D),
+            ln_bias.astype(jnp.float32).reshape(1, D),
+        ]
+    in_specs += [
+        pl.BlockSpec((D, 3 * D), lambda b: (0, 0)),
+        pl.BlockSpec((1, 3 * D), lambda b: (0, 0)),
+        pl.BlockSpec((D, D), lambda b: (0, 0)),
+        pl.BlockSpec((1, D), lambda b: (0, 0)),
+    ]
+    inputs += [
+        w_qkv.astype(jnp.bfloat16),
+        qkv_bias.astype(jnp.float32).reshape(1, 3 * D),
+        w_proj.astype(jnp.bfloat16),
+        proj_bias.astype(jnp.float32).reshape(1, D),
+    ]
+    if layerscale is not None:
+        in_specs.append(pl.BlockSpec((1, D), lambda b: (0, 0)))
+        inputs.append(layerscale.astype(jnp.bfloat16).reshape(1, D))
+    return pl.pallas_call(
+        functools.partial(
+            _attn_int8_kernel, scale=sc, H=H, hd=hd, D=D,
+            a_qkv=1.0, a_proj=1.0, quant=False,
             ln_eps=float(ln_eps) if fold_ln else 0.0,
             has_ls=layerscale is not None, residual=residual,
             k_chunk=k_chunk,

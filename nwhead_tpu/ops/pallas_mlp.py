@@ -205,23 +205,27 @@ _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
 
 def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
                      ln_eps: float = 0.0, has_ls: bool = False,
-                     residual: bool = False):
-    """int8 PTQ MLP, fully fused: [optional LayerNorm ->] quantize ->
-    int8 MXU dot -> dequant+bias -> gelu -> requantize -> int8 MXU dot ->
-    dequant+bias, with every intermediate in VMEM. a1/a2 are the
-    calibrated per-tensor activation scales for the two matmul inputs;
-    folding the LN saves its (tokens, D) HBM round trip (LN is per-token,
-    so it tiles with the flattened token axis)."""
+                     residual: bool = False, quant: bool = True):
+    """Fully fused MLP half-block: [optional LayerNorm ->] fc1 -> exact
+    GELU -> fc2 [-> LayerScale -> residual], every intermediate in VMEM.
+    ``quant=True``: both matmuls as quantize -> int8 MXU dot ->
+    dequant+bias with calibrated a1/a2 input scales; ``quant=False``:
+    bf16 weights, bf16 MXU dots with f32 accumulation (float serving).
+    Folding the LN saves its (tokens, D) HBM round trip (LN is
+    per-token, so it tiles with the flattened token axis)."""
     i = 0
     ln_s_ref = ln_b_ref = None
     if ln_eps > 0.0:
         ln_s_ref = refs[i]; i += 1   # (1, D_in) f32
         ln_b_ref = refs[i]; i += 1   # (1, D_in) f32
+    s1_ref = s2_ref = None
     wq1_ref = refs[i]; i += 1
-    s1_ref = refs[i]; i += 1
+    if quant:
+        s1_ref = refs[i]; i += 1
     b1_ref = refs[i]; i += 1
     wq2_ref = refs[i]; i += 1
-    s2_ref = refs[i]; i += 1
+    if quant:
+        s2_ref = refs[i]; i += 1
     b2_ref = refs[i]; i += 1
     ls_ref = None
     if has_ls:
@@ -234,21 +238,33 @@ def _mlp_int8_kernel(x_ref, *refs, a1: float, a2: float,
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps) * ln_s_ref[0] \
             + ln_b_ref[0]
-        # bf16 round-trip matches the unfused QLayerNorm -> QDense chain.
+        # bf16 round-trip matches the unfused (Q)LayerNorm -> fc1 chain.
         xf = xf.astype(jnp.bfloat16).astype(jnp.float32)
-    x8 = jnp.clip(
-        jnp.round(xf * (1.0 / a1)), -127, 127
-    ).astype(jnp.int8)
-    h = jax.lax.dot_general(
-        x8, wq1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (a1 * s1_ref[0]) + b1_ref[0]
+    if quant:
+        x8 = jnp.clip(
+            jnp.round(xf * (1.0 / a1)), -127, 127
+        ).astype(jnp.int8)
+        h = jax.lax.dot_general(
+            x8, wq1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a1 * s1_ref[0]) + b1_ref[0]
+    else:
+        h = jax.lax.dot_general(
+            xf.astype(jnp.bfloat16), wq1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0]
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))  # exact GELU, f32
-    g8 = jnp.clip(jnp.round(h * (1.0 / a2)), -127, 127).astype(jnp.int8)
-    out = jax.lax.dot_general(
-        g8, wq2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (a2 * s2_ref[0]) + b2_ref[0]
+    if quant:
+        g8 = jnp.clip(jnp.round(h * (1.0 / a2)), -127, 127).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            g8, wq2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (a2 * s2_ref[0]) + b2_ref[0]
+    else:
+        out = jax.lax.dot_general(
+            h.astype(jnp.bfloat16), wq2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0]
     # Tail folds, matching the XLA chain's bf16 residual-stream math:
     # out_bf16 [* ls] [+ x] (residual requires D_out == D_in).
     out = out.astype(out_ref.dtype)
@@ -330,6 +346,84 @@ def fused_mlp_int8(
     out = pl.pallas_call(
         functools.partial(
             _mlp_int8_kernel, a1=float(act_scale1), a2=float(act_scale2),
+            ln_eps=float(ln_eps) if fold_ln else 0.0,
+            has_ls=layerscale is not None, residual=residual,
+        ),
+        grid=(m_pad // block_m,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, D_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, D_out), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:M].reshape(*orig_shape[:-1], D_out)
+
+
+def fused_mlp_block_bf16(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    ln_scale: Optional[jnp.ndarray] = None,
+    ln_bias: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-6,
+    layerscale: Optional[jnp.ndarray] = None,
+    residual: bool = False,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Float-serving MLP half-block: the ``quant=False`` variant of
+    ``fused_mlp_int8`` — bf16 weights, bf16 MXU dots with f32
+    accumulation, exact (erf) GELU in f32, with the same optional
+    LayerNorm / LayerScale / residual folds. Inference-only (no VJP);
+    for training use ``fused_mlp``. Returns bf16."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    D_in = orig_shape[-1]
+    D_h = w1.shape[1]
+    D_out = w2.shape[1]
+    xf = x.reshape(-1, D_in).astype(jnp.bfloat16)
+    M = xf.shape[0]
+    block_m = min(block_m, _round_up(M, 8))
+    m_pad = _round_up(M, block_m)
+    if m_pad != M:
+        xf = jnp.pad(xf, ((0, m_pad - M), (0, 0)))
+    fold_ln = ln_scale is not None
+    in_specs = [pl.BlockSpec((block_m, D_in), lambda i: (i, 0))]
+    inputs = [xf]
+    if fold_ln:
+        in_specs += [
+            pl.BlockSpec((1, D_in), lambda i: (0, 0)),
+            pl.BlockSpec((1, D_in), lambda i: (0, 0)),
+        ]
+        inputs += [
+            ln_scale.astype(jnp.float32).reshape(1, D_in),
+            ln_bias.astype(jnp.float32).reshape(1, D_in),
+        ]
+    in_specs += [
+        pl.BlockSpec((D_in, D_h), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_h), lambda i: (0, 0)),
+        pl.BlockSpec((D_h, D_out), lambda i: (0, 0)),
+        pl.BlockSpec((1, D_out), lambda i: (0, 0)),
+    ]
+    inputs += [
+        w1.astype(jnp.bfloat16), b1.astype(jnp.float32).reshape(1, D_h),
+        w2.astype(jnp.bfloat16), b2.astype(jnp.float32).reshape(1, D_out),
+    ]
+    if residual and D_out != D_in:
+        raise ValueError("residual=True requires D_out == D_in")
+    if layerscale is not None:
+        in_specs.append(pl.BlockSpec((1, D_out), lambda i: (0, 0)))
+        inputs.append(layerscale.astype(jnp.bfloat16).reshape(1, D_out))
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_int8_kernel, a1=1.0, a2=1.0, quant=False,
             ln_eps=float(ln_eps) if fold_ln else 0.0,
             has_ls=layerscale is not None, residual=residual,
         ),

@@ -216,8 +216,11 @@ def vit_stack(arch="vit_s14", B=64):
     # trees get inlined as HLO constants and the axon remote compile
     # service rejects ViT-B-scale constant bodies (HTTP 413).
     from nwhead_tpu.models.quantize import _qvit_forward
+    from nwhead_tpu.models.serving_vit import _svit_forward, fuse_vit_serving
 
     statics, qtree = q.split()
+    sgraph = fuse_vit_serving(model_f32, variables)
+    s_statics, stree = sgraph.split()
 
     def bf16_fn(xx, vv, carry):
         x_dep = jax.lax.optimization_barrier(
@@ -244,9 +247,19 @@ def vit_stack(arch="vit_s14", B=64):
         out = jax.lax.optimization_barrier(_qvit_forward(statics, tr, x_dep))
         return jnp.sum(out[:1, :1]) * 1e-20
 
+    def bf16_block_fn(xx, tr, carry):
+        x_dep = jax.lax.optimization_barrier(
+            xx + carry.astype(xx.dtype) * 1e-30
+        )
+        out = jax.lax.optimization_barrier(
+            _svit_forward(s_statics, tr, x_dep)
+        )
+        return jnp.sum(out[:1, :1]) * 1e-20
+
     res = interleaved_time(
         [("bf16", bf16_fn, (img, variables)),
          ("bf16+fully_fused", bf16_fused_fn, (img, variables)),
+         ("bf16_block_serving", bf16_block_fn, (img, stree)),
          ("int8", int8_fn, (img, qtree))], cycles=7,
         target_s=0.1,
     )

@@ -77,6 +77,9 @@ def build_server(args):
         n_cal = min(args.calib_images, len(train_ds))
         net.quantize_featurizer(variables, train_ds.gather(np.arange(n_cal)))
         print(f"Quantized featurizer (int8 PTQ, {n_cal} calibration images)")
+    elif args.featurizer_precision == "bf16_fused":
+        net.fuse_featurizer(variables)
+        print("Fused featurizer (bf16 serving graph, LN/residual folded)")
 
     t0 = time.perf_counter()
     net.precompute(variables)
@@ -282,7 +285,7 @@ def main(argv=None):
     p.add_argument("--head_precision", default="f32",
                    choices=["f32", "bf16", "int8"])
     p.add_argument("--featurizer_precision", default="f32",
-                   choices=["f32", "int8"])
+                   choices=["f32", "int8", "bf16_fused"])
     p.add_argument("--calib_images", type=int, default=256)
     p.add_argument("--fused_inference", action="store_true")
     p.add_argument("--workers", type=int, default=8)

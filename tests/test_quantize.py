@@ -299,3 +299,67 @@ def test_quantized_vit_net_serving_path(rng):
     out = net.predict(variables, x0, "full")
     logp = np.asarray(out[0] if isinstance(out, tuple) else out)
     assert logp.shape == (4, 3) and np.isfinite(logp).all()
+
+
+def test_serving_vit_tracks_flax_bf16(rng):
+    """The bf16 fused-serving ViT graph (one kernel per half-block,
+    LN/LayerScale/residual folded) must track the flax bf16 eval forward
+    at bf16 resolution — no calibration involved, same math."""
+    from nwhead_tpu.models.serving_vit import fuse_vit_serving
+
+    model = load_model("vit_s16")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+
+    s = fuse_vit_serving(model, variables)
+    got = np.asarray(s.apply(img))
+
+    model_bf16 = load_model("vit_s16", dtype=jnp.bfloat16)
+    want = np.asarray(
+        model_bf16.apply(variables, img, train=False).astype(jnp.float32)
+    )
+    scale = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 0.03, (
+        np.max(np.abs(got - want)) / scale
+    )
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.999, cos.min()
+
+
+def test_fused_serving_vit_net_path(rng):
+    """NWNet.fuse_featurizer (bf16 fused-serving ViT) serves end to end
+    and rejects non-ViT backbones."""
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    ds = make_synthetic_dataset(n=24, n_classes=3, size=32, seed=0)
+    model = load_model("vit_s16")
+    net = NWNet(model, 3, support_dataset=ds, feat_dim=model.feat_dim,
+                n_shot_full=4, seed=0)
+    x0 = jnp.asarray(ds.gather(np.arange(4)))
+    variables = net.init(jax.random.PRNGKey(0), x0)
+    net.fuse_featurizer(variables)
+    net.precompute(variables)
+    out = net.predict(variables, x0, "full")
+    logp = np.asarray(out[0] if isinstance(out, tuple) else out)
+    assert logp.shape == (4, 3) and np.isfinite(logp).all()
+
+    net2 = NWNet(load_model("resnet10"), 3, support_dataset=ds,
+                 feat_dim=512, n_shot_full=4, seed=0)
+    v2 = net2.init(jax.random.PRNGKey(0), x0)
+    with pytest.raises(NotImplementedError, match="ViT"):
+        net2.fuse_featurizer(v2)
+
+
+def test_eval_cli_bf16_fused_vit(tmp_path):
+    """eval.py --featurizer_precision bf16_fused runs end to end."""
+    import eval as eval_cli
+
+    results = eval_cli.main([
+        "--dataset", "synthetic", "--arch", "vit_s16",
+        "--modes", "full", "--batch_size", "8", "--num_val_steps", "2",
+        "--n_shot_full", "5", "--featurizer_precision", "bf16_fused",
+    ])
+    assert "full" in results and np.isfinite(results["full"]["nll"])
