@@ -363,3 +363,34 @@ def test_eval_cli_bf16_fused_vit(tmp_path):
         "--n_shot_full", "5", "--featurizer_precision", "bf16_fused",
     ])
     assert "full" in results and np.isfinite(results["full"]["nll"])
+
+
+def test_serving_vit_fallback_when_kernel_oversized(rng, monkeypatch):
+    """When even the flash-tiled bf16 block kernel cannot fit (forced via
+    a tiny VMEM budget), the serving graph falls back to the unfused
+    composition and still tracks the flax bf16 forward."""
+    import nwhead_tpu.ops.pallas_attn as pa
+    from nwhead_tpu.models.serving_vit import fuse_vit_serving
+
+    model = load_model("vit_s16")
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+    s = fuse_vit_serving(model, variables)
+
+    def _too_big(N, D):
+        raise ValueError("forced: block kernel oversized")
+
+    monkeypatch.setattr(pa, "_bf16_attn_k_chunk", _too_big)
+    # Call the unjitted core: the jitted wrapper may be trace-cached from
+    # other tests (same statics/treedef), which would skip the patched
+    # budget check.
+    from nwhead_tpu.models.serving_vit import _svit_forward
+
+    statics, tree = s.split()
+    got = np.asarray(_svit_forward(statics, tree, img))
+    model_bf16 = load_model("vit_s16", dtype=jnp.bfloat16)
+    want = np.asarray(
+        model_bf16.apply(variables, img, train=False).astype(jnp.float32)
+    )
+    scale = np.maximum(np.abs(want).max(), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 0.03
