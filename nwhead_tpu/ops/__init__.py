@@ -7,8 +7,17 @@ from nwhead_tpu.ops.pallas_nw import (
     nw_fused_from_prepared,
     prepare_support,
 )
-from nwhead_tpu.ops.pallas_attn import fused_attention, fused_attention_qkv
-from nwhead_tpu.ops.pallas_mlp import fused_mlp
+from nwhead_tpu.ops.pallas_attn import (
+    fused_attention,
+    fused_attention_block_bf16,
+    fused_attention_qkv,
+    fused_attention_qkv_int8,
+)
+from nwhead_tpu.ops.pallas_mlp import (
+    fused_mlp,
+    fused_mlp_block_bf16,
+    fused_mlp_int8,
+)
 from nwhead_tpu.ops import metrics
 
 __all__ = [
@@ -22,7 +31,11 @@ __all__ = [
     "PreparedSupport",
     "support_influence",
     "fused_attention",
+    "fused_attention_block_bf16",
     "fused_attention_qkv",
+    "fused_attention_qkv_int8",
     "fused_mlp",
+    "fused_mlp_block_bf16",
+    "fused_mlp_int8",
     "metrics",
 ]
