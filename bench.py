@@ -189,10 +189,14 @@ def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     # uint8 over the host->device link (4x less traffic than f32 — that
     # link binds before decode does under the axon tunnel), normalized
     # on-device.
+    # decoder="native_fused": decode+crop+resize in ONE native pass, with
+    # libjpeg-turbo partial decode (IDCT/color-convert only the crop
+    # window) — the Python-side PIL resize pass disappears entirely and
+    # the eval center-crop skips ~43% of the per-pixel decode work.
     ds = ImageFileDataset(
         paths, np.zeros(len(paths), np.int64), C,
         transform=T.imagenet_eval_transform(IMG, device_normalize=True),
-        workers=workers,
+        workers=workers, decoder="native_fused",
     )
     norm = T.device_normalize_fn()
 

@@ -289,7 +289,7 @@ def main(argv=None):
     p.add_argument("--calib_images", type=int, default=256)
     p.add_argument("--fused_inference", action="store_true")
     p.add_argument("--workers", type=int, default=8)
-    p.add_argument("--decoder", default="native",
+    p.add_argument("--decoder", default="native_fused",
                    choices=["native", "native_fused", "pil"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--latency_bench", action="store_true")

@@ -52,6 +52,23 @@ def test_crop_resize_fused(jpeg_dir):
     assert abs(float(out[0].mean()) - float(crop.mean())) < 8.0
 
 
+def test_windowed_crop_decode_exact(jpeg_dir):
+    """The libjpeg-turbo windowed decode (skip rows above/below the crop,
+    restrict columns to the iMCU-aligned window) must reproduce the full
+    decode's pixels exactly: a crop box decoded at its own output size makes
+    the bilinear an identity sampling, so the result must equal a numpy
+    slice of the full decode bit-for-bit."""
+    from nwhead_tpu.native.decode import JpegDecodePool
+
+    pool = JpegDecodePool(2)
+    full = pool.decode_batch(jpeg_dir[:2])
+    boxes = np.array([[37, 21, 80, 96], [13, 49, 100, 72]], np.int32)
+    for i in range(2):
+        y, x, h, w = (int(v) for v in boxes[i])
+        out = pool.decode_crop_resize([jpeg_dir[i]], boxes[i : i + 1], (h, w))
+        np.testing.assert_array_equal(out[0], full[i][y : y + h, x : x + w])
+
+
 def test_failures_reported(jpeg_dir, tmp_path):
     from nwhead_tpu.native.decode import JpegDecodePool
 
