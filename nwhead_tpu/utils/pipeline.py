@@ -1,0 +1,81 @@
+"""Three-stage serving pipeline: host decode -> host->device transfer ->
+device compute, each stage overlapped with the others.
+
+Why a dedicated transfer stage: the reference's serving loop is
+decode -> .to(device) -> forward on one thread (``train.py:404-405``),
+which serializes the host->device copy with both neighbors.  On thin
+device links (the axon TPU tunnel moves tens of MB/s) a batch of uint8
+pixels costs hundreds of milliseconds to ship — comparable to the decode
+itself — so the copy must ride its own thread.  The decode pool's workers
+are native (no GIL), transfers spend their time in the runtime's copy path,
+and device compute is dispatched asynchronously, so the three stages
+genuinely overlap and steady-state throughput approaches the slowest
+single stage instead of the sum of all three.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+def three_stage_pipeline(
+    n_batches: int,
+    make_batch: Callable[[int], np.ndarray],
+    to_device,
+    compute,
+    sync,
+    decode_depth: int = 2,
+) -> float:
+    """Run ``n_batches`` through decode/transfer/compute with cross-stage
+    overlap; returns elapsed wall-clock seconds.
+
+    ``make_batch(i)`` produces a host batch (runs on up to ``decode_depth``
+    threads — the native decode pool underneath fans out further);
+    ``to_device`` ships one host batch (dedicated thread, keeps the link
+    busy while the next batch decodes); ``compute`` consumes a device batch
+    (called on the caller's thread — dispatch must be async); ``sync(out)``
+    forces completion of the last output.
+    """
+    with ThreadPoolExecutor(max_workers=decode_depth) as dec_ex, \
+            ThreadPoolExecutor(max_workers=1) as xfer_ex:
+        t0 = time.perf_counter()
+        dec_futs = [dec_ex.submit(make_batch, i) for i in range(n_batches)]
+        xfer_futs = [
+            xfer_ex.submit(lambda f=f: to_device(f.result()))
+            for f in dec_futs
+        ]
+        out = None
+        for xf in xfer_futs:
+            out = compute(xf.result())
+        sync(out)
+        return time.perf_counter() - t0
+
+
+def measure_transfer_rate(
+    imgs: np.ndarray, to_device, sync, reps: int = 4
+) -> Tuple[float, float]:
+    """Host->device link rate for one batch shape: (img_per_sec, MB_per_sec).
+
+    Each rep ships a distinct buffer (a fresh copy with a perturbed first
+    byte) so a runtime that caches repeated puts of the same host array
+    cannot fake the measurement; ``sync`` must force the transfer to finish
+    (under the axon tunnel that means a readback, not block_until_ready).
+    The first rep is discarded as warmup.
+    """
+    bufs = []
+    for r in range(reps + 1):
+        b = imgs.copy()
+        b.flat[0] = (int(b.flat[0]) + r + 1) % 256
+        bufs.append(b)
+    sync(to_device(bufs[0]))  # warmup
+    t0 = time.perf_counter()
+    for b in bufs[1:]:
+        sync(to_device(b))
+    dt = time.perf_counter() - t0
+    img_per_sec = reps * imgs.shape[0] / dt
+    mb_per_sec = reps * imgs.nbytes / dt / 1e6
+    return img_per_sec, mb_per_sec

@@ -189,27 +189,45 @@ def jpeg_bench(net, variables, train_ds, args):
     for i in range(nb):
         batch(i)
     decode_rate = nb * bs / (time.perf_counter() - t0)
+    # Device stage in isolation: ship one batch, then time compute-only
+    # repeats on the device-resident array (infer() would re-pay the
+    # host->device copy every rep and understate the device).
     imgs0 = batch(0)
+    x0 = jnp.asarray(imgs0)
+    if x0.dtype == jnp.uint8:
+        x0 = norm(x0)
+    predict_only = lambda x: net.predict(variables, x, "full")
+    out = predict_only(x0)
+    np.asarray(out[0] if isinstance(out, tuple) else out)  # warm
     t0 = time.perf_counter()
     for _ in range(nb):
-        out = infer(imgs0)
-    np.asarray(out)
+        out = predict_only(x0)
+    np.asarray(out[0] if isinstance(out, tuple) else out)
     device_rate = nb * bs / (time.perf_counter() - t0)
 
-    # Pipelined: two decode submissions in flight while the device runs
-    # the current batch (one producer thread leaves the device idle
-    # whenever a single decode is slower than inference — i.e. always).
-    from concurrent.futures import ThreadPoolExecutor
+    # Host->device link rate for this batch shape: on thin device links
+    # (the axon tunnel) the pixel copy is a first-class pipeline stage.
+    from nwhead_tpu.utils.pipeline import (
+        measure_transfer_rate, three_stage_pipeline)
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        t0 = time.perf_counter()
-        futs = [ex.submit(batch, i) for i in range(nb)]
-        out = None
-        for f in futs:
-            out = infer(f.result())
-        np.asarray(out)  # completion barrier
-        e2e = nb * bs / (time.perf_counter() - t0)
+    transfer_rate, transfer_mbps = measure_transfer_rate(
+        imgs0, jnp.asarray, lambda x: np.asarray(x.reshape(-1)[0]))
 
+    # Pipelined: decode (native pool, two submissions in flight),
+    # transfer (dedicated thread), device compute (async dispatch) all
+    # overlap — steady state approaches the slowest stage, not the sum.
+    def compute(x):
+        if x.dtype == jnp.uint8:
+            x = norm(x)
+        out = net.predict(variables, x, "full")
+        return out[0] if isinstance(out, tuple) else out
+
+    dt = three_stage_pipeline(
+        nb, batch, jnp.asarray, compute, lambda o: np.asarray(o))
+    e2e = nb * bs / dt
+
+    stages = {"host_decode": decode_rate, "transfer": transfer_rate,
+              "device": device_rate}
     report = {
         "batch_size": bs,
         "batches": nb,
@@ -218,11 +236,11 @@ def jpeg_bench(net, variables, train_ds, args):
         "decoder": args.decoder,
         "pixel_transfer": "uint8" if not is_cifar else "f32",
         "decode_img_per_sec": round(decode_rate, 1),
+        "transfer_img_per_sec": round(transfer_rate, 1),
+        "transfer_mb_per_sec": round(transfer_mbps, 1),
         "device_qps_tensor_fed": round(device_rate, 1),
         "e2e_qps_from_jpeg": round(e2e, 1),
-        "bound_by": (
-            "host_decode" if decode_rate < device_rate else "device"
-        ),
+        "bound_by": min(stages, key=stages.get),
         "featurizer_precision": args.featurizer_precision,
         "head_precision": args.head_precision,
         "backend": jax.default_backend(),
