@@ -169,10 +169,13 @@ class ImageFileDataset:
                 box, flip = t.crop_geometry(h, w)
                 boxes.append(box)
                 flips.append(flip)
+            # Flips ride the native resize write (mirrored column stores) —
+            # no python-side per-image reversal copies afterwards.
             batch = pool.decode_crop_resize(
-                paths, np.asarray(boxes, np.int32), (t.size, t.size)
+                paths, np.asarray(boxes, np.int32), (t.size, t.size),
+                flips=flips,
             )
-            return t.finish_batch(batch, flips)
+            return t.finish_batch(batch, None)
         except Exception:
             return None
 

@@ -192,13 +192,16 @@ class Transform:
             return center_eval_box(h, w, self.size), False
         raise ValueError(f"{self.kind} is not expressible as crop+resize")
 
-    def finish_batch(self, batch_u8: np.ndarray, flips) -> np.ndarray:
+    def finish_batch(self, batch_u8: np.ndarray, flips=None) -> np.ndarray:
         """(n, size, size, 3) uint8 + per-image flips -> normalized f32.
-        Flips happen on the uint8 data (small, contiguous copies) and the
-        normalization runs in place — no (n, H, W, 3) f32 temporaries."""
-        for i, f in enumerate(flips):
-            if f:
-                batch_u8[i] = batch_u8[i, :, ::-1].copy()
+        ``flips=None`` means the decode pool already applied them natively
+        (mirrored stores during the resize); otherwise they happen here on
+        the uint8 data. Normalization runs in place — no (n, H, W, 3) f32
+        temporaries."""
+        if flips is not None:
+            for i, f in enumerate(flips):
+                if f:
+                    batch_u8[i] = batch_u8[i, :, ::-1].copy()
         if self.device_normalize:
             return batch_u8
         out = batch_u8.astype(np.float32)

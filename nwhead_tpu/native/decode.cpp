@@ -15,9 +15,16 @@
 //     RandomResizedCrop / CenterCrop geometry from jpeg_dims and the pool
 //     does decode+crop+resize in one native pass.
 //
-// C ABI (ctypes-friendly); libjpeg scale_denom is used to decode at the
-// smallest scale that still covers the requested output (IDCT-level
+// C ABI (ctypes-friendly); libjpeg scale_num/scale_denom is used to decode
+// at the smallest scale that still covers the requested output (IDCT-level
 // downscale: up to 8x less decode work for large photos -> small targets).
+// With libjpeg-turbo the full M/8 fractional ladder (1/8..8/8) is used —
+// e.g. a 420px eval crop -> 224 target decodes at 5/8 (263px), ~2.5x less
+// IDCT + color-conversion work than the next power of two (1/1) — exactly
+// PIL's draft-mode trick, but per-crop. Plain libjpeg falls back to the
+// 1/1, 1/2, 1/4, 1/8 ladder. The horizontal training flip can also be
+// folded into the resize output write (mirrored column stores, zero extra
+// passes) via the per-image `flips` array.
 // When the system libjpeg is libjpeg-turbo (jpeg_crop_scanline /
 // jpeg_skip_scanlines available), cropped decodes also skip the rows above/
 // below the crop and restrict columns to the iMCU-aligned crop window —
@@ -59,10 +66,11 @@ void err_exit(j_common_ptr cinfo) {
 }
 
 // Decode `path`, crop (cy,cx,ch,cw) in ORIGINAL image coordinates (ch/cw<=0
-// means whole image), bilinear-resize the crop to (out_h, out_w) RGB uint8.
+// means whole image), bilinear-resize the crop to (out_h, out_w) RGB uint8;
+// `flip` mirrors the output horizontally during the resize write (free).
 // Returns 0 on success.
 int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
-               int out_w, uint8_t* out) {
+               int out_w, int flip, uint8_t* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
@@ -92,21 +100,38 @@ int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
   ch = std::max(1, std::min(ch, full_h - cy));
   cw = std::max(1, std::min(cw, full_w - cx));
 
-  // IDCT-level downscale: largest denom (1,2,4,8) such that the scaled crop
-  // still covers the output (keeps bilinear a downscale, not an upscale).
+  // IDCT-level downscale: smallest scale such that the scaled crop still
+  // covers the output (keeps bilinear a downscale, not an upscale).
+  // libjpeg-turbo decodes any M/8, M in 1..8 (smaller IDCT kernels: the
+  // per-pixel IDCT + color-conversion cost tracks the SCALED pixel count);
+  // plain libjpeg only the power-of-two subset.
+#ifdef LIBJPEG_TURBO_VERSION_NUMBER
+  int num = 8;
+  for (int m = 1; m < 8; ++m) {
+    // ceil(ch*m/8) >= out_h and likewise for width.
+    if ((ch * m + 7) / 8 >= out_h && (cw * m + 7) / 8 >= out_w) {
+      num = m;
+      break;
+    }
+  }
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+  const double s = num / 8.0;
+#else
   int denom = 1;
   for (int d = 2; d <= 8; d *= 2) {
     if (ch / d >= out_h && cw / d >= out_w) denom = d;
   }
   cinfo.scale_num = 1;
   cinfo.scale_denom = denom;
+  const double s = 1.0 / denom;
+#endif
   jpeg_start_decompress(&cinfo);
   const int sh = cinfo.output_height, sw = cinfo.output_width;
   const int comps = cinfo.output_components;  // 3 (RGB)
 
   // Crop in scaled coordinates — computed BEFORE reading so the decode can
   // be restricted to the crop window when the library supports it.
-  const double s = 1.0 / denom;
   double scy = cy * s, scx = cx * s;
   double sch = std::max(1.0, ch * s), scw = std::max(1.0, cw * s);
   scy = std::min(scy, sh - 1.0);
@@ -167,10 +192,21 @@ int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
 
-  // Identity fast path: full image at native size -> straight copy.
-  if (!window && denom == 1 && cy == 0 && cx == 0 && ch == full_h &&
+  // Identity fast path: full image at native size -> straight copy
+  // (row-mirrored pixel copy when flipping).
+  if (!window && s == 1.0 && cy == 0 && cx == 0 && ch == full_h &&
       cw == full_w && out_h == full_h && out_w == full_w && comps == 3) {
-    std::memcpy(out, img.data(), img.size());
+    if (!flip) {
+      std::memcpy(out, img.data(), img.size());
+    } else {
+      for (int r = 0; r < out_h; ++r) {
+        const uint8_t* src = img.data() + static_cast<size_t>(r) * out_w * 3;
+        uint8_t* dst = out + static_cast<size_t>(r) * out_w * 3;
+        for (int c = 0; c < out_w; ++c) {
+          std::memcpy(dst + (out_w - 1 - c) * 3, src + c * 3, 3);
+        }
+      }
+    }
     return 0;
   }
 
@@ -208,10 +244,13 @@ int decode_one(const char* path, int cy, int cx, int ch, int cw, int out_h,
     for (int c = 0; c < out_w; ++c) {
       const int a = xi0[c], b = xi1[c];
       const float wx = xw[c], wx0f = 1.0f - wx;
+      // Horizontal flip costs nothing here: write the lerped pixel to the
+      // mirrored output column instead of a separate reversal pass.
+      const int oc = flip ? (out_w - 1 - c) : c;
       for (int k = 0; k < 3; ++k) {
         const float top = wx0f * row0[a + k] + wx * row0[b + k];
         const float bot = wx0f * row1[a + k] + wx * row1[b + k];
-        orow[c * 3 + k] = static_cast<uint8_t>(wyc * top + wy * bot + 0.5f);
+        orow[oc * 3 + k] = static_cast<uint8_t>(wyc * top + wy * bot + 0.5f);
       }
     }
   }
@@ -308,10 +347,12 @@ void* decode_pool_create(int n_threads) { return new Pool(n_threads); }
 void decode_pool_free(void* pool) { delete static_cast<Pool*>(pool); }
 
 // boxes: per-image (y, x, h, w) int32 in original coordinates, or nullptr
-// for whole-image. out: n * out_h * out_w * 3 uint8. Returns the number of
+// for whole-image; flips: per-image 0/1 horizontal-flip flags (nullptr =
+// no flips). out: n * out_h * out_w * 3 uint8. Returns the number of
 // images that FAILED to decode (their slots are zeroed).
-int decode_pool_run(void* pool, const char** paths, const int* boxes, int n,
-                    int out_h, int out_w, uint8_t* out) {
+int decode_pool_run(void* pool, const char** paths, const int* boxes,
+                    const uint8_t* flips, int n, int out_h, int out_w,
+                    uint8_t* out) {
   auto* p = static_cast<Pool*>(pool);
   std::atomic<int> failures(0);
   std::vector<std::function<void()>> jobs;
@@ -326,8 +367,10 @@ int decode_pool_run(void* pool, const char** paths, const int* boxes, int n,
         ch = boxes[i * 4 + 2];
         cw = boxes[i * 4 + 3];
       }
+      const int flip = flips ? flips[i] : 0;
       uint8_t* dst = out + stride * i;
-      if (decode_one(paths[i], cy, cx, ch, cw, out_h, out_w, dst) != 0) {
+      if (decode_one(paths[i], cy, cx, ch, cw, out_h, out_w, flip, dst) !=
+          0) {
         std::memset(dst, 0, stride);
         failures.fetch_add(1);
       }
@@ -348,8 +391,8 @@ int decode_pool_run_varied(void* pool, const char** paths, int n,
   jobs.reserve(n);
   for (int i = 0; i < n; ++i) {
     jobs.push_back([=, &failures] {
-      if (decode_one(paths[i], 0, 0, 0, 0, heights[i], widths[i], outs[i]) !=
-          0) {
+      if (decode_one(paths[i], 0, 0, 0, 0, heights[i], widths[i], 0,
+                     outs[i]) != 0) {
         std::memset(outs[i], 0,
                     static_cast<size_t>(heights[i]) * widths[i] * 3);
         failures.fetch_add(1);

@@ -9,10 +9,12 @@ no GIL on the decode path. Compiled on demand with g++ -O3 (content-hashed
 Two modes:
   * ``JpegDecodePool.decode_batch(paths)`` — full images at native size
     (per-image buffers; probes headers first);
-  * ``JpegDecodePool.decode_crop_resize(paths, boxes, out_hw)`` — fused
-    decode+crop+bilinear-resize into one (n, H, W, 3) uint8 batch, using
-    libjpeg IDCT-level downscaling when the target is much smaller than the
-    crop (up to 8x less decode work).
+  * ``JpegDecodePool.decode_crop_resize(paths, boxes, out_hw, flips)`` —
+    fused decode+crop+bilinear-resize(+horizontal-flip) into one
+    (n, H, W, 3) uint8 batch, using libjpeg IDCT-level downscaling (the
+    full fractional M/8 ladder under libjpeg-turbo) when the target is
+    smaller than the crop — up to 8x less decode work; flips cost nothing
+    (mirrored stores during the resize write).
 """
 
 from __future__ import annotations
@@ -68,6 +70,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8),  # per-image flip flags
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
@@ -138,9 +141,12 @@ class JpegDecodePool:
         paths: Sequence[str],
         boxes: Optional[np.ndarray],
         out_hw: Tuple[int, int],
+        flips=None,
     ) -> np.ndarray:
-        """Fused decode+crop+resize: boxes (n, 4) int32 (y, x, h, w) in
-        original coordinates (None = whole images); returns
+        """Fused decode+crop+resize(+flip): boxes (n, 4) int32 (y, x, h, w)
+        in original coordinates (None = whole images); flips an optional
+        per-image bool/0-1 sequence applied as a horizontal mirror during
+        the native resize write (free — no extra pass); returns
         (n, out_h, out_w, 3) uint8."""
         n = len(paths)
         out_h, out_w = out_hw
@@ -150,8 +156,15 @@ class JpegDecodePool:
             boxes = np.ascontiguousarray(boxes, np.int32)
             assert boxes.shape == (n, 4)
             boxes_ptr = boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        flips_ptr = None
+        if flips is not None:
+            flips = np.ascontiguousarray(
+                np.asarray(flips, np.uint8).reshape(-1))
+            assert flips.shape == (n,)
+            flips_ptr = flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         fails = _lib().decode_pool_run(
-            self._handle, _paths_array(paths), boxes_ptr, n, out_h, out_w,
+            self._handle, _paths_array(paths), boxes_ptr, flips_ptr, n,
+            out_h, out_w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if fails:

@@ -69,6 +69,48 @@ def test_windowed_crop_decode_exact(jpeg_dir):
         np.testing.assert_array_equal(out[0], full[i][y : y + h, x : x + w])
 
 
+def test_native_flip_exact(jpeg_dir):
+    """The flip fused into the native resize write must equal a numpy
+    column reversal of the unflipped output bit-for-bit — for the bilinear
+    path, the crop-at-own-size identity path, and the full-image fast
+    path."""
+    from nwhead_tpu.native.decode import JpegDecodePool, jpeg_dims
+
+    pool = JpegDecodePool(2)
+    boxes = np.array([[10, 14, 90, 110]], np.int32)
+    for out_hw in [(64, 64), (90, 110)]:  # resized and identity-sampled
+        plain = pool.decode_crop_resize(jpeg_dir[:1], boxes, out_hw)
+        flipped = pool.decode_crop_resize(jpeg_dir[:1], boxes, out_hw,
+                                          flips=[True])
+        np.testing.assert_array_equal(flipped[0], plain[0][:, ::-1])
+    h, w = jpeg_dims(jpeg_dir[0])
+    plain = pool.decode_crop_resize(jpeg_dir[:1], None, (h, w))
+    flipped = pool.decode_crop_resize(jpeg_dir[:1], None, (h, w),
+                                      flips=np.array([1], np.uint8))
+    np.testing.assert_array_equal(flipped[0], plain[0][:, ::-1])
+
+
+def test_fractional_idct_scale_close_to_full_decode(photo_jpegs):
+    """When the crop is moderately larger than the target (e.g. a 420px
+    eval crop -> 224), libjpeg-turbo decodes at the smallest covering M/8
+    scale instead of full resolution. The DCT-domain downscale plus
+    bilinear must stay close to decode-at-full-scale + PIL resize (it is a
+    resampling-kernel difference, not a correctness one)."""
+    from PIL import Image
+
+    from nwhead_tpu.native.decode import JpegDecodePool
+
+    pool = JpegDecodePool(2)
+    # 480x640 source, centered 420x420 crop -> 224: covering scale is 5/8.
+    boxes = np.array([[30, 110, 420, 420]], np.int32)
+    out = pool.decode_crop_resize(photo_jpegs[:1], boxes, (224, 224))
+    full = np.asarray(Image.open(photo_jpegs[0]).convert("RGB"))
+    crop = Image.fromarray(full[30:450, 110:530])
+    want = np.asarray(crop.resize((224, 224), Image.BILINEAR), np.float32)
+    diff = np.abs(out[0].astype(np.float32) - want)
+    assert float(diff.mean()) < 6.0, float(diff.mean())
+
+
 def test_failures_reported(jpeg_dir, tmp_path):
     from nwhead_tpu.native.decode import JpegDecodePool
 
