@@ -752,6 +752,13 @@ class QuantizedViT(NamedTuple):
         statics, tree = self.split()
         return _qvit_forward_jit(statics, tree, x)
 
+    @staticmethod
+    def unjitted_forward():
+        """The raw forward for callers composing a LARGER jit (e.g.
+        ``NWNet.make_serving_fn``): call as ``fwd(statics, tree, x)`` with
+        the tree as an argument of the outer jit, never a closure."""
+        return _qvit_forward
+
 
 def quantize_vit(
     model,

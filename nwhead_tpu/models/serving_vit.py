@@ -133,6 +133,13 @@ class ServingViT(NamedTuple):
         statics, tree = self.split()
         return _svit_forward_jit(statics, tree, x)
 
+    @staticmethod
+    def unjitted_forward():
+        """The raw forward for callers composing a LARGER jit (e.g.
+        ``NWNet.make_serving_fn``): call as ``fwd(statics, tree, x)`` with
+        the tree as an argument of the outer jit, never a closure."""
+        return _svit_forward
+
 
 def fuse_vit_serving(model, variables) -> ServingViT:
     """Freeze trained ViT variables into the bf16 fused-serving graph.

@@ -506,6 +506,77 @@ class NWNet:
 
     # -- inference -----------------------------------------------------------
 
+    def make_serving_fn(self, variables: Dict[str, Any], normalize=None):
+        """One-dispatch serving callable for the prepared full-mode path:
+        a single jitted ``uint8/float batch -> log-probs`` composing
+        normalize -> featurize -> prepared head.
+
+        ``predict`` issues separate jit calls for featurize and head (and
+        callers who normalize uint8 pixels on device pay a third) — three
+        dispatches per request, and XLA can never fold the normalization
+        into the featurizer's first conv across jit boundaries (an extra
+        (B, H, W, 3) f32 HBM round trip). Real per-request serving over a
+        high-latency device link (the axon tunnel) pays each dispatch, so
+        this builds ONE jitted function instead. ``normalize=(mean, std)``
+        applies ``(x/255 - mean)/std`` inside the same jit (pass it when
+        feeding uint8 pixels; omit for pre-normalized floats).
+
+        The quantized featurizer path keeps its internal weights-as-jit-
+        arguments structure (its ``apply`` traces inline here; weights stay
+        arguments, not HLO constants — the remote-compile 413 lesson), and
+        ``variables``/the prepared bank ride as arguments of the outer jit
+        for the same reason.
+        """
+        if self._prepared_full is None:
+            raise ValueError(
+                "make_serving_fn needs the prepared full-mode bank — run "
+                "precompute() first (prepared path is TPU-default; force "
+                "with prepare_serving=True)"
+            )
+        self._check_quantized_variables(variables)
+        head = self._head_from_prepared
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], jnp.float32)
+            std = jnp.asarray(normalize[1], jnp.float32)
+
+        def maybe_norm(x):
+            if normalize is not None:
+                return (x.astype(jnp.float32) * (1.0 / 255.0) - mean) / std
+            return x
+
+        q = self.quantized_featurizer
+        if q is not None and hasattr(q, "split"):
+            # QuantizedViT / ServingViT: their weight tree must ride as an
+            # argument of THIS jit (tracing their internally-jitted apply
+            # here would capture the tree as HLO constants — ViT-B bodies
+            # get rejected by the remote compile service).
+            statics, tree = q.split()
+            fwd = q.unjitted_forward()
+            proj = (
+                variables["params"]["proj"]
+                if self.model.proj_dim > 0
+                else None
+            )
+
+            @jax.jit
+            def serve_q(vv, tr, pj, prep, x):
+                f = fwd(statics, tr, maybe_norm(x))
+                if pj is not None:
+                    f = f @ pj["kernel"] + pj["bias"]
+                return head(vv, f, prep)
+
+            prepared = self._prepared_full
+            return lambda x: serve_q(variables, tree, proj, prepared, x)
+
+        feat = self._featurize_eval
+
+        @jax.jit
+        def serve(vv, prep, x):
+            return head(vv, feat(vv, maybe_norm(x)), prep)
+
+        prepared = self._prepared_full
+        return lambda x: serve(variables, prepared, x)
+
     def predict(self, variables: Dict[str, Any], x: jnp.ndarray, mode: str = "random"):
         """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an
         all-True mask if ``return_mask`` (``nw.py:152,158``)."""

@@ -60,6 +60,10 @@ def build_server(args):
         feat_dim=featurizer.feat_dim, proj_dim=args.proj_dim,
         kernel_type=args.kernel_type, n_shot_full=args.n_shot_full,
         head_precision=args.head_precision, seed=args.seed,
+        # Serving wants the prepared streaming path whatever the bank
+        # size (the default 1024-row floor targets training-loop eval,
+        # where tiny banks aren't worth the prepare step).
+        fused_min_support=1,
     )
     sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
     variables = net.init(jax.random.PRNGKey(args.seed), sample)
@@ -88,23 +92,48 @@ def build_server(args):
     return net, variables, train_ds, val_ds
 
 
+def serving_fn(net, variables, uint8_normalize=False):
+    """The per-request device function: ONE jitted dispatch
+    (normalize -> featurize -> prepared head) via ``net.make_serving_fn``
+    when the prepared full-mode bank exists; falls back to the
+    multi-dispatch ``predict`` path otherwise (small banks / non-fused
+    kernels — e.g. CPU smoke runs). Over a high-latency device link every
+    extra dispatch is a round trip, so the single-jit path is the one a
+    deployment should serve from."""
+    from nwhead_tpu.data import transforms as T
+
+    stats = (T.IMAGENET_MEAN, T.IMAGENET_STD) if uint8_normalize else None
+    try:
+        return net.make_serving_fn(variables, normalize=stats)
+    except ValueError:
+        norm = T.device_normalize_fn() if uint8_normalize else None
+
+        def f(x):
+            if norm is not None and x.dtype == jnp.uint8:
+                x = norm(x)
+            out = net.predict(variables, x, "full")
+            return out[0] if isinstance(out, tuple) else out
+
+        return f
+
+
 def latency_bench(net, variables, val_ds, args):
     """Wall-clock serving latency per predict call, INCLUDING host->device
     transfer and readback — the number a deployment actually sees (unlike
     bench.py's device-only differential numbers)."""
     bs = args.batch_size
     n = min(args.bench_batches, max(1, len(val_ds) // bs))
+    serve = serving_fn(net, variables)
     idx0 = np.arange(bs) % len(val_ds)
     imgs = jnp.asarray(val_ds.gather(idx0))
     for _ in range(3):  # warmup/compile
-        np.asarray(net.predict(variables, imgs, "full"))
+        np.asarray(serve(imgs))
     lat = []
     for i in range(n):
         idx = (np.arange(bs) + i * bs) % len(val_ds)
         batch = val_ds.gather(idx)
         t0 = time.perf_counter()
-        out = net.predict(variables, jnp.asarray(batch), "full")
-        out = out[0] if isinstance(out, tuple) else out
+        out = serve(jnp.asarray(batch))
         _ = np.asarray(out)  # forced readback = request completed
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1e3
@@ -166,7 +195,6 @@ def jpeg_bench(net, variables, train_ds, args):
     # interconnects like the axon tunnel).
     t_eval = (T.cifar_eval_transform() if is_cifar
               else T.imagenet_eval_transform(device_normalize=True))
-    norm = T.device_normalize_fn()
     ds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
                           train_ds.num_classes, transform=t_eval,
                           workers=args.workers, decoder=args.decoder)
@@ -174,15 +202,13 @@ def jpeg_bench(net, variables, train_ds, args):
     def batch(i):
         return ds.gather((np.arange(bs) + i * bs) % len(ds))
 
-    def infer(imgs_np):
-        x = jnp.asarray(imgs_np)
-        if x.dtype == jnp.uint8:
-            x = norm(x)
-        out = net.predict(variables, x, "full")
-        return out[0] if isinstance(out, tuple) else out
+    # ONE jitted dispatch per request (normalize folded into the same jit
+    # as the featurizer — over the tunnel every extra dispatch is a round
+    # trip; see serving_fn).
+    serve = serving_fn(net, variables, uint8_normalize=not is_cifar)
 
     # Warm both stages (decode pool spin-up + device compile).
-    np.asarray(infer(batch(0)))
+    np.asarray(serve(jnp.asarray(batch(0))))
 
     # Stage rates in isolation.
     t0 = time.perf_counter()
@@ -190,19 +216,14 @@ def jpeg_bench(net, variables, train_ds, args):
         batch(i)
     decode_rate = nb * bs / (time.perf_counter() - t0)
     # Device stage in isolation: ship one batch, then time compute-only
-    # repeats on the device-resident array (infer() would re-pay the
+    # repeats on the device-resident array (re-shipping would re-pay the
     # host->device copy every rep and understate the device).
     imgs0 = batch(0)
     x0 = jnp.asarray(imgs0)
-    if x0.dtype == jnp.uint8:
-        x0 = norm(x0)
-    predict_only = lambda x: net.predict(variables, x, "full")
-    out = predict_only(x0)
-    np.asarray(out[0] if isinstance(out, tuple) else out)  # warm
     t0 = time.perf_counter()
     for _ in range(nb):
-        out = predict_only(x0)
-    np.asarray(out[0] if isinstance(out, tuple) else out)
+        out = serve(x0)
+    np.asarray(out)
     device_rate = nb * bs / (time.perf_counter() - t0)
 
     # Host->device link rate for this batch shape: on thin device links
@@ -216,14 +237,8 @@ def jpeg_bench(net, variables, train_ds, args):
     # Pipelined: decode (native pool, two submissions in flight),
     # transfer (dedicated thread), device compute (async dispatch) all
     # overlap — steady state approaches the slowest stage, not the sum.
-    def compute(x):
-        if x.dtype == jnp.uint8:
-            x = norm(x)
-        out = net.predict(variables, x, "full")
-        return out[0] if isinstance(out, tuple) else out
-
     dt = three_stage_pipeline(
-        nb, batch, jnp.asarray, compute, lambda o: np.asarray(o))
+        nb, batch, jnp.asarray, serve, lambda o: np.asarray(o))
     e2e = nb * bs / dt
 
     stages = {"host_decode": decode_rate, "transfer": transfer_rate,
@@ -261,19 +276,15 @@ def answer_queries(net, variables, train_ds, args):
     # --jpeg_bench).
     t_eval = (T.cifar_eval_transform() if is_cifar
               else T.imagenet_eval_transform(device_normalize=True))
-    norm = T.device_normalize_fn()
     qds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
                            train_ds.num_classes, transform=t_eval,
                            workers=args.workers, decoder=args.decoder)
+    serve = serving_fn(net, variables, uint8_normalize=not is_cifar)
     results = []
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start:start + args.batch_size]
         imgs = qds.gather(np.arange(start, start + len(chunk)))
-        x = jnp.asarray(imgs)
-        if x.dtype == jnp.uint8:
-            x = norm(x)
-        out = net.predict(variables, x, "full")
-        out = np.asarray(out[0] if isinstance(out, tuple) else out)
+        out = np.asarray(serve(jnp.asarray(imgs)))
         top = np.argsort(-out, axis=-1)[:, :args.topk]
         for p, t, lp in zip(chunk, top, out):
             entry = {

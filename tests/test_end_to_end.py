@@ -283,6 +283,53 @@ def test_full_mode_prepared_bank_parity():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_make_serving_fn_one_dispatch_parity():
+    """make_serving_fn (ONE jitted normalize->featurize->prepared-head
+    dispatch per request) must agree exactly with the multi-dispatch
+    predict path, for float inputs and for uint8 inputs with on-device
+    normalization folded into the same jit."""
+    train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=5)
+    net = NWNet(
+        TinyBackbone.make(),
+        n_classes=4,
+        support_dataset=train_ds,
+        feat_dim=16,
+        n_shot=2,
+        n_shot_full=12,
+        fused_min_support=1,
+        seed=0,
+    )
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(train_ds.gather(np.arange(2)))
+    )
+
+    # Prepared bank is a precondition — before precompute it must refuse.
+    with pytest.raises(ValueError, match="prepared"):
+        net.make_serving_fn(variables)
+
+    net.precompute(variables)
+    assert net._prepared_full is not None
+
+    x = jnp.asarray(train_ds.gather(np.arange(4)))
+    want = np.asarray(net.predict(variables, x, "full"))
+    serve = net.make_serving_fn(variables)
+    np.testing.assert_allclose(np.asarray(serve(x)), want, rtol=1e-6)
+
+    # uint8 + in-jit normalize == normalize-on-host then float path.
+    mean, std = (0.5, 0.4, 0.3), (0.2, 0.25, 0.3)
+    u8 = np.random.default_rng(0).integers(
+        0, 256, x.shape, dtype=np.uint8
+    )
+    xf = (u8.astype(np.float32) / 255.0 - np.asarray(mean, np.float32)) / (
+        np.asarray(std, np.float32)
+    )
+    want8 = np.asarray(net.predict(variables, jnp.asarray(xf), "full"))
+    serve8 = net.make_serving_fn(variables, normalize=(mean, std))
+    np.testing.assert_allclose(
+        np.asarray(serve8(jnp.asarray(u8))), want8, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_clip_kernel_prepared_full_mode():
     """Regression: clip's learnable logit_scale must be readable from the
     prepared serving path (the param now lives in NWHead.setup, not inline

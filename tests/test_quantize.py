@@ -301,6 +301,30 @@ def test_quantized_vit_net_serving_path(rng):
     assert logp.shape == (4, 3) and np.isfinite(logp).all()
 
 
+def test_quantized_vit_make_serving_fn(rng):
+    """make_serving_fn on the QuantizedViT path: the weight tree rides as
+    an argument of the single serving jit (never a closure constant — the
+    remote-compile 413 lesson) and the output matches multi-dispatch
+    predict."""
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    ds = make_synthetic_dataset(n=24, n_classes=3, size=32, seed=0)
+    model = load_model("vit_s16")
+    net = NWNet(model, 3, support_dataset=ds, feat_dim=model.feat_dim,
+                n_shot_full=4, fused_min_support=1, seed=0)
+    x0 = jnp.asarray(ds.gather(np.arange(4)))
+    variables = net.init(jax.random.PRNGKey(0), x0)
+    net.quantize_featurizer(variables, ds.gather(np.arange(8)))
+    net.precompute(variables)
+    assert net._prepared_full is not None
+    out = net.predict(variables, x0, "full")
+    want = np.asarray(out[0] if isinstance(out, tuple) else out)
+    serve = net.make_serving_fn(variables)
+    np.testing.assert_allclose(np.asarray(serve(x0)), want,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_serving_vit_tracks_flax_bf16(rng):
     """The bf16 fused-serving ViT graph (one kernel per half-block,
     LN/LayerScale/residual folded) must track the flax bf16 eval forward
