@@ -99,6 +99,24 @@ class HNSWIndex:
             self.dim,
         )
 
+    def add_items(self, data: np.ndarray, labels: np.ndarray) -> None:
+        """Incrementally insert new items (HNSW graphs grow online — the
+        same insertion path build uses; no rebuild). Supports
+        ``NWNet.add_support``'s bank updates; the reference has no
+        incremental path (its index is rebuilt by every ``precompute()``,
+        ``nwhead/support.py:132-133``)."""
+        new = np.ascontiguousarray(data, dtype=np.float32)
+        if new.ndim != 2 or new.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) features, got {new.shape}")
+        _lib().hnsw_add_items(
+            self._handle,
+            new.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            new.shape[0],
+            self.dim,
+        )
+        self.data = np.concatenate([self.data, new], axis=0)
+        self.labels = np.concatenate([self.labels, np.asarray(labels)], axis=0)
+
     def __del__(self):
         try:
             if getattr(self, "_handle", None):

@@ -429,11 +429,20 @@ class NWNet:
         full_feat = np.concatenate(feats_env, axis=0)
         full_y = np.concatenate(y_env, axis=0)
         full_meta = np.concatenate(meta_env, axis=0)
-        self.full_feat = jnp.asarray(full_feat)  # HBM-resident bank
-        self.full_y = jnp.asarray(full_y)
         self.support_eval.build_infer_iters(
             full_feat, full_y, full_meta, feats_env, y_env, meta_env
         )
+        self._build_serving_banks(variables)
+
+    def _build_serving_banks(self, variables: Dict[str, Any]) -> None:
+        """(Re)build the device bank views + prepared/sharded serving banks
+        from the eval engine's cached features. Shared by ``precompute()``
+        and the incremental ``add_support``/``remove_support`` paths."""
+        # NWNet's bank views alias the eval engine's device arrays (one HBM
+        # copy of the bank, not two).
+        self.full_feat = self.support_eval.full_feat  # HBM-resident bank
+        self.full_y = self.support_eval.full_y
+        full_y_np = np.asarray(self.full_y)
         # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
         # predict streams exactly the bank bytes (the raw path re-pads per
         # call). Skipped when a mesh is attached — the sharded branch always
@@ -443,7 +452,7 @@ class NWNet:
         if (
             self.mesh is None
             and self.model.use_fused
-            and len(full_y) >= self.model.fused_min_support
+            and len(full_y_np) >= self.model.fused_min_support
             and self.kernel_type in (
                 "euclidean", "hypersphere_euclidean", "cosine",
                 "dotproduct", "clip",
@@ -467,7 +476,7 @@ class NWNet:
                 "dotproduct", "clip",
             )
             self.sharded_bank = ShardedSupportBank.build(
-                full_feat, full_y, self.mesh, self.n_classes,
+                np.asarray(self.full_feat), full_y_np, self.mesh, self.n_classes,
                 kernel=self.kernel_type,
                 precision=self.model.head_precision if fused_ok else "f32",
                 use_prepared=None if fused_ok else False,
@@ -477,10 +486,62 @@ class NWNet:
             kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
             self._sharded_predict = self.sharded_bank.predict_fn(kernel_params=kparams)
 
+    # -- incremental bank updates (serving-time; beyond the reference) -------
+
+    def add_support(
+        self, variables: Dict[str, Any], images, labels, env_id: int = 0
+    ) -> None:
+        """Incrementally extend the precomputed eval/serving bank with new
+        items — new examples, or entirely new classes (< ``n_classes``),
+        arriving at serve time. Only the new images run through the
+        featurizer; every serving artifact (prepared bank, sharded bank,
+        clusters, random sampler, KNN) is refreshed from cached features,
+        and the HNSW graph grows by online insertion (no rebuild). Serving
+        callables from ``make_serving_fn`` pick up the new bank on their
+        next call (one recompile for the new bank shape). Training-side
+        sampling (``support_train``) is untouched. The reference has no
+        incremental path — any support edit means a full ``precompute()``
+        re-featurizing the whole bank (``nw.py:118-125``)."""
+        self._check_quantized_variables(variables)
+        labels = np.asarray(labels, dtype=np.int64)
+        if labels.size == 0:
+            return
+        if labels.min() < 0 or labels.max() >= self.n_classes:
+            raise ValueError(
+                f"labels must lie in [0, {self.n_classes}); got "
+                f"[{labels.min()}, {labels.max()}]"
+            )
+        feats = self._featurize_array(variables, np.asarray(images))
+        self.support_eval.extend_bank(feats, labels, env_id=env_id)
+        self._build_serving_banks(variables)
+
+    def remove_support(self, variables: Dict[str, Any], indices) -> None:
+        """Drop support items (indices into the current full-bank row
+        order, e.g. from ``get_neighbors``/``support_influence``) and
+        refresh the serving artifacts from the remaining cached features —
+        nothing is re-featurized. HNSW is rebuilt (the graph has no
+        deletion)."""
+        self._check_quantized_variables(variables)
+        self.support_eval.remove_bank_items(indices)
+        self._build_serving_banks(variables)
+
     def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
-        """Batched featurizer pass over the bank. With a mesh attached, each
-        batch shards across ALL mesh devices (distributed precompute — the
-        bank build scales with the pod instead of one chip)."""
+        """Batched featurizer pass over the bank, gathering images from the
+        support dataset one batch at a time (the full image bank never
+        materializes in host memory)."""
+        bs = self.precompute_batch
+        out = []
+        for start in range(0, len(bank_idx), bs):
+            imgs = np.asarray(self.support_dataset.gather(bank_idx[start : start + bs]))
+            out.append(self._featurize_array(variables, imgs))
+        return np.concatenate(out, axis=0)
+
+    def _featurize_array(self, variables, imgs: np.ndarray) -> np.ndarray:
+        """Batched eval featurizer over an in-memory image array — static
+        shapes for jit (short batches zero-padded, padded rows discarded).
+        With a mesh attached, each batch shards across ALL mesh devices
+        (distributed precompute — the bank build scales with the pod
+        instead of one chip)."""
         bs = self.precompute_batch
         shard = None
         if self.mesh is not None:
@@ -490,18 +551,18 @@ class NWNet:
             if bs % n_dev == 0:
                 shard = NamedSharding(self.mesh, P(("data", "support")))
         out = []
-        n = len(bank_idx)
-        for start in range(0, n, bs):
-            chunk = bank_idx[start : start + bs]
-            imgs = np.asarray(self.support_dataset.gather(chunk))
+        for start in range(0, len(imgs), bs):
+            chunk = np.asarray(imgs[start : start + bs])
             pad = bs - len(chunk)
-            if pad:  # static shape for jit; padded rows are discarded
-                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
-            imgs = jnp.asarray(imgs)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
+                )
+            x = jnp.asarray(chunk)
             if shard is not None:
-                imgs = jax.device_put(imgs, shard)
-            f = self._featurize_eval(variables, imgs)
-            out.append(np.asarray(f[: len(chunk)]))
+                x = jax.device_put(x, shard)
+            f = self._featurize_eval(variables, x)
+            out.append(np.asarray(f[: bs - pad]))
         return np.concatenate(out, axis=0)
 
     # -- inference -----------------------------------------------------------
@@ -565,8 +626,10 @@ class NWNet:
                     f = f @ pj["kernel"] + pj["bias"]
                 return head(vv, f, prep)
 
-            prepared = self._prepared_full
-            return lambda x: serve_q(variables, tree, proj, prepared, x)
+            # The bank is read LIVE from self so add_support/remove_support
+            # updates reach existing serving callables (at worst one
+            # recompile for the new bank shape).
+            return lambda x: serve_q(variables, tree, proj, self._prepared_full, x)
 
         feat = self._featurize_eval
 
@@ -574,8 +637,8 @@ class NWNet:
         def serve(vv, prep, x):
             return head(vv, feat(vv, maybe_norm(x)), prep)
 
-        prepared = self._prepared_full
-        return lambda x: serve(variables, prepared, x)
+        # Live bank read — see the serve_q comment above.
+        return lambda x: serve(variables, self._prepared_full, x)
 
     def predict(self, variables: Dict[str, Any], x: jnp.ndarray, mode: str = "random"):
         """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an

@@ -302,6 +302,83 @@ class SupportSetEval:
         sy_env: List[np.ndarray],
         smeta_env: List[np.ndarray],
     ) -> None:
+        self._install_bank(sfeat, sy, smeta, sfeat_env, sy_env, smeta_env)
+
+    def extend_bank(self, new_feat: np.ndarray, new_y: np.ndarray, env_id: int = 0) -> None:
+        """Append already-featurized items to the cached bank and refresh
+        every derived artifact (clusters, samplers, KNN) from cached
+        features — nothing is re-featurized. The HNSW graph is updated
+        incrementally (online insertion, no rebuild). The reference has no
+        incremental path: support edits require a full ``precompute()``
+        (``nw.py:118-125``)."""
+        if not hasattr(self, "full_feat"):
+            raise AttributeError("Did you run precompute()?")
+        new_feat = np.asarray(new_feat)
+        new_y = np.asarray(new_y)
+        if len(new_feat) != len(new_y):
+            raise ValueError(f"{len(new_feat)} features vs {len(new_y)} labels")
+        sfeat_env = [np.asarray(f) for f in self.full_feat_sep]
+        sy_env = [np.asarray(y) for y in self.full_y_sep]
+        smeta_env = [np.asarray(m) for m in self.full_meta_sep]
+        env_order = [int(m[0]) if len(m) else None for m in smeta_env]
+        if env_id in env_order:
+            e = env_order.index(env_id)
+            sfeat_env[e] = np.concatenate([sfeat_env[e], new_feat])
+            sy_env[e] = np.concatenate([sy_env[e], new_y])
+            smeta_env[e] = np.concatenate([smeta_env[e], np.full(len(new_y), env_id)])
+        else:  # a brand-new environment
+            sfeat_env.append(new_feat)
+            sy_env.append(new_y)
+            smeta_env.append(np.full(len(new_y), env_id))
+        hnsw = None
+        from nwhead_tpu.native.hnsw import HNSWIndex
+
+        if isinstance(getattr(self, "hnsw", None), HNSWIndex):
+            self.hnsw.add_items(new_feat, new_y)
+            hnsw = self.hnsw
+        self._install_bank(
+            np.concatenate(sfeat_env),
+            np.concatenate(sy_env),
+            np.concatenate(smeta_env),
+            sfeat_env, sy_env, smeta_env, hnsw=hnsw,
+        )
+
+    def remove_bank_items(self, indices) -> None:
+        """Drop rows (indices into the current full-bank ordering) and
+        refresh every artifact from the remaining cached features. The
+        HNSW graph does not support deletion — it is rebuilt."""
+        if not hasattr(self, "full_feat"):
+            raise AttributeError("Did you run precompute()?")
+        n = len(self._full_y_np)
+        keep = np.ones(n, dtype=bool)
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise IndexError(f"indices out of range for bank of {n}")
+        keep[idx] = False
+        sfeat = np.asarray(self.full_feat)[keep]
+        sy = self._full_y_np[keep]
+        smeta = self.full_meta[keep]
+        # The full arrays are per-env contiguous, so regrouping by env id
+        # (first-appearance order) reconstructs the separated lists.
+        env_order = [int(m[0]) for m in self.full_meta_sep if len(m)]
+        sfeat_env, sy_env, smeta_env = [], [], []
+        for e in env_order:
+            sel = smeta == e
+            sfeat_env.append(sfeat[sel])
+            sy_env.append(sy[sel])
+            smeta_env.append(smeta[sel])
+        self._install_bank(sfeat, sy, smeta, sfeat_env, sy_env, smeta_env)
+
+    def _install_bank(
+        self,
+        sfeat: np.ndarray,
+        sy: np.ndarray,
+        smeta: np.ndarray,
+        sfeat_env: List[np.ndarray],
+        sy_env: List[np.ndarray],
+        smeta_env: List[np.ndarray],
+        hnsw=None,
+    ) -> None:
         import jax.numpy as jnp
 
         from nwhead_tpu.ops.kmeans import compute_clusters
@@ -336,16 +413,20 @@ class SupportSetEval:
             self._full_y_np, self.n_shot_random, seed=self.seed
         )
 
-        # KNN / HNSW indexes (support.py:132-133).
+        # KNN / HNSW indexes (support.py:132-133). An incrementally-grown
+        # HNSW (extend_bank) is reused; otherwise build fresh.
         from nwhead_tpu.ops.knn import ExactKNN
 
         self.knn = ExactKNN(self.full_feat, self.full_y, self.n_neighbors)
-        try:
-            from nwhead_tpu.native.hnsw import HNSWIndex
+        if hnsw is not None:
+            self.hnsw = hnsw
+        else:
+            try:
+                from nwhead_tpu.native.hnsw import HNSWIndex
 
-            self.hnsw = HNSWIndex(self.full_feat, self.full_y, self.n_neighbors)
-        except Exception:  # native module unavailable -> exact fallback
-            self.hnsw = self.knn
+                self.hnsw = HNSWIndex(self.full_feat, self.full_y, self.n_neighbors)
+            except Exception:  # native module unavailable -> exact fallback
+                self.hnsw = self.knn
 
     def _ensemble_banks(self):
         if self._ensemble_cache is None:

@@ -1,0 +1,209 @@
+"""Incremental serving-bank updates: NWNet.add_support / remove_support.
+
+The reference has no incremental path — any support-set edit requires a
+full ``precompute()`` that re-featurizes the entire bank (``nw.py:118-125``).
+Here only the new images are featurized; every eval artifact is refreshed
+from cached features, and HNSW grows by online insertion.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nwhead_tpu.data import make_synthetic_dataset
+from nwhead_tpu.data.datasets import ArrayDataset
+from nwhead_tpu.nw.net import NWNet
+
+
+def _tiny_backbone(feat_dim=16):
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        feat_dim: int = 16
+
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(self.feat_dim)(x)
+
+    return Tiny(feat_dim=feat_dim)
+
+
+def _make_net(ds, n_classes=4, **kw):
+    net = NWNet(
+        _tiny_backbone(),
+        n_classes=n_classes,
+        support_dataset=ds,
+        feat_dim=16,
+        n_shot=2,
+        n_way=3,
+        n_shot_full=100,
+        n_shot_cluster=2,
+        n_neighbors=3,
+        seed=0,
+        **kw,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.images[:2]))
+    return net, variables
+
+
+@pytest.fixture(scope="module")
+def base():
+    ds = make_synthetic_dataset(n=32, n_classes=4, size=8, seed=0)
+    extra = make_synthetic_dataset(n=8, n_classes=4, size=8, seed=7)
+    queries = jnp.asarray(make_synthetic_dataset(n=8, n_classes=4, size=8, seed=3).images)
+    return ds, extra, queries
+
+
+def test_add_support_matches_fresh_precompute(base):
+    ds, extra, queries = base
+    net1, variables = _make_net(ds)
+    net1.precompute(variables)
+    net1.add_support(variables, extra.images, extra.targets)
+
+    union = ArrayDataset(
+        np.concatenate([ds.images, extra.images]),
+        np.concatenate([ds.targets, extra.targets]),
+        num_classes=4,
+    )
+    net2, _ = _make_net(union)
+    net2.precompute(variables)
+
+    assert net1.full_feat.shape == net2.full_feat.shape
+    # The NW head is permutation-invariant over support rows, so full-mode
+    # log-probs must agree even though the two banks order rows differently.
+    out1 = np.asarray(net1.predict(variables, queries, mode="full"))
+    out2 = np.asarray(net2.predict(variables, queries, mode="full"))
+    np.testing.assert_allclose(out1, out2, rtol=0, atol=1e-5)
+    # knn mode: same bank as a set -> same union-support -> same log-probs.
+    outk1 = np.asarray(net1.predict(variables, queries, mode="knn"))
+    outk2 = np.asarray(net2.predict(variables, queries, mode="knn"))
+    np.testing.assert_allclose(outk1, outk2, rtol=0, atol=1e-5)
+
+
+def test_add_then_remove_restores_bank_exactly(base):
+    ds, extra, queries = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    before = np.asarray(net.predict(variables, queries, mode="full"))
+    n0 = len(np.asarray(net.full_y))
+
+    net.add_support(variables, extra.images, extra.targets)
+    assert len(np.asarray(net.full_y)) == n0 + len(extra.targets)
+    after_add = np.asarray(net.predict(variables, queries, mode="full"))
+    assert not np.allclose(before, after_add)
+
+    # New rows append at the tail of their env block (single env here).
+    net.remove_support(variables, np.arange(n0, n0 + len(extra.targets)))
+    restored = np.asarray(net.predict(variables, queries, mode="full"))
+    np.testing.assert_array_equal(before, restored)
+
+
+def test_add_new_class_becomes_predictable():
+    # Bank initially holds only classes 0-2 of a 4-class head.
+    ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=0)
+    keep = ds.targets != 3
+    ds3 = ArrayDataset(ds.images[keep], ds.targets[keep], num_classes=4)
+    net, variables = _make_net(ds3)
+    net.precompute(variables)
+    assert 3 not in np.asarray(net.full_y)
+
+    new = ds.images[~keep][:6]
+    net.add_support(variables, new, np.full(6, 3))
+    assert 3 in np.asarray(net.full_y)
+    # Querying the very items just added: each self-matches at distance 0,
+    # the strongest possible support weight -> argmax must be the new class.
+    out = np.asarray(net.predict(variables, jnp.asarray(new), mode="full"))
+    assert (out.argmax(-1) == 3).all()
+
+
+def test_incremental_hnsw_reused_and_consistent(base):
+    ds, extra, _ = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    from nwhead_tpu.native.hnsw import HNSWIndex
+
+    if not isinstance(net.support_eval.hnsw, HNSWIndex):
+        pytest.skip("native HNSW unavailable")
+    idx_before = net.support_eval.hnsw
+    net.add_support(variables, extra.images, extra.targets)
+    # Online insertion: the SAME graph object grew, no rebuild.
+    assert net.support_eval.hnsw is idx_before
+    assert len(idx_before.labels) == len(np.asarray(net.full_y))
+    # Querying a new item's own feature must return it as nearest.
+    f = idx_before.data[-1][None]
+    ids = idx_before.knn_query(f, k=1)
+    assert ids[0, 0] == len(idx_before.labels) - 1
+
+
+def test_env_add_extends_ensemble(base):
+    ds, extra, queries = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    assert len(net.support_eval.full_feat_sep) == 1
+    net.add_support(variables, extra.images, extra.targets, env_id=1)
+    assert len(net.support_eval.full_feat_sep) == 2
+    out = np.asarray(net.predict(variables, queries, mode="ensemble"))
+    assert out.shape == (len(queries), 4)
+    assert np.isfinite(out).all()
+    # random mode keeps working over the extended sampler.
+    net.predict(variables, queries, mode="random")
+    # cluster artifacts were refreshed over the extended bank.
+    net.predict(variables, queries, mode="cluster")
+
+
+def test_serving_fn_sees_live_bank_update(base):
+    ds, extra, queries = base
+    net, variables = _make_net(ds, fused_min_support=1)
+    net.precompute(variables)
+    assert net._prepared_full is not None
+    fn = net.make_serving_fn(variables)
+    out1 = np.asarray(fn(queries))
+    net.add_support(variables, extra.images, extra.targets)
+    out2 = np.asarray(fn(queries))  # same callable, updated bank
+    assert not np.allclose(out1, out2)
+    np.testing.assert_allclose(
+        out2, np.asarray(net.predict(variables, queries, mode="full")),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_add_support_validation(base):
+    ds, extra, _ = base
+    net, variables = _make_net(ds)
+    with pytest.raises(AttributeError, match="precompute"):
+        net.support_eval.extend_bank(np.zeros((1, 16), np.float32), np.zeros(1))
+    net.precompute(variables)
+    with pytest.raises(ValueError, match="labels"):
+        net.add_support(variables, extra.images[:2], np.array([0, 9]))
+    with pytest.raises(IndexError):
+        net.remove_support(variables, [10_000])
+
+
+def test_add_support_on_mesh_rebuilds_sharded_bank(base):
+    ds, extra, queries = base
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from nwhead_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_support=len(jax.devices()))
+    net, variables = _make_net(ds, mesh=mesh)
+    net.precompute(variables)
+    net.add_support(variables, extra.images, extra.targets)
+    out = np.asarray(net.predict(variables, queries, mode="full"))
+
+    union = ArrayDataset(
+        np.concatenate([ds.images, extra.images]),
+        np.concatenate([ds.targets, extra.targets]),
+        num_classes=4,
+    )
+    ref, _ = _make_net(union)  # single-device oracle
+    ref.precompute(variables)
+    np.testing.assert_allclose(
+        out, np.asarray(ref.predict(variables, queries, mode="full")),
+        rtol=0, atol=1e-5,
+    )
