@@ -27,6 +27,8 @@ run() {
 # 1. Quantized ViT with the LN/LayerScale/residual folds (new numbers).
 run vit_s14 python scripts/quant_lab.py --vit
 run vit_b14 python scripts/quant_lab.py --vit --arch=vit_b14
+# ViT-L completes the int8-vs-bf16 scale curve (S/B/L).
+run vit_l14 python scripts/quant_lab.py --vit --arch=vit_l14
 # 2. JPEG-bytes serving with uint8 transfer.
 run jpeg_serve python serve.py --dataset synthetic --arch resnet18 \
   --featurizer_precision int8 --head_precision int8 --jpeg_bench \

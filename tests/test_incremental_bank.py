@@ -207,3 +207,39 @@ def test_add_support_on_mesh_rebuilds_sharded_bank(base):
         out, np.asarray(ref.predict(variables, queries, mode="full")),
         rtol=0, atol=1e-5,
     )
+
+
+def test_add_support_with_quantized_featurizer():
+    """Incremental adds run the NEW images through the quantized featurizer
+    and must match a fresh quantized precompute over the union bank."""
+    from nwhead_tpu.models import load_model
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=32, seed=0)
+    extra = make_synthetic_dataset(n=8, n_classes=4, size=32, seed=5)
+    queries = jnp.asarray(ds.gather(np.arange(8)))
+
+    def fresh(support):
+        net = NWNet(
+            load_model("resnet10"), n_classes=4, support_dataset=support,
+            feat_dim=512, n_shot=1, n_shot_full=100, seed=0,
+        )
+        return net
+
+    net1 = fresh(ds)
+    variables = net1.init(jax.random.PRNGKey(0), queries)
+    net1.quantize_featurizer(variables, ds.gather(np.arange(32)))
+    net1.precompute(variables)
+    net1.add_support(variables, extra.images, extra.targets)
+
+    union = ArrayDataset(
+        np.concatenate([ds.images, extra.images]),
+        np.concatenate([ds.targets, extra.targets]),
+        num_classes=4,
+    )
+    net2 = fresh(union)
+    net2.quantize_featurizer(variables, ds.gather(np.arange(32)))
+    net2.precompute(variables)
+
+    out1 = np.asarray(net1.predict(variables, queries, mode="full"))
+    out2 = np.asarray(net2.predict(variables, queries, mode="full"))
+    np.testing.assert_allclose(out1, out2, rtol=0, atol=1e-5)
