@@ -148,9 +148,10 @@ def main(argv=None):
     cache = FeatureBankCache(args.bank_cache) if args.bank_cache else None
     if cache is not None and cache.exists():
         emb, lbl, meta = cache.load()
-        meta = meta if meta is not None else np.zeros(len(lbl))
-        net.support_eval.build_infer_iters(emb, lbl, meta, [emb], [lbl], [meta])
-        net.full_feat, net.full_y = jnp.asarray(emb), jnp.asarray(lbl)
+        # restore_bank (vs a bare build_infer_iters) also builds the
+        # prepared/sharded serving banks, so the fused full-mode path is
+        # as fast from a cache restore as from a fresh precompute.
+        net.restore_bank(variables, emb, lbl, meta)
         print(f"Loaded cached bank from {args.bank_cache} ({len(lbl)} items)")
     else:
         net.precompute(variables)

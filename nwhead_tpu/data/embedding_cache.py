@@ -9,8 +9,9 @@ chunk iterator that feeds the streaming inference path.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -21,6 +22,7 @@ class FeatureBankCache:
         self.emb_path = os.path.join(cache_dir, "embeddings.npy")
         self.lbl_path = os.path.join(cache_dir, "labels.npy")
         self.meta_path = os.path.join(cache_dir, "metadata.npy")
+        self.tag_path = os.path.join(cache_dir, "tag.json")
 
     def exists(self) -> bool:
         return os.path.exists(self.emb_path) and os.path.exists(self.lbl_path)
@@ -30,18 +32,32 @@ class FeatureBankCache:
         embeddings: np.ndarray,
         labels: np.ndarray,
         metadata: Optional[np.ndarray] = None,
+        tag: Optional[Dict[str, str]] = None,
     ) -> None:
         os.makedirs(self.cache_dir, exist_ok=True)
         np.save(self.emb_path, np.asarray(embeddings))
         np.save(self.lbl_path, np.asarray(labels))
         if metadata is not None:
             np.save(self.meta_path, np.asarray(metadata))
+        if tag is not None:
+            with open(self.tag_path, "w") as f:
+                json.dump(tag, f)
 
     def load(self) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
         emb = np.load(self.emb_path)
         lbl = np.load(self.lbl_path)
         meta = np.load(self.meta_path) if os.path.exists(self.meta_path) else None
         return emb, lbl, meta
+
+    def load_tag(self) -> Optional[Dict[str, str]]:
+        """Provenance of the cached features (featurizer precision / arch /
+        dataset), written by ``save(tag=...)``. Cached features are only
+        valid when queries run through the SAME featurizer config — callers
+        must refuse a mismatched tag rather than mix feature spaces."""
+        if not os.path.exists(self.tag_path):
+            return None
+        with open(self.tag_path) as f:
+            return json.load(f)
 
     def chunks(self, chunk_size: int = 1024, mmap: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Chunk iterator over the cached bank (memory-mapped) — plugs into

@@ -525,6 +525,43 @@ class NWNet:
         self.support_eval.remove_bank_items(indices)
         self._build_serving_banks(variables)
 
+    def restore_bank(
+        self, variables: Dict[str, Any], feats, labels, meta=None
+    ) -> None:
+        """Install an already-featurized support bank (e.g. loaded from
+        ``FeatureBankCache``) in place of ``precompute()`` — no featurizer
+        pass. Builds ALL eval artifacts and the prepared/sharded serving
+        banks, so the fused full-mode path and ``make_serving_fn`` work
+        exactly as after a fresh precompute. ``meta`` (per-item env ids)
+        defaults to a single environment."""
+        self._check_quantized_variables(variables)
+        feats = np.asarray(feats)
+        labels = np.asarray(labels)
+        meta = (
+            np.zeros(len(labels), dtype=np.int64) if meta is None else np.asarray(meta)
+        )
+        if not (len(feats) == len(labels) == len(meta)):
+            raise ValueError(
+                f"bank size mismatch: {len(feats)} feats, {len(labels)} labels, "
+                f"{len(meta)} meta"
+            )
+        # Group per environment, first-appearance order (matches the
+        # env-contiguous layout precompute produces).
+        env_order = list(dict.fromkeys(int(e) for e in meta))
+        feats_env, y_env, meta_env = [], [], []
+        for e in env_order or [0]:
+            sel = meta == e
+            feats_env.append(feats[sel])
+            y_env.append(labels[sel])
+            meta_env.append(meta[sel])
+        self.support_eval.build_infer_iters(
+            np.concatenate(feats_env) if feats_env else feats,
+            np.concatenate(y_env) if y_env else labels,
+            np.concatenate(meta_env) if meta_env else meta,
+            feats_env, y_env, meta_env,
+        )
+        self._build_serving_banks(variables)
+
     def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
         """Batched featurizer pass over the bank, gathering images from the
         support dataset one batch at a time (the full image bank never

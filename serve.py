@@ -86,9 +86,47 @@ def build_server(args):
         print("Fused featurizer (bf16 serving graph, LN/residual folded)")
 
     t0 = time.perf_counter()
-    net.precompute(variables)
-    print(f"Support bank prepared: {len(net.full_y)} items, "
-          f"{time.perf_counter() - t0:.1f}s (one-time)")
+    # Optional disk cache: serving restarts skip the bank featurizer pass.
+    # The tag pins the feature space — features from a different arch /
+    # checkpoint / featurizer precision must never mix with this server's
+    # query features, so a mismatch refuses loudly instead of degrading.
+    cache = tag = None
+    if args.bank_cache:
+        from nwhead_tpu.data import FeatureBankCache
+
+        cache = FeatureBankCache(args.bank_cache)
+        tag = {
+            "dataset": args.dataset,
+            "arch": args.arch,
+            "ckpt": args.ckpt or "",
+            "featurizer_precision": args.featurizer_precision,
+            # Calibration size changes the int8 activation scales, i.e.
+            # the quantized feature space itself.
+            "calib_images": str(args.calib_images),
+            "proj_dim": str(args.proj_dim),
+            "n_shot_full": str(args.n_shot_full),
+        }
+    if cache is not None and cache.exists():
+        saved = cache.load_tag()
+        if saved != tag:
+            raise SystemExit(
+                f"--bank_cache {args.bank_cache} was built with {saved}, "
+                f"this server is {tag}; use a fresh cache dir"
+            )
+        emb, lbl, meta = cache.load()
+        net.restore_bank(variables, emb, lbl, meta)
+        print(f"Support bank restored from {args.bank_cache}: "
+              f"{len(lbl)} items, {time.perf_counter() - t0:.1f}s")
+    else:
+        net.precompute(variables)
+        if cache is not None:
+            cache.save(
+                np.asarray(net.full_feat), np.asarray(net.full_y),
+                metadata=net.support_eval.full_meta, tag=tag,
+            )
+            print(f"Saved bank to {args.bank_cache}")
+        print(f"Support bank prepared: {len(net.full_y)} items, "
+              f"{time.perf_counter() - t0:.1f}s (one-time)")
     return net, variables, train_ds, val_ds
 
 
@@ -321,6 +359,11 @@ def main(argv=None):
     p.add_argument("--decoder", default="native_fused",
                    choices=["native", "native_fused", "pil"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bank_cache", default=None,
+                   help="directory to save/restore the featurized support "
+                        "bank (server restarts skip the featurizer pass); "
+                        "tagged with arch/ckpt/precision and refused on "
+                        "mismatch")
     p.add_argument("--latency_bench", action="store_true")
     p.add_argument("--jpeg_bench", action="store_true",
                    help="images-in->answers-out bench from JPEG bytes "

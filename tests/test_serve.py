@@ -77,3 +77,84 @@ def test_serve_jpeg_bench_synthetic():
     assert rep["decode_img_per_sec"] > 0
     assert rep["device_qps_tensor_fed"] > 0
     assert rep["bound_by"] in ("host_decode", "device")
+
+
+def test_serve_bank_cache_roundtrip(tmp_path):
+    """Cold start saves the featurized bank; warm start restores it (no
+    featurizer pass) and must serve identical latency-path results; a
+    config change refuses the stale cache."""
+    import serve
+
+    cache = str(tmp_path / "bank")
+    base = [
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--bank_cache", cache,
+        "--latency_bench", "--bench_batches", "2",
+    ]
+    out_cold = serve.main(base)
+    assert os.path.exists(os.path.join(cache, "embeddings.npy"))
+    assert os.path.exists(os.path.join(cache, "tag.json"))
+    out_warm = serve.main(base)
+    assert out_warm["latency"]["batches"] == out_cold["latency"]["batches"]
+
+    with pytest.raises(SystemExit, match="bank_cache"):
+        serve.main(base + ["--n_shot_full", "4"])
+
+
+def test_restore_bank_matches_precompute():
+    """NWNet.restore_bank(feats, labels) must reproduce the full
+    post-precompute state: identical full-mode output AND the prepared
+    serving bank (eval.py's old restore path skipped the prepared bank)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+
+    ds = make_synthetic_dataset(n=24, n_classes=4, size=16, seed=0)
+
+    def fresh():
+        return NWNet(
+            load_model("resnet10"), n_classes=4, support_dataset=ds,
+            feat_dim=512, n_shot=1, n_shot_full=10, seed=0,
+            fused_min_support=1,
+        )
+
+    net1 = fresh()
+    x = jnp.asarray(ds.gather(np.arange(6)))
+    variables = net1.init(jax.random.PRNGKey(0), x)
+    net1.precompute(variables)
+    want = np.asarray(net1.predict(variables, x, "full"))
+
+    net2 = fresh()
+    net2.restore_bank(
+        variables, np.asarray(net1.full_feat), np.asarray(net1.full_y),
+        net1.support_eval.full_meta,
+    )
+    assert net2._prepared_full is not None
+    got = np.asarray(net2.predict(variables, x, "full"))
+    np.testing.assert_array_equal(want, got)
+    # The non-full modes were rebuilt too.
+    for mode in ("random", "cluster", "knn", "hnsw"):
+        assert np.isfinite(np.asarray(net2.predict(variables, x, mode))).all()
+
+
+def test_eval_cli_bank_cache_roundtrip(tmp_path):
+    """eval.py --bank_cache: cold run saves, warm run restores through
+    NWNet.restore_bank (prepared serving bank included) with matching
+    full-mode metrics."""
+    import eval as eval_cli
+
+    cache = str(tmp_path / "bank")
+    argv = [
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--modes", "full", "--batch_size", "8", "--num_val_steps", "2",
+        "--n_shot_full", "5", "--bank_cache", cache,
+    ]
+    cold = eval_cli.main(argv)
+    assert os.path.exists(os.path.join(cache, "embeddings.npy"))
+    warm = eval_cli.main(argv)
+    assert warm["full"]["acc"] == cold["full"]["acc"]
+    assert abs(warm["full"]["nll"] - cold["full"]["nll"]) < 1e-6
