@@ -666,7 +666,7 @@ class NWNet:
             # The bank is read LIVE from self so add_support/remove_support
             # updates reach existing serving callables (at worst one
             # recompile for the new bank shape).
-            return lambda x: serve_q(variables, tree, proj, self._prepared_full, x)
+            return lambda x: serve_q(variables, tree, proj, self._live_prepared(), x)
 
         feat = self._featurize_eval
 
@@ -675,7 +675,22 @@ class NWNet:
             return head(vv, feat(vv, maybe_norm(x)), prep)
 
         # Live bank read — see the serve_q comment above.
-        return lambda x: serve(variables, self._prepared_full, x)
+        return lambda x: serve(variables, self._live_prepared(), x)
+
+    def _live_prepared(self):
+        """The current prepared bank for live serving closures; loud error
+        if a later bank edit removed it (shrunk below fused_min_support,
+        support swapped, featurizer re-quantized) instead of a cryptic
+        NoneType trace failure inside jit."""
+        p = self._prepared_full
+        if p is None:
+            raise ValueError(
+                "the prepared serving bank no longer exists (the bank "
+                "shrank below fused_min_support, the support set was "
+                "swapped, or the featurizer was re-quantized) — run "
+                "precompute()/restore_bank() and rebuild via make_serving_fn"
+            )
+        return p
 
     def predict(self, variables: Dict[str, Any], x: jnp.ndarray, mode: str = "random"):
         """Inference dispatch (``nw.py:127-160``). Returns log-probs, plus an

@@ -330,18 +330,21 @@ class SupportSetEval:
             sfeat_env.append(new_feat)
             sy_env.append(new_y)
             smeta_env.append(np.full(len(new_y), env_id))
-        hnsw = None
         from nwhead_tpu.native.hnsw import HNSWIndex
 
-        if isinstance(getattr(self, "hnsw", None), HNSWIndex):
-            self.hnsw.add_items(new_feat, new_y)
-            hnsw = self.hnsw
+        old_hnsw = getattr(self, "hnsw", None)
+        reuse = isinstance(old_hnsw, HNSWIndex)
         self._install_bank(
             np.concatenate(sfeat_env),
             np.concatenate(sy_env),
             np.concatenate(smeta_env),
-            sfeat_env, sy_env, smeta_env, hnsw=hnsw,
+            sfeat_env, sy_env, smeta_env, hnsw=old_hnsw if reuse else None,
         )
+        # Grow the graph only AFTER the install succeeded — a failure above
+        # (e.g. OOM in the cluster rebuild) must leave the index consistent
+        # with the still-installed old bank.
+        if reuse:
+            old_hnsw.add_items(new_feat, new_y)
 
     def remove_bank_items(self, indices) -> None:
         """Drop rows (indices into the current full-bank ordering) and
@@ -355,15 +358,27 @@ class SupportSetEval:
         if idx.size and (idx.min() < 0 or idx.max() >= n):
             raise IndexError(f"indices out of range for bank of {n}")
         keep[idx] = False
-        sfeat = np.asarray(self.full_feat)[keep]
+        if not keep.any():
+            raise ValueError(
+                "cannot remove every support item — an empty bank has no "
+                "valid predictions; swap the support set instead"
+            )
+        # Host copies of the bank already exist in the separated lists —
+        # concatenating them avoids a full bank-sized device->host readback
+        # (hundreds of ms over the high-latency tunnel for big banks).
+        sfeat = np.concatenate([np.asarray(f) for f in self.full_feat_sep])[keep]
         sy = self._full_y_np[keep]
         smeta = self.full_meta[keep]
         # The full arrays are per-env contiguous, so regrouping by env id
-        # (first-appearance order) reconstructs the separated lists.
+        # (first-appearance order) reconstructs the separated lists; a
+        # fully-emptied environment is dropped (an all-masked env row would
+        # softmax over -inf only and poison ensemble mode with NaN).
         env_order = [int(m[0]) for m in self.full_meta_sep if len(m)]
         sfeat_env, sy_env, smeta_env = [], [], []
         for e in env_order:
             sel = smeta == e
+            if not sel.any():
+                continue
             sfeat_env.append(sfeat[sel])
             sy_env.append(sy[sel])
             smeta_env.append(smeta[sel])

@@ -39,18 +39,39 @@ def three_stage_pipeline(
     busy while the next batch decodes); ``compute`` consumes a device batch
     (called on the caller's thread — dispatch must be async); ``sync(out)``
     forces completion of the last output.
+
+    Submission is WINDOWED, not eager: at most ``decode_depth + 2`` host
+    batches and 2 device-resident batches are in flight at any moment, so
+    memory stays constant in ``n_batches`` (an eager fan-out would pin
+    every decoded batch on the host and every transferred batch in device
+    HBM for the whole run) while the overlap is identical — each stage
+    only ever needs one batch of lookahead to stay busy.
     """
+    from collections import deque
+
     with ThreadPoolExecutor(max_workers=decode_depth) as dec_ex, \
             ThreadPoolExecutor(max_workers=1) as xfer_ex:
         t0 = time.perf_counter()
-        dec_futs = [dec_ex.submit(make_batch, i) for i in range(n_batches)]
-        xfer_futs = [
-            xfer_ex.submit(lambda f=f: to_device(f.result()))
-            for f in dec_futs
-        ]
+        dec_q: deque = deque()
+        xfer_q: deque = deque()
+        next_i = 0
+
+        def pump():
+            nonlocal next_i
+            while next_i < n_batches and len(dec_q) + len(xfer_q) < decode_depth + 2:
+                dec_q.append(dec_ex.submit(make_batch, next_i))
+                next_i += 1
+            while dec_q and len(xfer_q) < 2:
+                f = dec_q.popleft()
+                xfer_q.append(xfer_ex.submit(lambda f=f: to_device(f.result())))
+
         out = None
-        for xf in xfer_futs:
-            out = compute(xf.result())
+        for _ in range(n_batches):
+            pump()
+            dev = xfer_q.popleft().result()
+            pump()  # refill while compute dispatches
+            out = compute(dev)
+            del dev
         sync(out)
         return time.perf_counter() - t0
 

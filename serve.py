@@ -99,7 +99,12 @@ def build_server(args):
             "dataset": args.dataset,
             "arch": args.arch,
             "ckpt": args.ckpt or "",
+            "pretrained_path": args.pretrained_path or "",
+            # Without a checkpoint the weights come from init(seed).
+            "seed": "" if args.ckpt else str(args.seed),
             "featurizer_precision": args.featurizer_precision,
+            "bf16": str(bool(args.bf16)),
+            "fused_inference": str(bool(args.fused_inference)),
             # Calibration size changes the int8 activation scales, i.e.
             # the quantized feature space itself.
             "calib_images": str(args.calib_images),

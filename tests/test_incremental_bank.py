@@ -243,3 +243,68 @@ def test_add_support_with_quantized_featurizer():
     out1 = np.asarray(net1.predict(variables, queries, mode="full"))
     out2 = np.asarray(net2.predict(variables, queries, mode="full"))
     np.testing.assert_allclose(out1, out2, rtol=0, atol=1e-5)
+
+
+def test_serving_fn_loud_error_when_prepared_bank_goes_away(base):
+    """A bank edit that drops the prepared bank (here: shrinking below
+    fused_min_support) must make existing serving callables fail with a
+    clear ValueError, not a NoneType trace error inside jit."""
+    ds, extra, queries = base
+    net, variables = _make_net(ds, fused_min_support=len(ds.targets))
+    net.precompute(variables)
+    fn = net.make_serving_fn(variables)
+    np.asarray(fn(queries))
+    net.remove_support(variables, [0, 1])  # now below fused_min_support
+    assert net._prepared_full is None
+    with pytest.raises(ValueError, match="prepared serving bank"):
+        fn(queries)
+
+
+def test_remove_emptied_env_keeps_ensemble_finite(base):
+    """Removing every item of one environment must drop that env (an
+    all-masked env row would softmax over -inf and NaN-poison ensemble
+    mode)."""
+    ds, extra, queries = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    net.add_support(variables, extra.images, extra.targets, env_id=1)
+    n0 = len(ds.targets)
+    # env 1 rows sit at the tail (env-contiguous layout).
+    net.remove_support(variables, np.arange(n0, n0 + len(extra.targets)))
+    assert len(net.support_eval.full_feat_sep) == 1
+    out = np.asarray(net.predict(variables, queries, mode="ensemble"))
+    assert np.isfinite(out).all()
+
+
+def test_remove_everything_refused(base):
+    ds, _, _ = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    with pytest.raises(ValueError, match="every support item"):
+        net.remove_support(variables, np.arange(len(ds.targets)))
+
+
+def test_failed_extend_leaves_hnsw_consistent(base, monkeypatch):
+    """If the artifact rebuild fails mid-extend, the HNSW index must still
+    match the installed (old) bank — the graph grows only after a
+    successful install."""
+    ds, extra, _ = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    from nwhead_tpu.native.hnsw import HNSWIndex
+
+    if not isinstance(net.support_eval.hnsw, HNSWIndex):
+        pytest.skip("native HNSW unavailable")
+    n_before = len(net.support_eval.hnsw.labels)
+
+    import nwhead_tpu.nw.support as support_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("install failed")
+
+    monkeypatch.setattr(
+        support_mod.SupportSetEval, "_install_bank", boom
+    )
+    with pytest.raises(RuntimeError, match="install failed"):
+        net.add_support(variables, extra.images, extra.targets)
+    assert len(net.support_eval.hnsw.labels) == n_before

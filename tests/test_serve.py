@@ -158,3 +158,22 @@ def test_eval_cli_bank_cache_roundtrip(tmp_path):
     warm = eval_cli.main(argv)
     assert warm["full"]["acc"] == cold["full"]["acc"]
     assert abs(warm["full"]["nll"] - cold["full"]["nll"]) < 1e-6
+
+
+def test_serve_bank_cache_refuses_feature_space_changes(tmp_path):
+    """Any flag that changes the featurizer's weights or numerics (--bf16
+    here) must invalidate the cache tag."""
+    import serve
+
+    cache = str(tmp_path / "bank")
+    base = [
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--bank_cache", cache,
+        "--latency_bench", "--bench_batches", "1",
+    ]
+    serve.main(base)
+    with pytest.raises(SystemExit, match="bank_cache"):
+        serve.main(base + ["--bf16"])
+    with pytest.raises(SystemExit, match="bank_cache"):
+        serve.main(base + ["--seed", "1"])
