@@ -318,6 +318,7 @@ class NWNet:
                 return f
 
             self.quantized_featurizer = q
+            self._quantized_from = variables
             self._quantized_variables_fp = self._variables_fingerprint(
                 variables
             )
@@ -335,10 +336,11 @@ class NWNet:
 
         self.quantized_featurizer = q
         # The quantized closure bakes in THESE weights; a later checkpoint
-        # reload would silently diverge from the head params — fingerprint
-        # the source tree and fail loudly if predict/precompute sees
-        # different weights. Content-based (not id()): ids can be reused
-        # after GC, and an equal-content rebuilt tree is legitimately fine.
+        # reload would silently diverge from the head params — hold the
+        # source tree (identity fast path per request) and fingerprint its
+        # content so an equal-content rebuilt tree is legitimately fine
+        # while different weights fail loudly.
+        self._quantized_from = variables
         self._quantized_variables_fp = self._variables_fingerprint(variables)
         self._featurize_eval = jax.jit(feat)
         # Bank features must come from the same featurizer as queries.
@@ -378,6 +380,7 @@ class NWNet:
         # Rides the same stale-weights guard and bank invalidation as the
         # quantized path (the fused weights are baked in the same way).
         self.quantized_featurizer = s
+        self._quantized_from = variables  # strong ref: identity fast path
         self._quantized_variables_fp = self._variables_fingerprint(variables)
         self._featurize_eval = feat
         self._prepared_full = None
@@ -386,21 +389,31 @@ class NWNet:
 
     @staticmethod
     def _variables_fingerprint(variables):
-        """Cheap content fingerprint of a variables tree: per-leaf
-        (shape, dtype, sum) for the handful of smallest leaves. Scalars
-        only cross the device boundary, so this costs microseconds."""
+        """Content fingerprint of a variables tree: per-leaf (shape,
+        dtype, sum) over the smallest AND largest leaves — small leaves
+        (LN biases, logit_scale) catch head/scale edits, the big backbone
+        kernels catch a swapped checkpoint that froze its small params.
+        Only computed on the slow path (a rebuilt tree); the serving loop
+        hits the identity fast path and never pays the device readbacks."""
         leaves = jax.tree_util.tree_leaves(variables)
-        small = sorted(leaves, key=lambda l: getattr(l, "size", 0))[:4]
+        by_size = sorted(leaves, key=lambda l: getattr(l, "size", 0))
+        picked = {id(l): l for l in by_size[:4] + by_size[-4:]}
         return tuple(
-            (tuple(l.shape), str(l.dtype), float(jnp.sum(l))) for l in small
+            (tuple(l.shape), str(l.dtype), float(jnp.sum(l)))
+            for l in picked.values()
         )
 
     def _check_quantized_variables(self, variables) -> None:
-        if (
-            self.quantized_featurizer is not None
-            and self._variables_fingerprint(variables)
-            != self._quantized_variables_fp
-        ):
+        if self.quantized_featurizer is None:
+            return
+        # Fast path: the very tree quantize_featurizer saw (a strong ref is
+        # held, so the id cannot be recycled). Serving loops take this
+        # branch — zero device work. The content fingerprint runs only for
+        # a REBUILT tree, where its ~8 reduction+readback round trips
+        # (~30 ms each over the tunnel) are a one-off, not per-request.
+        if variables is self._quantized_from:
+            return
+        if self._variables_fingerprint(variables) != self._quantized_variables_fp:
             raise RuntimeError(
                 "the featurizer was quantized from a different variables "
                 "tree than the one passed now — the quantized weights are "
@@ -408,6 +421,8 @@ class NWNet:
                 "quantize_featurizer(new_variables, calib) after loading "
                 "new weights"
             )
+        # Equal-content rebuilt tree: adopt it so subsequent calls fast-path.
+        self._quantized_from = variables
 
     # -- precompute ----------------------------------------------------------
 

@@ -478,6 +478,12 @@ def _attn_int8_kernel(x_ref, *refs, scale: float, H: int,
         outs.append(acc / jnp.maximum(l, 1e-30))
     att = jnp.concatenate(outs, axis=1)  # (N, D) f32
     if quant:
+        # The unfused composition (fused_attention_qkv -> QDense proj)
+        # hands the proj quantizer a BF16 attention output; round-trip
+        # through bf16 before requant so both paths pick identical int8
+        # codes — keeps the fused kernel and the long-N QDense fallback
+        # in exact composition parity for the same weights.
+        att = att.astype(jnp.bfloat16).astype(jnp.float32)
         a8 = jnp.clip(
             jnp.round(att * (1.0 / a_proj)), -127, 127
         ).astype(jnp.int8)

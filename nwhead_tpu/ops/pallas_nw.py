@@ -149,6 +149,17 @@ def prepare_support(
     s_p = jnp.pad(sn, ((0, s_pad - S), (0, d_pad - D)))
     nchunk = block_s // 128
 
+    # Masked rows may hold untrusted content — that is what a mask means
+    # (e.g. masking out corrupted rows). Zero their features here so the
+    # score dot stays finite: a NaN/Inf in a masked row would otherwise
+    # poison the running softmax max for every query (the l2 serving
+    # kernel has no per-tile mask compare — validity rides the folded
+    # self-norms and the label sentinel). Also keeps the int8 per-row
+    # amax/scale finite.
+    mrow = jnp.pad(support_mask.astype(jnp.float32), (0, s_pad - S))
+    # where, not multiply: NaN * 0 is still NaN.
+    s_p = jnp.where(mrow[:, None] > 0, s_p, jnp.zeros((), s_p.dtype))
+
     sscale = None
     if precision == "int8":
         # Symmetric per-row quantization; the bank is stored int8, scores
@@ -171,10 +182,7 @@ def prepare_support(
         # exactly 0 whenever any valid row exists (and an all-invalid
         # support still collapses to the log-floor). The serving kernel
         # then skips the per-tile mask compare/select entirely for l2.
-        mval = jnp.pad(
-            support_mask.astype(jnp.float32), (0, s_pad - S)
-        )
-        s2 = jnp.where(mval > 0, s2, _MASK_S2)
+        s2 = jnp.where(mrow > 0, s2, _MASK_S2)
         s2c = s2.reshape(s_pad // block_s, nchunk, 128)
     lane, sub = _pack_labels(jnp.asarray(sy), support_mask, s_pad, block_s)
     return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale)

@@ -68,13 +68,15 @@ def _time_calls(fn, args, iters):
     acc = jnp.sum(out[..., :1]) * 1e-20 if hasattr(out, "ndim") else out
     float(acc)  # warm/compile + completion
     t0 = time.perf_counter()
-    acc = 0.0
     outs = []
     for _ in range(iters):
         outs.append(fn(*args))
-    acc = sum(float(jnp.sum(o[..., :1]) * 1e-20) for o in outs[-1:])
+    # ONE barrier on the LAST output only — reading every output would
+    # serialize `iters` tunnel readbacks and destroy the throughput
+    # measurement (outs keeps the earlier results alive so the runtime
+    # cannot elide their computation).
+    float(jnp.sum(outs[-1][..., :1]) * 1e-20)
     dt = time.perf_counter() - t0
-    del acc
     return dt / iters
 
 

@@ -388,7 +388,9 @@ def main(argv=None):
         out["latency"] = latency_bench(net, variables, val_ds, args)
     if args.jpeg_bench:
         out["jpeg"] = jpeg_bench(net, variables, train_ds, args)
-    if args.queries and not args.jpeg_bench:
+    if args.queries:
+        # With --jpeg_bench the same files serve as the bench input set;
+        # the user still gets the classifications they asked for.
         out["queries"] = answer_queries(net, variables, train_ds, args)
     return out
 

@@ -213,6 +213,40 @@ class TestPreparedSupport:
         want = np.asarray(nw_log_probs(q, s, sy, C, support_mask=mask))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_prepared_masked_rows_with_nan_content(self, rng):
+        """Masked rows may hold untrusted content — NaN/Inf in a masked row
+        must not poison the prepared path (prepare_support zeroes masked
+        features; validity rides the folded self-norms + label sentinel)."""
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 4, 200, 24, 5
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s_np = rng.standard_normal((S, D)).astype(np.float32)
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        mask_np = (rng.random(S) > 0.3).astype(np.float32)
+        # Corrupt every masked row — the reason a caller masks rows out.
+        s_np[mask_np == 0] = np.nan
+        s_np[np.argmin(mask_np)] = np.inf
+
+        prepared = prepare_support(
+            jnp.asarray(s_np), sy, C, support_mask=jnp.asarray(mask_np)
+        )
+        for arr in prepared:
+            if arr is not None:
+                assert np.isfinite(np.asarray(arr, np.float32)).all()
+        got = np.asarray(nw_fused_log_probs(q, prepared, None, C))
+        assert np.isfinite(got).all()
+        # Equal to the clean-bank result: masked content must not matter.
+        s_clean = np.where(mask_np[:, None] > 0, s_np, 0.0)
+        want = np.asarray(nw_log_probs(
+            q, jnp.asarray(s_clean), sy, C,
+            support_mask=jnp.asarray(mask_np),
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_prepared_partials_match_merge(self, rng):
         """Prepared-path partials equal the raw-path partials (sharded
         serving can pre-prepare per-shard banks)."""
