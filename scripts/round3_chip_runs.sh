@@ -8,7 +8,9 @@ mkdir -p $OUT
 cd "$(dirname "$0")/.."
 
 probe() {
-  timeout 90 python -c "import jax; print(float(jax.numpy.ones((4,4)).sum()))" >/dev/null 2>&1
+  # Cold reconnects can exceed 90s; two attempts with a generous window.
+  timeout 180 python -c "import jax; print(float(jax.numpy.ones((4,4)).sum()))" >/dev/null 2>&1 \
+    || timeout 180 python -c "import jax; print(float(jax.numpy.ones((4,4)).sum()))" >/dev/null 2>&1
 }
 
 if ! probe; then
