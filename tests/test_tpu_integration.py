@@ -174,3 +174,69 @@ def test_cli_full_path_on_disk_dataset(tmp_path):
     ])
     run_dir = next(p for p in (tmp_path / "runs").iterdir() if p.is_dir())
     assert (run_dir / "checkpoints" / "model.0002").exists()
+
+
+def test_incremental_bank_and_serving_fn_on_tpu(tmp_path):
+    """Incremental add_support + the live one-dispatch serving fn + the
+    bank cache, exercised against the real prepared-bank Pallas kernel
+    (not interpret mode): adds must match a fresh precompute over the
+    union, the live serving callable must pick the new bank up, and a
+    cache restore must serve identically."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+
+    from nwhead_tpu.data import ArrayDataset, FeatureBankCache
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+
+    C = 10
+    r = np.random.default_rng(5)
+    y = np.tile(np.arange(C), 16)
+    patterns = np.random.default_rng(42).normal(0, 1, (C, 32, 32, 3)).astype(np.float32)
+    x = (patterns[y] * 0.8 + r.normal(0, 0.5, (len(y), 32, 32, 3))).astype(np.float32)
+    ds = ArrayDataset(x[:120], y[:120], num_classes=C)
+    extra_x, extra_y = x[120:], y[120:]
+
+    def fresh(d):
+        return NWNet(load_model("resnet18"), C, support_dataset=d,
+                     feat_dim=512, n_shot_full=20, seed=0,
+                     fused_min_support=1)
+
+    net = fresh(ds)
+    xq = jnp.asarray(ds.gather(np.arange(16)))
+    variables = net.init(jax.random.PRNGKey(0), xq)
+    net.precompute(variables)
+    assert net._prepared_full is not None
+
+    fn = net.make_serving_fn(variables)
+    before = np.asarray(fn(xq))
+    net.add_support(variables, extra_x, extra_y)
+    after = np.asarray(fn(xq))  # live bank pickup, real kernel
+    assert not np.allclose(before, after)
+
+    union = ArrayDataset(
+        np.concatenate([ds.images, extra_x]),
+        np.concatenate([ds.targets, extra_y]), num_classes=C,
+    )
+    ref = fresh(union)
+    ref.precompute(variables)
+    want = np.asarray(ref.predict(variables, xq, "full"))
+    # Same bank as a set; on-chip f32 reassociation leaves ~1e-4.
+    np.testing.assert_allclose(after, want, rtol=0, atol=5e-4)
+
+    # Bank cache roundtrip through the prepared path.
+    cache = FeatureBankCache(str(tmp_path / "bank"))
+    cache.save(np.asarray(net.full_feat), np.asarray(net.full_y),
+               metadata=net.support_eval.full_meta)
+    net2 = fresh(ds)
+    emb, lbl, meta = cache.load()
+    net2.restore_bank(variables, emb, lbl, meta)
+    got = np.asarray(net2.predict(variables, xq, "full"))
+    np.testing.assert_allclose(got, after, rtol=0, atol=1e-5)
