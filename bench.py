@@ -167,25 +167,13 @@ def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     real photos host decode binds (hundreds of img/s/8-workers vs tens of
     thousands of device qps), and this field says so honestly; the
     tensor-fed numbers above are the device ceiling."""
-    import tempfile
-
-    from PIL import Image
-
     from nwhead_tpu.data import transforms as T
     from nwhead_tpu.data.datasets import ImageFileDataset
     from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
+    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, synth_photo_jpegs
 
     nb = 8 if on_tpu else 2
-    rng = np.random.default_rng(3)
-    d = tempfile.mkdtemp(prefix="nw_bench_jpeg_")
-    paths = []
-    for i in range(min(nb * bs, 256)):
-        img = np.kron(
-            rng.integers(0, 255, (30, 40, 3)), np.ones((16, 16, 1))
-        ).astype(np.uint8)
-        p = f"{d}/{i}.jpg"
-        Image.fromarray(img).save(p, quality=90)
-        paths.append(p)
+    paths = synth_photo_jpegs(min(nb * bs, 256), seed=3, prefix="nw_bench_jpeg_")
     # uint8 over the host->device link (4x less traffic than f32 — that
     # link binds before decode does under the axon tunnel), normalized
     # on-device.
@@ -207,51 +195,24 @@ def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     def batch(i):
         return ds.gather((np.arange(bs) + i * bs) % len(ds))
 
-    imgs0 = batch(0)
-    float(jnp.sum(serve_fn(jnp.asarray(imgs0))))  # warm/compile
-
-    t0 = time.perf_counter()
-    for i in range(nb):
-        batch(i)
-    decode_rate = nb * bs / (time.perf_counter() - t0)
-
-    # Host->device link rate for this batch shape (under the axon tunnel
-    # the copy is hundreds of ms — a first-class pipeline stage, not noise).
-    from nwhead_tpu.utils.pipeline import (
-        measure_transfer_rate, three_stage_pipeline)
-
-    transfer_rate, transfer_mbps = measure_transfer_rate(
-        imgs0, jnp.asarray, lambda x: np.asarray(x[0, 0, 0, 0]))
-
-    # Device stage measured as WALL-CLOCK per serve_fn call on a
-    # device-resident batch (incl. dispatch + on-device normalize), the
-    # same rate the pipeline's compute stage actually sees — the
-    # differential device_qps excludes per-call dispatch, which under the
-    # tunnel's ~tens-of-ms round trip would misname the binding stage.
-    xdev = jnp.asarray(imgs0)
-    reps = 5 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        float(jnp.sum(serve_fn(xdev)))
-    device_wall_qps = reps * bs / (time.perf_counter() - t0)
-
-    # Decode (native pool, 2 submissions in flight), transfer (dedicated
-    # thread), and device compute (async dispatch) each overlap; the
-    # steady-state rate approaches the slowest stage instead of the sum.
-    dt = three_stage_pipeline(
-        nb, batch, jnp.asarray, serve_fn, lambda o: float(jnp.sum(o)))
-    e2e = nb * bs / dt
-    stages = {"host_decode": decode_rate, "transfer": transfer_rate,
-              "device": device_wall_qps}
+    # Shared methodology (utils.pipeline.jpeg_stage_rates): isolated
+    # decode / link / device-wall-clock stage rates + the pipelined e2e —
+    # identical to serve.py --jpeg_bench so the two benches cannot drift.
+    # Device stage is wall-clock per call incl. dispatch: the differential
+    # device_qps excludes the ~tens-of-ms tunnel dispatch and would
+    # misname the binding stage (reported alongside for reference).
+    rates = jpeg_stage_rates(
+        batch, serve_fn, nb, bs, sync=lambda o: float(jnp.sum(o))
+    )
     return {
-        "e2e_qps_from_jpeg": round(e2e, 1),
-        "jpeg_decode_img_per_sec": round(decode_rate, 1),
-        "jpeg_transfer_img_per_sec": round(transfer_rate, 1),
-        "jpeg_transfer_mb_per_sec": round(transfer_mbps, 1),
-        "jpeg_device_wall_qps": round(device_wall_qps, 1),
+        "e2e_qps_from_jpeg": rates["e2e_qps_from_jpeg"],
+        "jpeg_decode_img_per_sec": rates["decode_img_per_sec"],
+        "jpeg_transfer_img_per_sec": rates["transfer_img_per_sec"],
+        "jpeg_transfer_mb_per_sec": rates["transfer_mb_per_sec"],
+        "jpeg_device_wall_qps": rates["device_wall_qps"],
         "jpeg_device_differential_qps": round(device_qps, 1),
         "jpeg_decode_workers": workers,
-        "jpeg_bound_by": min(stages, key=stages.get),
+        "jpeg_bound_by": rates["bound_by"],
     }
 
 

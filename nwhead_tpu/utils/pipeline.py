@@ -76,6 +76,91 @@ def three_stage_pipeline(
         return time.perf_counter() - t0
 
 
+def synth_photo_jpegs(
+    n: int,
+    grid=(30, 40),
+    block: int = 16,
+    quality: int = 90,
+    seed: int = 0,
+    prefix: str = "nw_jpeg_bench_",
+):
+    """Write ``n`` synthetic photo-sized JPEGs (grid x block, default
+    480x640, quality 90 — the pipeline_bench shape) so JPEG-serving
+    benches run without a dataset on disk. Returns the file paths."""
+    import tempfile
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    d = tempfile.mkdtemp(prefix=prefix)
+    paths = []
+    for i in range(n):
+        img = np.kron(
+            rng.integers(0, 255, (*grid, 3)), np.ones((block, block, 1))
+        ).astype(np.uint8)
+        p = f"{d}/{i}.jpg"
+        Image.fromarray(img).save(p, quality=quality)
+        paths.append(p)
+    return paths
+
+
+def jpeg_stage_rates(make_batch, serve, nb: int, bs: int, sync=None):
+    """Shared images-in->answers-out measurement methodology: isolated
+    per-stage rates (host decode; host->device link; device wall-clock
+    per serve call on a DEVICE-RESIDENT batch, incl. dispatch) plus the
+    pipelined end-to-end rate through ``three_stage_pipeline``. One
+    implementation serves both bench.py and serve.py --jpeg_bench so the
+    methodology cannot drift between them.
+
+    ``sync(out)`` must force completion via a host readback (under the
+    axon tunnel ``block_until_ready`` does not wait); defaults to
+    ``np.asarray``. Returns img/s rates + transfer MB/s + e2e qps."""
+    import jax.numpy as jnp
+
+    if sync is None:
+        sync = np.asarray
+
+    # Warm both stages (decode pool spin-up + device compile).
+    sync(serve(jnp.asarray(make_batch(0))))
+
+    t0 = time.perf_counter()
+    for i in range(nb):
+        make_batch(i)
+    decode_rate = nb * bs / (time.perf_counter() - t0)
+
+    # Device stage: wall-clock per call on a device-resident array —
+    # re-shipping would re-pay the host->device copy each rep, and a
+    # differential (dispatch-free) rate would overstate the stage on
+    # high-latency links where dispatch is tens of ms.
+    imgs0 = make_batch(0)
+    x0 = jnp.asarray(imgs0)
+    out = None
+    t0 = time.perf_counter()
+    for _ in range(nb):
+        out = serve(x0)
+    sync(out)
+    device_rate = nb * bs / (time.perf_counter() - t0)
+
+    transfer_rate, transfer_mbps = measure_transfer_rate(
+        imgs0, jnp.asarray, lambda x: np.asarray(x.reshape(-1)[0])
+    )
+
+    dt = three_stage_pipeline(nb, make_batch, jnp.asarray, serve, sync)
+    stages = {
+        "host_decode": decode_rate,
+        "transfer": transfer_rate,
+        "device": device_rate,
+    }
+    return {
+        "decode_img_per_sec": round(decode_rate, 1),
+        "transfer_img_per_sec": round(transfer_rate, 1),
+        "transfer_mb_per_sec": round(transfer_mbps, 1),
+        "device_wall_qps": round(device_rate, 1),
+        "e2e_qps_from_jpeg": round(nb * bs / dt, 1),
+        "bound_by": min(stages, key=stages.get),
+    }
+
+
 def measure_transfer_rate(
     imgs: np.ndarray, to_device, sync, reps: int = 4
 ) -> Tuple[float, float]:

@@ -204,12 +204,9 @@ def jpeg_bench(net, variables, train_ds, args):
     one is explicit — on photo-sized JPEGs host decode binds by a wide
     margin (the device serves tens of thousands of queries/sec while the
     host decodes hundreds of images/sec per 8 workers)."""
-    import tempfile
-
-    from PIL import Image
-
     from nwhead_tpu.data import transforms as T
     from nwhead_tpu.data.datasets import ImageFileDataset
+    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, synth_photo_jpegs
 
     bs = args.batch_size
     nb = args.bench_batches
@@ -218,19 +215,7 @@ def jpeg_bench(net, variables, train_ds, args):
         if not paths:
             raise SystemExit(f"no files match {args.queries!r}")
     else:
-        # Synthesize photo-sized JPEGs (480x640, quality 90 — the
-        # pipeline_bench shape) so the bench runs without a dataset.
-        rng = np.random.default_rng(0)
-        d = tempfile.mkdtemp(prefix="nw_jpeg_bench_")
-        paths = []
-        for i in range(min(256, nb * bs)):
-            img = np.kron(
-                rng.integers(0, 255, (30, 40, 3)),
-                np.ones((16, 16, 1)),
-            ).astype(np.uint8)
-            p = f"{d}/{i}.jpg"
-            Image.fromarray(img).save(p, quality=90)
-            paths.append(p)
+        paths = synth_photo_jpegs(min(256, nb * bs))
 
     is_cifar = args.dataset in ("cifar10", "cifar100")
     # Non-CIFAR path ships uint8 and normalizes ON DEVICE: 4x less
@@ -247,45 +232,11 @@ def jpeg_bench(net, variables, train_ds, args):
 
     # ONE jitted dispatch per request (normalize folded into the same jit
     # as the featurizer — over the tunnel every extra dispatch is a round
-    # trip; see serving_fn).
+    # trip; see serving_fn). The per-stage/pipelined methodology is the
+    # shared one in utils.pipeline so bench.py and this CLI cannot drift.
     serve = serving_fn(net, variables, uint8_normalize=not is_cifar)
+    rates = jpeg_stage_rates(batch, serve, nb, bs)
 
-    # Warm both stages (decode pool spin-up + device compile).
-    np.asarray(serve(jnp.asarray(batch(0))))
-
-    # Stage rates in isolation.
-    t0 = time.perf_counter()
-    for i in range(nb):
-        batch(i)
-    decode_rate = nb * bs / (time.perf_counter() - t0)
-    # Device stage in isolation: ship one batch, then time compute-only
-    # repeats on the device-resident array (re-shipping would re-pay the
-    # host->device copy every rep and understate the device).
-    imgs0 = batch(0)
-    x0 = jnp.asarray(imgs0)
-    t0 = time.perf_counter()
-    for _ in range(nb):
-        out = serve(x0)
-    np.asarray(out)
-    device_rate = nb * bs / (time.perf_counter() - t0)
-
-    # Host->device link rate for this batch shape: on thin device links
-    # (the axon tunnel) the pixel copy is a first-class pipeline stage.
-    from nwhead_tpu.utils.pipeline import (
-        measure_transfer_rate, three_stage_pipeline)
-
-    transfer_rate, transfer_mbps = measure_transfer_rate(
-        imgs0, jnp.asarray, lambda x: np.asarray(x.reshape(-1)[0]))
-
-    # Pipelined: decode (native pool, two submissions in flight),
-    # transfer (dedicated thread), device compute (async dispatch) all
-    # overlap — steady state approaches the slowest stage, not the sum.
-    dt = three_stage_pipeline(
-        nb, batch, jnp.asarray, serve, lambda o: np.asarray(o))
-    e2e = nb * bs / dt
-
-    stages = {"host_decode": decode_rate, "transfer": transfer_rate,
-              "device": device_rate}
     report = {
         "batch_size": bs,
         "batches": nb,
@@ -293,12 +244,7 @@ def jpeg_bench(net, variables, train_ds, args):
         "decode_workers": args.workers,
         "decoder": args.decoder,
         "pixel_transfer": "uint8" if not is_cifar else "f32",
-        "decode_img_per_sec": round(decode_rate, 1),
-        "transfer_img_per_sec": round(transfer_rate, 1),
-        "transfer_mb_per_sec": round(transfer_mbps, 1),
-        "device_qps_tensor_fed": round(device_rate, 1),
-        "e2e_qps_from_jpeg": round(e2e, 1),
-        "bound_by": min(stages, key=stages.get),
+        **rates,
         "featurizer_precision": args.featurizer_precision,
         "head_precision": args.head_precision,
         "backend": jax.default_backend(),

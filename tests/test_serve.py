@@ -75,7 +75,7 @@ def test_serve_jpeg_bench_synthetic():
     rep = out["jpeg"]
     assert rep["e2e_qps_from_jpeg"] > 0
     assert rep["decode_img_per_sec"] > 0
-    assert rep["device_qps_tensor_fed"] > 0
+    assert rep["device_wall_qps"] > 0
     assert rep["bound_by"] in ("host_decode", "device")
 
 
