@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import threading
 import json
 import time
 
@@ -195,6 +196,80 @@ def latency_bench(net, variables, val_ds, args):
     return report
 
 
+def microbatch_bench(net, variables, val_ds, args):
+    """Request-at-a-time serving through the dynamic MicroBatcher:
+    ``--concurrency`` client threads each submit single images in a
+    closed loop for ``--bench_batches`` rounds; reports achieved
+    queries/sec, per-REQUEST latency percentiles (submit -> result, incl.
+    coalescing wait + device + readback), and mean batch occupancy — the
+    number that tells a deployment how well single-request traffic fills
+    the compiled batch."""
+    from nwhead_tpu.utils.batching import MicroBatcher
+
+    bs = args.batch_size
+    serve = serving_fn(net, variables)
+    imgs = val_ds.gather(np.arange(min(64, len(val_ds))))
+    np.asarray(serve(jnp.asarray(
+        np.repeat(imgs[:1], bs, axis=0))))  # warm/compile at the batch shape
+
+    occupancy = []
+
+    def counted_serve(batch):
+        return serve(jnp.asarray(batch))
+
+    rounds = max(2, args.bench_batches)
+    per_client = max(4, bs // 2)
+    lat = []
+    lat_lock = threading.Lock()
+
+    with MicroBatcher(counted_serve, max_batch=bs,
+                      max_wait_ms=args.microbatch_wait_ms) as mb:
+        orig_take = mb._take_batch
+
+        def counting_take():
+            take = orig_take()
+            if take:
+                occupancy.append(len(take))
+            return take
+
+        mb._take_batch = counting_take
+
+        def client(c):
+            mine = []
+            for r in range(rounds * per_client):
+                x = imgs[(c + r) % len(imgs)]
+                t0 = time.perf_counter()
+                mb.submit(x).result(timeout=120)
+                mine.append(time.perf_counter() - t0)
+            with lat_lock:
+                lat.extend(mine)
+
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(args.concurrency)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+
+    lat_ms = np.asarray(lat) * 1e3
+    report = {
+        "concurrency": args.concurrency,
+        "compiled_batch": bs,
+        "max_wait_ms": args.microbatch_wait_ms,
+        "requests": len(lat),
+        "achieved_qps": round(len(lat) / wall, 1),
+        "request_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "request_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "mean_batch_occupancy": round(float(np.mean(occupancy)), 1),
+        "batches_dispatched": len(occupancy),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report))
+    return report
+
+
 def jpeg_bench(net, variables, train_ds, args):
     """Images-in -> answers-out serving throughput, starting from JPEG
     BYTES on disk (what a deployment actually receives), not pre-decoded
@@ -316,6 +391,12 @@ def main(argv=None):
                         "tagged with arch/ckpt/precision and refused on "
                         "mismatch")
     p.add_argument("--latency_bench", action="store_true")
+    p.add_argument("--microbatch_bench", action="store_true",
+                   help="request-at-a-time serving through the dynamic "
+                        "MicroBatcher: achieved qps + per-request latency "
+                        "+ batch occupancy at --concurrency clients")
+    p.add_argument("--concurrency", type=int, default=16)
+    p.add_argument("--microbatch_wait_ms", type=float, default=5.0)
     p.add_argument("--jpeg_bench", action="store_true",
                    help="images-in->answers-out bench from JPEG bytes "
                         "(host decode pipelined with device inference)")
@@ -325,13 +406,17 @@ def main(argv=None):
     p.add_argument("--topk", type=int, default=5)
     args = p.parse_args(argv)
 
-    if not args.latency_bench and not args.jpeg_bench and not args.queries:
-        raise SystemExit("pass --latency_bench, --jpeg_bench and/or --queries")
+    if not (args.latency_bench or args.jpeg_bench or args.queries
+            or args.microbatch_bench):
+        raise SystemExit("pass --latency_bench, --microbatch_bench, "
+                         "--jpeg_bench and/or --queries")
 
     net, variables, train_ds, val_ds = build_server(args)
     out = {}
     if args.latency_bench:
         out["latency"] = latency_bench(net, variables, val_ds, args)
+    if args.microbatch_bench:
+        out["microbatch"] = microbatch_bench(net, variables, val_ds, args)
     if args.jpeg_bench:
         out["jpeg"] = jpeg_bench(net, variables, train_ds, args)
     if args.queries:

@@ -124,3 +124,19 @@ def test_microbatcher_over_nwnet_serving_fn():
         futs = [mb.submit(np.asarray(queries[i])) for i in range(6)]
         got = np.stack([f.result(timeout=30) for f in futs])
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_serve_cli_microbatch_bench():
+    """serve.py --microbatch_bench end to end on the synthetic set."""
+    import serve
+
+    out = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--microbatch_bench", "--bench_batches", "2",
+        "--concurrency", "4", "--microbatch_wait_ms", "10",
+    ])
+    rep = out["microbatch"]
+    assert rep["achieved_qps"] > 0
+    assert rep["requests"] == 4 * 2 * max(4, 8 // 2)
+    assert 1 <= rep["mean_batch_occupancy"] <= 8
