@@ -5,6 +5,7 @@ from nwhead_tpu.data.datasets import (
     Flowers102Dataset,
     ImageFileDataset,
     StanfordDogDataset,
+    make_digits_dataset,
     make_synthetic_dataset,
 )
 from nwhead_tpu.data.embedding_cache import FeatureBankCache
@@ -18,6 +19,7 @@ __all__ = [
     "Flowers102Dataset",
     "ImageFileDataset",
     "StanfordDogDataset",
+    "make_digits_dataset",
     "make_synthetic_dataset",
     "FeatureBankCache",
     "BatchLoader",

@@ -291,6 +291,40 @@ class FGVCAircraftDataset(ImageFileDataset):
         super().__init__(paths, targets, num_classes=len(variants), transform=transform, workers=workers, decoder=decoder)
 
 
+def make_digits_dataset(
+    train: bool = True,
+    size: int = 32,
+    transform: Optional[Callable] = None,
+) -> ArrayDataset:
+    """REAL image data available without network egress: scikit-learn's
+    bundled handwritten-digits set (1797 8x8 grayscale images, 10
+    classes — UCI Optical Recognition of Handwritten Digits). This gives
+    the accuracy-parity protocol (``scripts/parity_run.py``) a real-data
+    point in environments where CUB-200/Dogs cannot be downloaded.
+
+    Deterministic stratified split (per class, every 5th item is
+    validation — no RNG, both stacks see identical data); images scale
+    to [0, 1], upsample 8x8 -> size x size (nearest-neighbor
+    ``np.kron``), and replicate to 3 channels for the RGB backbones.
+    """
+    from sklearn.datasets import load_digits
+
+    assert size % 8 == 0, f"size must be a multiple of 8, got {size}"
+    d = load_digits()
+    imgs = (d.images / 16.0).astype(np.float32)
+    y = d.target.astype(np.int64)
+    idx_parts = []
+    for c in range(10):
+        ci = np.where(y == c)[0]
+        val = np.arange(len(ci)) % 5 == 0
+        idx_parts.append(ci[~val] if train else ci[val])
+    idx = np.sort(np.concatenate(idx_parts))
+    k = size // 8
+    x = np.kron(imgs[idx], np.ones((1, k, k), np.float32))
+    x = np.repeat(x[..., None], 3, axis=-1)
+    return ArrayDataset(x, y[idx], num_classes=10, transform=transform)
+
+
 def make_synthetic_dataset(
     n: int = 64,
     n_classes: int = 4,

@@ -158,3 +158,36 @@ def test_device_normalize_transform_matches_host():
     out = dev_t.finish_batch(batch.copy(), [False, True])
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[1], u8[:, ::-1])
+
+
+def test_digits_dataset_real_data():
+    """sklearn's bundled handwritten digits as a no-egress REAL dataset:
+    deterministic stratified split, [0,1] 3-channel upsampled images,
+    disjoint train/val."""
+    from nwhead_tpu.data import make_digits_dataset
+
+    tr = make_digits_dataset(True)
+    va = make_digits_dataset(False)
+    assert len(tr) == 1433 and len(va) == 364
+    assert tr.images.shape[1:] == (32, 32, 3)
+    assert tr.num_classes == va.num_classes == 10
+    assert 0.0 <= tr.images.min() and tr.images.max() <= 1.0
+    # Every class present on both sides; split is deterministic.
+    assert set(np.unique(tr.targets)) == set(range(10))
+    assert set(np.unique(va.targets)) == set(range(10))
+    tr2 = make_digits_dataset(True)
+    np.testing.assert_array_equal(tr.images[0], tr2.images[0])
+    # Channels replicate grayscale.
+    np.testing.assert_array_equal(tr.images[..., 0], tr.images[..., 2])
+
+
+def test_digits_cli_wired(tmp_path):
+    """train.py --dataset digits runs an epoch end to end."""
+    import train as train_cli
+
+    train_cli.main([
+        "--dataset", "digits", "--train_method", "nwhead",
+        "--arch", "resnet10", "--num_epochs", "1", "--batch_size", "4",
+        "--n_way", "4", "--num_steps_per_epoch", "2",
+        "--num_val_steps_per_epoch", "2", "--models_dir", str(tmp_path),
+    ])

@@ -24,6 +24,7 @@ from nwhead_tpu.data import (
     FGVCAircraftDataset,
     Flowers102Dataset,
     StanfordDogDataset,
+    make_digits_dataset,
     make_synthetic_dataset,
 )
 from nwhead_tpu.data import transforms as T
@@ -70,6 +71,12 @@ def build_datasets(args):
         val_ds = FGVCAircraftDataset(args.data_dir, "test", t_test, **kw)
     elif args.dataset in ("cifar10", "cifar100"):
         train_ds, val_ds = _load_cifar(args.data_dir, args.dataset, t_train, t_test)
+    elif args.dataset == "digits":
+        # Real data with no egress: sklearn's bundled handwritten digits
+        # (1797 images, 10 classes) — the parity protocol's real-data
+        # point in download-blocked environments.
+        train_ds = make_digits_dataset(True)
+        val_ds = make_digits_dataset(False)
     elif args.dataset == "synthetic":  # tiny built-in set for smoke runs
         train_ds = make_synthetic_dataset(n=64, n_classes=4, size=32, seed=args.seed)
         val_ds = make_synthetic_dataset(n=32, n_classes=4, size=32, seed=args.seed + 1)
