@@ -267,7 +267,17 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--update_baseline", action="store_true",
                    help="append the results table to BASELINE.md")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="force the JAX backend; use 'cpu' when the TPU "
+                        "tunnel is down or flaky (the axon jaxlib ignores "
+                        "the JAX_PLATFORMS env var, and a hung tunnel "
+                        "blocks backend init in a bare futex sleep)")
     args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     train_ds, val_ds = build_datasets(args)
     report = {
