@@ -204,3 +204,58 @@ def test_s2d_stem_pretrained_import(tmp_path, rng):
     out7 = np.asarray(m7.apply(v7, x, train=False))
     outs = np.asarray(ms.apply(vs, x, train=False))
     np.testing.assert_allclose(outs, out7, rtol=1e-4, atol=1e-5)
+
+
+def test_importer_on_trained_weights_real_data(tmp_path):
+    """The importer previously only ever saw random weights. Here the torch
+    oracle resnet18 TRAINS on real images (sklearn digits) for a few steps
+    — real gradients, real BN running statistics accumulated from real
+    batches — the checkpoint goes through torch.save, and feature parity
+    must hold through the full disk -> load_state_dict_file ->
+    load_pretrained pipeline on held-out real images."""
+    import torch
+    from torch_oracles import torch_resnet18
+
+    from nwhead_tpu.data import make_digits_dataset
+    from nwhead_tpu.models.torch_import import (
+        load_pretrained, load_state_dict_file,
+    )
+
+    tr = make_digits_dataset(True)
+    va = make_digits_dataset(False)
+
+    tmodel = torch_resnet18()
+    head = torch.nn.Linear(512, 10)
+    opt = torch.optim.SGD(
+        list(tmodel.parameters()) + list(head.parameters()), lr=1e-2,
+        momentum=0.9,
+    )
+    tmodel.train()
+    rng = np.random.default_rng(0)
+    for _ in range(6):  # real gradient steps on real batches
+        idx = rng.choice(len(tr), 16, replace=False)
+        x = torch.from_numpy(
+            tr.images[idx].transpose(0, 3, 1, 2).copy()
+        )
+        y = torch.from_numpy(tr.targets[idx])
+        opt.zero_grad()
+        loss = torch.nn.functional.cross_entropy(head(tmodel(x)), y)
+        loss.backward()
+        opt.step()
+    tmodel.eval()
+
+    ckpt = str(tmp_path / "trained_resnet18.pth")
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)
+
+    model = load_model("resnet18")
+    xq = va.images[:8]
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(xq), train=False)
+    variables = load_pretrained(
+        variables, load_state_dict_file(ckpt), "resnet18"
+    )
+    got = np.asarray(model.apply(variables, jnp.asarray(xq), train=False))
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(xq.transpose(0, 3, 1, 2).copy())).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+    # The trained features are non-degenerate (BN stats really moved).
+    assert np.abs(got).max() > 0.01
