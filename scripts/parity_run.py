@@ -208,6 +208,29 @@ def run_tpu_stack(train_ds, val_ds, args) -> dict:
             "ece": trainer.val_metrics[f"ece:val:{mode}"].result(),
         }
 
+    if getattr(args, "bf16_eval", False):
+        # bf16 serving-bank accuracy on the TRAINED weights: rebuild the
+        # prepared bank at bf16 (featurizer stays float) and re-evaluate
+        # full mode — the accuracy cost of the half-traffic bank option.
+        from nwhead_tpu.nw.net import NWNet as _NWNet
+
+        variables = trainer.state.variables()
+        net_b = _NWNet(
+            net.model.featurizer, net.n_classes, support_dataset=train_ds,
+            feat_dim=args.feat_dim, proj_dim=args.proj_dim,
+            kernel_type=args.kernel_type, head_precision="bf16",
+            fused_min_support=1, seed=args.seed,
+        )
+        net_b.precompute(variables)
+        outs, labels_all = [], np.asarray(val_ds.targets)
+        for s in range(0, len(val_ds), args.batch_size):
+            idx = np.arange(s, min(s + args.batch_size, len(val_ds)))
+            out = net_b.predict(variables, val_ds.gather(idx), "full")
+            outs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
+        results["full_bf16"] = _metrics_from_logprobs(
+            np.concatenate(outs), labels_all
+        )
+
     if getattr(args, "int8_eval", False):
         # int8-PTQ serving accuracy on the TRAINED weights: quantize the
         # featurizer, rebuild the bank, re-evaluate full mode — the accuracy
@@ -263,6 +286,9 @@ def main(argv=None):
     p.add_argument("--int8_eval", action="store_true",
                    help="also evaluate full mode through the int8-PTQ serving "
                         "featurizer (tpu stack only; reported as 'full_int8')")
+    p.add_argument("--bf16_eval", action="store_true",
+                   help="also evaluate full mode through a bf16 prepared "
+                        "serving bank (tpu stack only; 'full_bf16')")
     p.add_argument("--calib_images", type=int, default=256)
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--update_baseline", action="store_true",

@@ -29,7 +29,7 @@ def test_parity_runner_fixture_scale(tmp_path):
         "--batch_size", "3", "--n_way", "3", "--n_shot", "2",
         "--lr", "0.01", "--milestones", "100",
         "--modes", "random", "full",
-        "--int8_eval", "--calib_images", "32",
+        "--int8_eval", "--calib_images", "32", "--bf16_eval",
         "--out", str(out),
     ])
 
@@ -50,3 +50,7 @@ def test_parity_runner_fixture_scale(tmp_path):
     assert abs(m8["acc"] - report["tpu"]["full"]["acc"]) <= 10.0, (
         m8, report["tpu"]["full"]
     )
+    # bf16 serving-bank accuracy on the trained weights, same bound.
+    mb = report["tpu"]["full_bf16"]
+    assert np.isfinite([mb["acc"], mb["nll"], mb["ece"]]).all()
+    assert abs(mb["acc"] - report["tpu"]["full"]["acc"]) <= 10.0
