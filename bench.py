@@ -170,10 +170,12 @@ def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     from nwhead_tpu.data import transforms as T
     from nwhead_tpu.data.datasets import ImageFileDataset
     from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs
-    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, synth_photo_jpegs
+    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, photo_jpegs
 
     nb = 8 if on_tpu else 2
-    paths = synth_photo_jpegs(min(nb * bs, 256), seed=3, prefix="nw_bench_jpeg_")
+    # Real photographs (sklearn's bundled camera images) — synthetic
+    # mosaics have flat-run entropy that flatters the Huffman decode.
+    paths = photo_jpegs(min(nb * bs, 256), seed=3, prefix="nw_bench_jpeg_")
     # uint8 over the host->device link (4x less traffic than f32 — that
     # link binds before decode does under the axon tunnel), normalized
     # on-device.

@@ -104,6 +104,59 @@ def synth_photo_jpegs(
     return paths
 
 
+def real_photo_jpegs(
+    n: int,
+    grid=(30, 40),
+    block: int = 16,
+    quality: int = 90,
+    prefix: str = "nw_jpeg_real_",
+):
+    """Write ``n`` REAL-photograph JPEGs at the bench shape (default
+    480x640) from scikit-learn's two bundled photos (``china.jpg`` /
+    ``flower.jpg``, 427x640 camera images — on disk in every sklearn
+    install, zero egress).  Synthetic block mosaics have pathological
+    entropy statistics (huge flat runs → Huffman decode far cheaper than
+    on camera noise), so decode rates measured on them flatter the host
+    stage; these give the honest number.  Each file gets a distinct
+    horizontal roll so content-addressed caches can't collapse the set.
+    Returns file paths, or ``None`` when sklearn isn't importable
+    (callers fall back to :func:`synth_photo_jpegs`)."""
+    import tempfile
+
+    try:
+        from sklearn.datasets import load_sample_images
+    except Exception:
+        return None
+    from PIL import Image
+
+    h, w = grid[0] * block, grid[1] * block
+    photos = []
+    for img in load_sample_images().images:
+        img = np.asarray(img, np.uint8)
+        # Tile up to the requested canvas (vertical wrap keeps photo
+        # statistics; the bundled photos are 427x640 vs the 480x640 bench
+        # shape), then crop.
+        reps = (h // img.shape[0] + 2, w // img.shape[1] + 2)
+        photos.append(np.tile(img, (*reps, 1))[:h, :w])
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    paths = []
+    for i in range(n):
+        img = np.roll(photos[i % len(photos)], 7 * (i // len(photos)), axis=1)
+        p = f"{d}/{i}.jpg"
+        Image.fromarray(img).save(p, quality=quality)
+        paths.append(p)
+    return paths
+
+
+def photo_jpegs(n: int, seed: int = 0, prefix: str = "nw_jpeg_bench_"):
+    """Bench JPEG source: real photographs when sklearn is present (the
+    normal case), synthetic mosaics otherwise."""
+    return real_photo_jpegs(n, prefix=prefix) or synth_photo_jpegs(
+        n, seed=seed, prefix=prefix
+    )
+
+
 def jpeg_stage_rates(make_batch, serve, nb: int, bs: int, sync=None):
     """Shared images-in->answers-out measurement methodology: isolated
     per-stage rates (host decode; host->device link; device wall-clock

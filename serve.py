@@ -281,7 +281,7 @@ def jpeg_bench(net, variables, train_ds, args):
     host decodes hundreds of images/sec per 8 workers)."""
     from nwhead_tpu.data import transforms as T
     from nwhead_tpu.data.datasets import ImageFileDataset
-    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, synth_photo_jpegs
+    from nwhead_tpu.utils.pipeline import jpeg_stage_rates, photo_jpegs
 
     bs = args.batch_size
     nb = args.bench_batches
@@ -290,7 +290,7 @@ def jpeg_bench(net, variables, train_ds, args):
         if not paths:
             raise SystemExit(f"no files match {args.queries!r}")
     else:
-        paths = synth_photo_jpegs(min(256, nb * bs))
+        paths = photo_jpegs(min(256, nb * bs))
 
     is_cifar = args.dataset in ("cifar10", "cifar100")
     # Non-CIFAR path ships uint8 and normalizes ON DEVICE: 4x less

@@ -212,3 +212,33 @@ def test_rrc_box_semantics():
         top, left, ch, cw = sample_rrc_box(h, w, rng)
         assert 0 <= top <= h - ch and 0 <= left <= w - cw
         assert 0 < ch <= h and 0 < cw <= w
+
+
+def test_decode_matches_pil_on_real_photographs():
+    """Bit-exactness on REAL camera images (sklearn's bundled photos):
+    synthetic block mosaics exercise only trivial Huffman runs, so the
+    parity claim needs at least one real-entropy JPEG through the pool."""
+    from PIL import Image
+
+    from nwhead_tpu.native.decode import JpegDecodePool
+    from nwhead_tpu.utils.pipeline import real_photo_jpegs
+
+    paths = real_photo_jpegs(4, prefix="nw_test_real_")
+    assert paths is not None  # sklearn is a baked-in dependency here
+    pool = JpegDecodePool(2)
+    bufs = pool.decode_batch(paths)
+    for p, b in zip(paths, bufs):
+        want = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(b, want)
+
+
+def test_real_photo_jpegs_shape_and_distinctness():
+    from nwhead_tpu.utils.pipeline import real_photo_jpegs
+
+    paths = real_photo_jpegs(5, prefix="nw_test_real2_")
+    assert paths is not None and len(paths) == 5
+    sizes = [os.path.getsize(p) for p in paths]
+    assert len(set(sizes)) >= 4  # rolled crops: files must differ
+    from nwhead_tpu.native.decode import jpeg_dims
+
+    assert all(jpeg_dims(p) == (480, 640) for p in paths)
