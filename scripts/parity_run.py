@@ -175,6 +175,8 @@ def run_reference(train_ds, val_ds, args) -> dict:
 
 def run_tpu_stack(train_ds, val_ds, args) -> dict:
     """The same recipe on this framework."""
+    import time
+
     from nwhead_tpu.models import load_model
     from nwhead_tpu.nw.net import NWNet
     from nwhead_tpu.train.trainer import NWTrainer
@@ -197,10 +199,18 @@ def run_tpu_stack(train_ds, val_ds, args) -> dict:
         milestones=args.milestones, gamma=0.1,
         eval_modes=tuple(args.modes), seed=args.seed,
     )
+    t0 = time.perf_counter()
     for _ in range(args.epochs):
         trainer.train_epoch(num_steps=args.steps_per_epoch)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
     trainer.eval_all_modes()
-    results = {}
+    t_eval = time.perf_counter() - t0
+    results = {"_timing": {
+        "backend": __import__("jax").default_backend(),
+        "train_s": round(t_train, 2),
+        "eval_s": round(t_eval, 2),
+    }}
     for mode in args.modes:
         results[mode] = {
             "acc": trainer.val_metrics[f"acc:val:{mode}"].result(),
