@@ -4,30 +4,29 @@ TPU — train_step is ~3.8 ms while a 64-image gather takes 130-500 ms)."""
 
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-from PIL import Image
 
 from nwhead_tpu.data import transforms as T
 from nwhead_tpu.data.datasets import ImageFileDataset
 
 
-def main(n=64, hw=(480, 640), workers=(8, 16, 32)):
-    rng = np.random.default_rng(0)
-    d = tempfile.mkdtemp()
-    paths = []
-    for i in range(n):
-        img = np.kron(
-            rng.integers(0, 255, (hw[0] // 16, hw[1] // 16, 3)),
-            np.ones((16, 16, 1)),
-        ).astype(np.uint8)
-        p = os.path.join(d, f"{i}.jpg")
-        Image.fromarray(img).save(p, quality=90)
-        paths.append(p)
+def main(n=64, hw=(480, 640), workers=(8, 16, 32), source="real"):
+    from nwhead_tpu.utils.pipeline import real_photo_jpegs, synth_photo_jpegs
+
+    # Real photographs by default — synthetic block mosaics have flat-run
+    # entropy that makes Huffman decode look several times cheaper than on
+    # camera images (measured ~7x on this host).
+    paths = None
+    if source == "real":
+        paths = real_photo_jpegs(n, grid=(hw[0] // 16, hw[1] // 16))
+    if paths is None:
+        paths = synth_photo_jpegs(n, grid=(hw[0] // 16, hw[1] // 16))
+        source = "synthetic"
+    print(f"jpeg source: {source}", flush=True)
     targets = np.zeros(n, np.int64)
 
     for dec in ("pil", "native", "native_fused"):
