@@ -1,0 +1,203 @@
+"""Lab: full-mode NW inference over a MILLION-item support bank on ONE chip.
+
+The reference keeps the precomputed feature bank on host CPU and ships it
+to the device per predict call (``/root/reference/nwhead/nw.py:226,156``),
+so its full-mode support size is bounded by host->device bandwidth and the
+materialized (B, S) score matrix. This framework's design goal is the
+opposite regime: the prepared bank is HBM-resident and the fused kernel
+streams it through VMEM with online softmax, so S scales with chip HBM
+(SURVEY §2.5 SP/CP row). This lab demonstrates that at S = 1,000,000
+(512-dim f32 bank = 2.05 GB; int8 = 0.51 GB), C = 1000 (the C > 256
+int32 label branch):
+
+  * validation leg (S = 131072 default): prepared f32/bf16/int8 heads vs
+    the exact streaming online-softmax oracle (``nw/streaming.py``, host
+    chunks) — catches indexing/masking bugs that only appear past the
+    sizes the unit tests cover;
+  * scale leg (S = 1e6): interleaved differential timing of the prepared
+    heads at B=64/256 against an in-process stream calibration; reports
+    us/batch, queries/sec, and the HBM-roofline fraction, plus an
+    f32-vs-int8 top-1 agreement rate as an at-scale consistency check.
+
+Run on the chip: ``python scripts/bigbank_lab.py``; CPU smoke:
+``python scripts/bigbank_lab.py --tiny`` (interpret-mode kernels).
+"""
+
+import argparse
+import functools
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+
+def _stream_case(D):
+    """In-process HBM stream calibration (same kernel as bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s_big = jnp.asarray(
+        np.random.default_rng(7).standard_normal((12288, D)).astype(np.float32)
+    )
+
+    def _kernel(s_ref, out_ref, acc_ref, *, n_tiles):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += s_ref[0:8, :]
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    def stream(s, carry):
+        s = s + 0.0 * carry
+        n = s.shape[0] // 2048
+        return pl.pallas_call(
+            functools.partial(_kernel, n_tiles=n),
+            grid=(n,),
+            in_specs=[pl.BlockSpec((2048, D), lambda j: (j, 0))],
+            out_specs=pl.BlockSpec((8, D), lambda j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8, D), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+        )(s).mean()
+
+    return stream, s_big
+
+
+def _gen_bank(S, D, C, seed=0):
+    """Device-side bank synthesis: class-clustered features (centroid +
+    noise) so top-1 agreement between precisions is a meaningful check
+    (pure noise would make argmax a coin flip among 1000 classes)."""
+    import jax
+    import jax.numpy as jnp
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    sy = jax.random.randint(k0, (S,), 0, C, dtype=jnp.int32)
+    cents = jax.random.normal(k1, (C, D), jnp.float32)
+
+    @jax.jit
+    def build(sy):
+        noise = jax.random.normal(k2, (S, D), jnp.float32)
+        return cents[sy] + 0.5 * noise
+
+    return build(sy), sy, cents
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--S", type=int, default=1_000_000)
+    p.add_argument("--S_check", type=int, default=131_072,
+                   help="validation-leg bank size (streaming oracle)")
+    p.add_argument("--D", type=int, default=512)
+    p.add_argument("--C", type=int, default=1000)
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU smoke: S=4096/S_check=2048, C=300, B=8")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from timing import interleaved_time
+
+    from nwhead_tpu.nw.streaming import nw_streaming_log_probs
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
+
+    if args.tiny:
+        args.S, args.S_check, args.C = 4096, 2048, 300
+    S, D, C = args.S, args.D, args.C
+    B = 8 if args.tiny else 64
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    # ---- validation leg: prepared heads vs the exact streaming oracle ----
+    Sv = args.S_check
+    bank_v, sy_v, cents = _gen_bank(Sv, D, C)
+    chunk = 16384 if Sv >= 16384 else Sv
+    chunks = (
+        (np.asarray(bank_v[i : i + chunk]), np.asarray(sy_v[i : i + chunk]))
+        for i in range(0, Sv, chunk)
+    )
+    oracle = np.asarray(nw_streaming_log_probs(q, chunks, C))
+    tols = {"f32": 2e-3, "bf16": 5e-2, "int8": 4e-1}
+    for prec, tol in tols.items():
+        prep = prepare_support(bank_v, sy_v, C, precision=prec)
+        out = np.asarray(nw_fused_log_probs(q, prep, None, C))
+        err = float(np.max(np.abs(out - oracle) / (np.abs(oracle) + 1e-6)))
+        agree = float((out.argmax(1) == oracle.argmax(1)).mean())
+        status = "OK " if err < tol and agree == 1.0 else "FAIL"
+        print(f"  {status} S={Sv} {prec}: relerr vs streaming-oracle "
+              f"{err:.2e}  top1-agree {agree:.3f}", flush=True)
+    del bank_v, sy_v, prep
+
+    # ---- scale leg ----
+    bank, sy, _ = _gen_bank(S, D, C, seed=3)
+    gb = S * D * 4 / 1e9
+    print(f"bank: S={S} D={D} C={C}  raw f32 {gb:.2f} GB", flush=True)
+    preps = {prec: prepare_support(bank, sy, C, precision=prec)
+             for prec in ("f32", "bf16", "int8")}
+    del bank  # keep only the prepared banks resident
+
+    out32 = np.asarray(nw_fused_log_probs(q, preps["f32"], None, C))
+    for prec in ("bf16", "int8"):
+        out = np.asarray(nw_fused_log_probs(q, preps[prec], None, C))
+        agree = float((out.argmax(1) == out32.argmax(1)).mean())
+        print(f"  at-scale f32-vs-{prec}: top1 agreement {agree:.3f}",
+              flush=True)
+
+    if not on_tpu and not args.tiny:
+        print("not on TPU: skipping timing leg")
+        return
+    if args.tiny:
+        print("tiny smoke OK")
+        return
+
+    def head_fn(prep):
+        def fn(qq, carry):
+            qq = jax.lax.optimization_barrier(
+                qq + carry.astype(qq.dtype) * 1e-30
+            )
+            return nw_fused_log_probs(qq, prep, None, C).mean() * 1e-20
+
+        return fn
+
+    stream, s_big = _stream_case(D)
+    q256 = jnp.asarray(rng.standard_normal((256, D)).astype(np.float32))
+    cases = [("stream 25.2MB", stream, (s_big,))]
+    for prec, prep in preps.items():
+        cases.append((f"head B=64 {prec}", head_fn(prep), (q,)))
+    cases.append(("head B=256 int8", head_fn(preps["int8"]), (q256,)))
+
+    res = interleaved_time(cases, cycles=7, target_s=0.3)
+    t_stream = res.pop("stream 25.2MB")
+    bw = s_big.size * 4 / t_stream / 1e9
+    print(f"stream: {t_stream * 1e6:7.1f} us  {bw:6.1f} GB/s", flush=True)
+    bytes_per = {"f32": S * D * 4, "bf16": S * D * 2, "int8": S * D}
+    for name, t in res.items():
+        prec = name.split()[-1]
+        nq = 256 if "B=256" in name else B
+        byt = bytes_per[prec] * (2 if nq == 256 else 1)  # 128-row q tiles
+        print(
+            f"{name}: {t * 1e3:8.3f} ms/batch  {nq / t:9.0f} q/s "
+            f"frac_vs_stream={(byt / (bw * 1e9)) / t:5.3f} "
+            f"frac_vs_819={byt / 819e9 / t:5.3f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -382,3 +382,24 @@ class TestInt8Bank:
         )
         want = np.asarray(nw_fused_from_prepared(q, prep, 4))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bigbank_lab_smoke(capsys):
+    """scripts/bigbank_lab.py (the million-item single-chip bank demo)
+    validates its prepared heads against the exact streaming oracle on the
+    CPU smoke shapes — the harness that fires at S=1e6 on the chip."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bigbank_lab",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "bigbank_lab.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--tiny"])
+    out = capsys.readouterr().out
+    assert "FAIL" not in out
+    assert out.count("OK ") == 3
+    assert "tiny smoke OK" in out
