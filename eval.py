@@ -68,7 +68,15 @@ def main(argv=None):
                    help="local torch checkpoint imported into the backbone")
     p.add_argument("--mesh", type=str, default=None,
                    help="'N_DATA,N_SUPPORT[,N_MODEL]' mesh for sharded full-mode eval")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="force the JAX backend; 'cpu' keeps the CLI "
+                        "usable when the TPU tunnel is down (the axon "
+                        "jaxlib ignores JAX_PLATFORMS; a hung tunnel "
+                        "blocks backend init)")
     args = p.parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import train as train_cli
     from nwhead_tpu.nw.net import NWNet

@@ -404,7 +404,15 @@ def main(argv=None):
     p.add_argument("--queries", default=None,
                    help="glob of image files to classify")
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="force the JAX backend; 'cpu' keeps the CLI "
+                        "usable when the TPU tunnel is down (the axon "
+                        "jaxlib ignores JAX_PLATFORMS; a hung tunnel "
+                        "blocks backend init)")
     args = p.parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     if not (args.latency_bench or args.jpeg_bench or args.queries
             or args.microbatch_bench):
