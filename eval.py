@@ -45,6 +45,10 @@ def main(argv=None):
                    help="directory to save/load the precomputed feature bank")
     p.add_argument("--influence_queries", type=int, default=0,
                    help="dump support-influence rankings for the first N queries")
+    p.add_argument("--fit_temperature", action="store_true",
+                   help="fit post-hoc temperature scaling per mode (T on the "
+                        "first half of the val predictions, held-out "
+                        "nll/ece reported raw vs calibrated)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--head_precision", type=str, default="f32",
@@ -173,7 +177,7 @@ def main(argv=None):
     results = {}
     bs = args.batch_size
     for mode in args.modes:
-        probs_all, gts = [], []
+        lps_all, gts = [], []
         correct = total = 0
         loss_sum = 0.0
         batches = _padded_eval_batches(val_ds, bs, args.num_val_steps)
@@ -187,9 +191,10 @@ def main(argv=None):
             loss_sum += float(M.nll_loss(out, label)) * real
             correct += int((np.asarray(out).argmax(-1) == label_np).sum())
             total += real
-            probs_all.append(np.exp(np.asarray(out)))
+            lps_all.append(np.asarray(out, np.float32))
             gts.append(label_np)
-        ece = float(M.ece(np.concatenate(probs_all), np.concatenate(gts))) * 100
+        lps, ys = np.concatenate(lps_all), np.concatenate(gts)
+        ece = float(M.ece(np.exp(lps), ys)) * 100
         results[mode] = {
             "acc": 100.0 * correct / total,
             "nll": loss_sum / total,
@@ -197,6 +202,30 @@ def main(argv=None):
             "n": total,
         }
         print(f"[{mode}] acc={results[mode]['acc']:.3f}% nll={results[mode]['nll']:.4f} ece={ece:.3f}")
+
+        if args.fit_temperature and total >= 4:
+            # Post-hoc temperature scaling (the calibration step the
+            # reference's gpleiss-derived ECE metric implies): fit T on the
+            # first half of the val predictions, report the held-out second
+            # half raw vs calibrated — an honest split, not train-on-test.
+            from nwhead_tpu.ops.calibrate import (apply_temperature,
+                                                  fit_temperature)
+
+            h = len(ys) // 2
+            T = float(fit_temperature(lps[:h], ys[:h]))
+            hold, yh = jnp.asarray(lps[h:]), ys[h:]
+            cal = apply_temperature(hold, T)
+            results[mode].update({
+                "temperature": T,
+                "nll_holdout_raw": float(M.nll_loss(hold, yh)),
+                "nll_holdout_cal": float(M.nll_loss(cal, yh)),
+                "ece_holdout_raw": float(M.ece(np.exp(np.asarray(hold)), yh)) * 100,
+                "ece_holdout_cal": float(M.ece(np.exp(np.asarray(cal)), yh)) * 100,
+            })
+            r = results[mode]
+            print(f"[{mode}] T={T:.3f}  holdout nll "
+                  f"{r['nll_holdout_raw']:.4f}->{r['nll_holdout_cal']:.4f}  "
+                  f"ece {r['ece_holdout_raw']:.3f}->{r['ece_holdout_cal']:.3f}")
 
     if args.influence_queries > 0:
         nq = args.influence_queries

@@ -1,5 +1,6 @@
 from nwhead_tpu.ops.kernels import get_kernel, KERNEL_NAMES
 from nwhead_tpu.ops.nw import nw_log_probs, nw_probs_and_weights
+from nwhead_tpu.ops.calibrate import apply_temperature, fit_temperature
 from nwhead_tpu.ops.influence import support_influence
 from nwhead_tpu.ops.pallas_nw import (
     PreparedSupport,
@@ -29,6 +30,8 @@ __all__ = [
     "nw_fused_from_prepared",
     "prepare_support",
     "PreparedSupport",
+    "apply_temperature",
+    "fit_temperature",
     "support_influence",
     "fused_attention",
     "fused_attention_block_bf16",
