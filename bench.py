@@ -37,7 +37,7 @@ Prints ONE JSON line:
 
 import functools
 import json
-import subprocess
+import os
 import sys
 import time
 
@@ -45,25 +45,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-
-
-def _backend_probe(timeout_s: float = 300.0) -> str:
-    """Probe backend init in a THROWAWAY subprocess. A hung axon tunnel
-    blocks ``jax.default_backend()`` in a bare futex sleep, and a process
-    that has touched the hung backend cannot recover — so the probe must
-    not be this process. Returns 'tpu', 'cpu', or 'hung'. The generous
-    timeout covers cold tunnel reconnects (~2 min observed)."""
-    code = ("import jax; b = jax.default_backend(); "
-            "print('tpu' if b == 'tpu' or 'TPU' in str(jax.devices()[0]) "
-            "else 'cpu')")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return "hung"
-    out = proc.stdout.strip().splitlines()
-    return out[-1] if proc.returncode == 0 and out else "hung"
 
 
 def _loop(fn, n):
@@ -242,12 +223,18 @@ def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    if _backend_probe() == "hung":
-        # TPU tunnel outage: fall back to CPU so the bench still emits its
-        # JSON line (backend field says 'cpu' — honest) instead of hanging
-        # the driver's round-end run indefinitely.
-        print("TPU tunnel hung; falling back to CPU", file=sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
+    # TPU tunnel outage guard: probe backend init in a throwaway
+    # subprocess (utils/outage.py) and fall back to CPU if it hangs, so
+    # the bench still emits its JSON line (backend field says 'cpu' —
+    # honest) instead of hanging the driver's round-end run indefinitely.
+    # NWHEAD_ASSUME_TPU=1 skips the probe (callers that just probed
+    # themselves, e.g. scripts/chip_queue.sh, avoid a second ~30 s init).
+    if os.environ.get("NWHEAD_ASSUME_TPU") != "1":
+        from nwhead_tpu.utils.outage import probe_backend
+
+        if probe_backend() is None:
+            print("TPU tunnel hung; falling back to CPU", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu" or "TPU" in str(jax.devices()[0])

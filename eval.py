@@ -205,12 +205,17 @@ def main(argv=None):
 
         if args.fit_temperature and total >= 4:
             # Post-hoc temperature scaling (the calibration step the
-            # reference's gpleiss-derived ECE metric implies): fit T on the
-            # first half of the val predictions, report the held-out second
-            # half raw vs calibrated — an honest split, not train-on-test.
+            # reference's gpleiss-derived ECE metric implies): fit T on a
+            # random half of the val predictions, report the held-out half
+            # raw vs calibrated — an honest split, not train-on-test. The
+            # split is a seeded PERMUTATION: class-sorted val sets (CUB
+            # directory order) would otherwise put disjoint classes in the
+            # two halves and conflate calibration with class shift.
             from nwhead_tpu.ops.calibrate import (apply_temperature,
                                                   fit_temperature)
 
+            perm = np.random.default_rng(args.seed).permutation(len(ys))
+            lps, ys = lps[perm], ys[perm]
             h = len(ys) // 2
             T = float(fit_temperature(lps[:h], ys[:h]))
             hold, yh = jnp.asarray(lps[h:]), ys[h:]

@@ -44,29 +44,42 @@ def fit_temperature(
     *,
     lo: float = -3.0,
     hi: float = 3.0,
-    iters: int = 60,
+    iters: int = 40,
 ) -> jnp.ndarray:
     """Fit the NLL-minimizing temperature on held-out predictions.
 
     log_probs: (B, C) validation log-probabilities; labels: (B,) int.
-    Searches ``T ∈ [e^lo, e^hi]`` (≈ [0.05, 20]); 60 golden-section
-    iterations shrink the bracket by ~1e-12, far below run noise.
-    Returns a scalar ``T`` (jnp float32).
+    Searches ``T ∈ [e^lo, e^hi]`` (≈ [0.05, 20]). Proper golden-section:
+    one interior point and its NLL are carried across iterations, so each
+    iteration costs ONE full-(B, C) NLL evaluation; 40 iterations shrink
+    the bracket below f32 resolution. Returns a scalar ``T``.
     """
     log_probs = jnp.asarray(log_probs, jnp.float32)
     labels = jnp.asarray(labels)
 
-    def body(_, ab):
-        a, b = ab
-        c = b - _PHI * (b - a)
-        d = a + _PHI * (b - a)
-        fc = _nll_at_logt(log_probs, labels, c)
-        fd = _nll_at_logt(log_probs, labels, d)
-        return jax.lax.cond(
-            fc < fd, lambda: (a, d), lambda: (c, b)
-        )
+    def nll(log_t):
+        return _nll_at_logt(log_probs, labels, log_t)
 
-    a, b = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
+    a0, b0 = jnp.float32(lo), jnp.float32(hi)
+    c0 = b0 - _PHI * (b0 - a0)
+    d0 = a0 + _PHI * (b0 - a0)
+
+    def body(_, state):
+        a, b, c, d, fc, fd = state
+
+        def shrink_right():  # minimum in (a, d): d becomes b, c becomes d
+            b2, d2, fd2 = d, c, fc
+            c2 = b2 - _PHI * (b2 - a)
+            return a, b2, c2, d2, nll(c2), fd2
+
+        def shrink_left():  # minimum in (c, b): c becomes a, d becomes c
+            a2, c2, fc2 = c, d, fd
+            d2 = a2 + _PHI * (b - a2)
+            return a2, b, c2, d2, fc2, nll(d2)
+
+        return jax.lax.cond(fc < fd, shrink_right, shrink_left)
+
+    a, b, *_ = jax.lax.fori_loop(
+        0, iters, body, (a0, b0, c0, d0, nll(c0), nll(d0))
     )
     return jnp.exp((a + b) / 2.0)

@@ -43,6 +43,7 @@ run jpeg_serve python serve.py --dataset synthetic --arch resnet18 \
   --featurizer_precision int8 --head_precision int8 --jpeg_bench \
   --bench_batches 10 --batch_size 64
 
-# 4. Fresh official bench line.
-run bench python bench.py
+# 4. Fresh official bench line (skip bench's own outage probe — the
+#    probe above just initialized the tunnel successfully).
+run bench env NWHEAD_ASSUME_TPU=1 python bench.py
 echo "done $(date)" | tee -a $OUT/status

@@ -45,4 +45,4 @@ def main(n=64, hw=(480, 640), workers=(8, 16, 32), source="real"):
 
 
 if __name__ == "__main__":
-    main()
+    main(source="synth" if "--synth" in sys.argv[1:] else "real")
