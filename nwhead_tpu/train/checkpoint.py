@@ -52,7 +52,15 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[
         if target is not None:
             tgt = dict(target)
             tgt.setdefault("epoch", 0)
-            return ckptr.restore(path, item=tgt)
+            try:
+                return ckptr.restore(path, item=tgt)
+            except ValueError:
+                # Partial target: eval.py/serve.py ask only for
+                # params(+batch_stats) from a train.py checkpoint that also
+                # holds opt_state — orbax refuses the structure mismatch, so
+                # restore raw and take the requested subtrees.
+                raw = ckptr.restore(path)
+                return {k: raw.get(k, tgt[k]) for k in tgt}
         return ckptr.restore(path)
 
 

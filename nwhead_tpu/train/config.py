@@ -68,6 +68,12 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--scheduler_milestones", nargs="+", type=int, default=(100, 150))
         self.add_argument("--scheduler_gamma", type=float, default=0.1)
         self.add_argument("--seed", type=int, default=0)
+        self.add_argument("--platform", default="default",
+                          choices=["default", "cpu"],
+                          help="force the JAX backend; 'cpu' keeps the CLI "
+                               "usable when the TPU tunnel is down (the "
+                               "axon jaxlib ignores JAX_PLATFORMS; a hung "
+                               "tunnel blocks backend init)")
         self.add_argument("--weight_decay", type=float, default=1e-4)
         self.add_argument("--arch", type=str, default="resnet18")
         # Local pretrained checkpoint (.pth/.pt/.npz) imported into the

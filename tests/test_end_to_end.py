@@ -411,3 +411,34 @@ def test_int8_serving_through_nwnet():
     out32 = np.asarray(net32.predict(v32, x, "full"))
     np.testing.assert_array_equal(out8.argmax(-1), out32.argmax(-1))
     assert np.max(np.abs(np.exp(out8) - np.exp(out32))) < 0.08
+
+
+def test_checkpoint_partial_target_restore(tmp_path, nw_setup):
+    """eval.py/serve.py restore only params(+batch_stats) from a train.py
+    checkpoint that also holds opt_state — orbax refuses the structure
+    mismatch, so load_checkpoint must fall back to a raw restore and
+    subtree selection (regression: the --ckpt CLIs crashed on every real
+    training checkpoint before this)."""
+    from nwhead_tpu.train import load_checkpoint, save_checkpoint
+
+    net, trainer, train_ds, val_ds = nw_setup
+    state = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+        "opt_state": trainer.state.opt_state,
+    }
+    save_checkpoint(2, state, str(tmp_path), is_best=False)
+    partial = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    restored = load_checkpoint(str(tmp_path) + "/model.0002", target=partial)
+    ok = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            partial["params"],
+            restored["params"],
+        )
+    )
+    assert ok
+    assert "opt_state" not in restored

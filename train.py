@@ -163,6 +163,10 @@ def build_mesh(args):
 
 def main(argv=None):
     args = Parser().parse(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.seed > 0:
         np.random.seed(args.seed)
 
