@@ -349,6 +349,13 @@ def answer_queries(net, variables, train_ds, args):
         chunk = paths[start:start + args.batch_size]
         imgs = qds.gather(np.arange(start, start + len(chunk)))
         out = np.asarray(serve(jnp.asarray(imgs)))
+        if args.temperature != 1.0:
+            # Post-hoc calibration (fit T offline with eval.py
+            # --fit_temperature); rescales reported probabilities only —
+            # argmax/top-k order is unchanged.
+            from nwhead_tpu.ops.calibrate import apply_temperature
+
+            out = np.asarray(apply_temperature(out, args.temperature))
         top = np.argsort(-out, axis=-1)[:, :args.topk]
         for p, t, lp in zip(chunk, top, out):
             entry = {
@@ -403,6 +410,10 @@ def main(argv=None):
     p.add_argument("--bench_batches", type=int, default=50)
     p.add_argument("--queries", default=None,
                    help="glob of image files to classify")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="post-hoc calibration temperature for reported "
+                        "query probabilities (fit offline via eval.py "
+                        "--fit_temperature)")
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"],
