@@ -90,3 +90,22 @@ def test_eval_covers_tail_batch():
     net.precompute(trainer.state.variables())
     trainer.eval_epoch("full")
     assert trainer.val_metrics["acc:val:full"].num_samples == 7
+
+
+def test_irm_digits_script_smoke():
+    """scripts/irm_digits.py (the real-data IRM + ensemble demo) runs its
+    full path on a tiny budget: env-shifted digits, single-env episodic
+    training, full + ensemble eval."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "irm_digits",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "irm_digits.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main(["--epochs", "1", "--steps_per_epoch", "2"])
+    assert set(report["irm"]) == {"full", "ensemble"}
+    assert 0 <= report["irm"]["ensemble"]["acc"] <= 100
