@@ -336,19 +336,30 @@ def answer_queries(net, variables, train_ds, args):
     if not paths:
         raise SystemExit(f"no files match {args.queries!r}")
     is_cifar = args.dataset in ("cifar10", "cifar100")
+    explain = getattr(args, "explain", 0)
     # uint8 over the host->device link, normalize on device (same path as
-    # --jpeg_bench).
+    # --jpeg_bench). Explain mode needs the query FEATURES (not just the
+    # prepared-head output), so it normalizes on host and goes through the
+    # exact raw head — explanation is not a throughput path.
     t_eval = (T.cifar_eval_transform() if is_cifar
-              else T.imagenet_eval_transform(device_normalize=True))
+              else T.imagenet_eval_transform(device_normalize=not explain))
     qds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
                            train_ds.num_classes, transform=t_eval,
                            workers=args.workers, decoder=args.decoder)
-    serve = serving_fn(net, variables, uint8_normalize=not is_cifar)
+    if explain:
+        explain_fns = _build_explainer(net, train_ds)
+    else:
+        serve = serving_fn(net, variables,
+                           uint8_normalize=not is_cifar)
     results = []
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start:start + args.batch_size]
         imgs = qds.gather(np.arange(start, start + len(chunk)))
-        out = np.asarray(serve(jnp.asarray(imgs)))
+        explanations = None
+        if explain:
+            out, explanations = explain_fns(variables, imgs, explain)
+        else:
+            out = np.asarray(serve(jnp.asarray(imgs)))
         if args.temperature != 1.0:
             # Post-hoc calibration (fit T offline with eval.py
             # --fit_temperature); rescales reported probabilities only —
@@ -357,7 +368,7 @@ def answer_queries(net, variables, train_ds, args):
 
             out = np.asarray(apply_temperature(out, args.temperature))
         top = np.argsort(-out, axis=-1)[:, :args.topk]
-        for p, t, lp in zip(chunk, top, out):
+        for i, (p, t, lp) in enumerate(zip(chunk, top, out)):
             entry = {
                 "file": p,
                 "topk": [
@@ -365,9 +376,83 @@ def answer_queries(net, variables, train_ds, args):
                     for c in t
                 ],
             }
+            if explanations is not None:
+                entry["explain"] = explanations[i]
             results.append(entry)
             print(json.dumps(entry))
     return results
+
+
+def _build_explainer(net, train_ds):
+    """Per-query explanations from the NW head's own weights — the
+    reference's flagship interpretability (``nw.py:245-249`` neighbors,
+    ``util/metric.py:23-50`` leave-one-out influence), surfaced at
+    query-answering time instead of a notebook.
+
+    Returns a callable ``(variables, imgs, k) -> (log_probs, [explain])``
+    where each explain dict holds the top-k support items by softmax
+    weight plus the most helpful / most harmful items by influence on the
+    PREDICTED class (what pushed this answer, what pushed against it).
+    """
+    from nwhead_tpu.nw.net import NWModel
+    from nwhead_tpu.ops.influence import support_influence
+
+    # Bank row -> support-dataset identity. Valid while the bank is the
+    # constructor-built balanced bank (incremental add/remove re-orders it).
+    bank_to_ds = np.concatenate(net.support_eval.full_bank_indices)
+    if len(bank_to_ds) != len(np.asarray(net.full_y)):
+        bank_to_ds = None
+    spaths = getattr(train_ds, "paths", None)
+    sy_np = np.asarray(net.full_y)
+
+    # The bank rides as a jit ARGUMENT (closing over it would inline it as
+    # HLO constants — the remote compile service rejects big bodies).
+    pw_fn = jax.jit(
+        lambda v, qf, sf, sy: net.model.apply(
+            v, qf, sf, sy, method=NWModel.head_probs_and_weights
+        )
+    )
+    sy32 = jnp.asarray(net.full_y, dtype=jnp.int32)
+
+    def item(row, value, key):
+        d = {"support_index": int(row), "label": int(sy_np[row]),
+             key: round(float(value), 6)}
+        if bank_to_ds is not None:
+            ds_idx = int(bank_to_ds[row])
+            d["dataset_index"] = ds_idx
+            if spaths is not None:
+                d["path"] = str(spaths[ds_idx])
+        return d
+
+    def run(variables, imgs, k):
+        qfeat = net._featurize_eval(variables, jnp.asarray(imgs))
+        probs, weights = pw_fn(variables, qfeat, net.full_feat, sy32)
+        probs = np.asarray(probs)
+        weights = np.asarray(weights)
+        pred = probs.argmax(axis=-1)
+        # Leave-one-out influence on the predicted class: positive means
+        # the item pushed TOWARD this answer (removing it would hurt).
+        infl = np.asarray(support_influence(
+            jnp.asarray(probs), jnp.asarray(pred), jnp.asarray(weights), sy32
+        ))
+        out = []
+        for b in range(len(probs)):
+            by_weight = np.argsort(-weights[b])[:k]
+            by_help = np.argsort(-infl[b])[:k]
+            harmful = int(np.argmin(infl[b]))
+            out.append({
+                "predicted_class": int(pred[b]),
+                "neighbors": [item(r, weights[b][r], "weight")
+                              for r in by_weight],
+                "helpful": [item(r, infl[b][r], "influence")
+                            for r in by_help],
+                "most_harmful": item(harmful, infl[b][harmful], "influence"),
+            })
+        # The head's exact output is log(probs + 1e-12) (nw.py:289) — one
+        # featurizer pass serves both the answer and its explanation.
+        return np.log(probs + 1e-12), out
+
+    return run
 
 
 def main(argv=None):
@@ -415,6 +500,13 @@ def main(argv=None):
                         "query probabilities (fit offline via eval.py "
                         "--fit_temperature)")
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--explain", type=int, default=0, metavar="K",
+                   help="with --queries: attach per-query explanations "
+                        "from the NW head's own weights — top-K support "
+                        "items by softmax weight plus the most helpful/"
+                        "harmful items by leave-one-out influence on the "
+                        "predicted class (the reference's interpretability "
+                        "story, served per request)")
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"],
                    help="force the JAX backend; 'cpu' keeps the CLI "

@@ -55,6 +55,46 @@ def test_serve_queries_from_files(tmp_path):
         assert 0.0 <= q["topk"][0]["prob"] <= 1.0
 
 
+def test_serve_queries_with_explanations(tmp_path):
+    """--explain K attaches the NW head's own evidence to every answer:
+    top-K supports by softmax weight, plus leave-one-out influence on the
+    predicted class. Influence semantics are checkable in closed form: an
+    item helps (influence > 0) iff its label IS the predicted class
+    (removing it lowers p), and hurts otherwise — so the most-helpful item
+    must carry the predicted label and the most-harmful must not."""
+    from PIL import Image
+
+    import serve
+
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        arr = rng.integers(0, 255, size=(48, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"q{i}.jpg", quality=90)
+
+    out = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "4", "--n_shot_full", "5", "--topk", "2",
+        "--explain", "3",
+        "--queries", str(tmp_path / "*.jpg"),
+    ])
+    qs = out["queries"]
+    assert len(qs) == 2
+    for q in qs:
+        ex = q["explain"]
+        # The answer and its explanation come from the same head pass.
+        assert q["topk"][0]["class"] == ex["predicted_class"]
+        ws = [n["weight"] for n in ex["neighbors"]]
+        assert len(ws) == 3 and ws == sorted(ws, reverse=True)
+        assert 0.0 < sum(ws) <= 1.0 + 1e-6
+        for n in ex["neighbors"]:
+            assert "dataset_index" in n  # bank row -> dataset identity
+        top_help = ex["helpful"][0]
+        assert top_help["label"] == ex["predicted_class"]
+        assert top_help["influence"] > 0
+        assert ex["most_harmful"]["label"] != ex["predicted_class"]
+        assert ex["most_harmful"]["influence"] < 0
+
+
 def test_serve_requires_an_action():
     import serve
 
