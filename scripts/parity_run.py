@@ -173,6 +173,81 @@ def run_reference(train_ds, val_ds, args) -> dict:
     return results
 
 
+def run_reference_fc(train_ds, val_ds, args) -> dict:
+    """The FC-baseline recipe on the torch stack (``fchead/fc.py:5-17``,
+    step semantics ``train.py:381-399``): same SGD/MultiStepLR recipe, NLL
+    on log-softmax output."""
+    import importlib
+
+    import torch
+
+    _import_reference()  # sets sys.path + hnswlib stub
+    ref_fc = importlib.import_module("fchead.fc")
+    ref_model = importlib.import_module("model")
+
+    t_train = _TorchDatasetAdapter(train_ds)
+    t_val = _TorchDatasetAdapter(val_ds)
+    featurizer = ref_model.load_model(args.ref_arch or args.arch)
+    network = ref_fc.FCNet(featurizer, args.feat_dim, t_train.num_classes)
+    criterion = torch.nn.NLLLoss()
+    optimizer = torch.optim.SGD(
+        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
+        nesterov=True,
+    )
+    scheduler = torch.optim.lr_scheduler.MultiStepLR(
+        optimizer, milestones=args.milestones, gamma=0.1
+    )
+    rng = np.random.default_rng(args.seed)
+    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
+    for _ in range(args.epochs):
+        network.train()
+        order = rng.permutation(len(t_train))
+        for s in range(steps):
+            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
+            if len(idx) < args.batch_size:
+                idx = order[: args.batch_size]
+            img, label = t_train[idx]
+            optimizer.zero_grad()
+            loss = criterion(network(img), label)
+            loss.backward()
+            optimizer.step()
+        scheduler.step()
+
+    network.eval()
+    with torch.no_grad():
+        outs = []
+        for s in range(0, len(t_val), args.batch_size):
+            idx = np.arange(s, min(s + args.batch_size, len(t_val)))
+            img, _ = t_val[idx]
+            outs.append(network(img).numpy())
+    return _metrics_from_logprobs(np.concatenate(outs), t_val.targets)
+
+
+def run_tpu_fc(train_ds, val_ds, args) -> dict:
+    """The same FC-baseline recipe on this framework (``nw/fc.py`` +
+    ``FCTrainer``)."""
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.fc import FCNet
+    from nwhead_tpu.train.trainer import FCTrainer
+
+    model = FCNet(
+        featurizer=load_model(args.arch), num_classes=train_ds.num_classes
+    )
+    trainer = FCTrainer(
+        model, train_ds, val_ds,
+        lr=args.lr, batch_size=args.batch_size,
+        milestones=args.milestones, gamma=0.1, seed=args.seed,
+    )
+    for _ in range(args.epochs):
+        trainer.train_epoch(num_steps=args.steps_per_epoch)
+    trainer.eval_epoch()
+    return {
+        "acc": trainer.val_metrics["acc:val"].result(),
+        "nll": trainer.val_metrics["loss:val"].result(),
+        "ece": trainer.val_metrics["ece:val"].result(),
+    }
+
+
 def run_tpu_stack(train_ds, val_ds, args) -> dict:
     """The same recipe on this framework."""
     import time
@@ -300,6 +375,11 @@ def main(argv=None):
                    help="also evaluate full mode through a bf16 prepared "
                         "serving bank (tpu stack only; 'full_bf16')")
     p.add_argument("--calib_images", type=int, default=256)
+    p.add_argument("--fc_baseline", action="store_true",
+                   help="also train/evaluate the FC-head baseline on each "
+                        "selected stack with the same recipe (reported as "
+                        "'fc') — reproduces the papers' NW-vs-FC "
+                        "calibration comparison on this run's data")
     p.add_argument("--out", default=None, help="write results JSON here")
     p.add_argument("--update_baseline", action="store_true",
                    help="append the results table to BASELINE.md")
@@ -323,18 +403,25 @@ def main(argv=None):
     if args.stacks in ("both", "reference"):
         print("== reference (torch) stack ==", flush=True)
         report["reference"] = run_reference(train_ds, val_ds, args)
+        if args.fc_baseline:
+            print("== reference FC baseline ==", flush=True)
+            report["reference"]["fc"] = run_reference_fc(train_ds, val_ds, args)
         print(json.dumps(report["reference"], indent=2), flush=True)
     if args.stacks in ("both", "tpu"):
         print("== nwhead_tpu stack ==", flush=True)
         report["tpu"] = run_tpu_stack(train_ds, val_ds, args)
+        if args.fc_baseline:
+            print("== nwhead_tpu FC baseline ==", flush=True)
+            report["tpu"]["fc"] = run_tpu_fc(train_ds, val_ds, args)
         print(json.dumps(report["tpu"], indent=2), flush=True)
     if "reference" in report and "tpu" in report:
+        compare = list(args.modes) + (["fc"] if args.fc_baseline else [])
         report["delta"] = {
             mode: {
                 k: report["tpu"][mode][k] - report["reference"][mode][k]
                 for k in ("acc", "nll", "ece")
             }
-            for mode in args.modes
+            for mode in compare
         }
         print("deltas (tpu - reference):", json.dumps(report["delta"], indent=2))
 
@@ -352,7 +439,7 @@ def main(argv=None):
             "| mode | ref acc | tpu acc | ref nll | tpu nll | ref ece | tpu ece |",
             "|---|---|---|---|---|---|---|",
         ]
-        for mode in args.modes:
+        for mode in list(args.modes) + (["fc"] if args.fc_baseline else []):
             r, t = report["reference"][mode], report["tpu"][mode]
             lines.append(
                 f"| {mode} | {r['acc']:.2f} | {t['acc']:.2f} | {r['nll']:.4f} "

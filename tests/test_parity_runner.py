@@ -54,3 +54,31 @@ def test_parity_runner_fixture_scale(tmp_path):
     mb = report["tpu"]["full_bf16"]
     assert np.isfinite([mb["acc"], mb["nll"], mb["ece"]]).all()
     assert abs(mb["acc"] - report["tpu"]["full"]["acc"]) <= 10.0
+
+
+def test_parity_runner_fc_baseline(tmp_path):
+    """--fc_baseline trains the FC-head baseline on both stacks with the
+    same recipe and includes it in metrics + deltas — the papers' NW-vs-FC
+    comparison, runnable on any dataset the CLI knows."""
+    pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import parity_run
+    finally:
+        sys.path.pop(0)
+
+    report = parity_run.main([
+        "--dataset", "synthetic",
+        "--arch", "resnet10", "--ref_arch", "resnet10",
+        "--feat_dim", "512",
+        "--epochs", "2", "--steps_per_epoch", "3",
+        "--batch_size", "3", "--n_way", "3",
+        "--lr", "0.01", "--milestones", "100",
+        "--modes", "full", "--fc_baseline",
+        "--out", str(tmp_path / "parity_fc.json"),
+    ])
+    for stack in ("reference", "tpu"):
+        m = report[stack]["fc"]
+        assert np.isfinite([m["acc"], m["nll"], m["ece"]]).all(), (stack, m)
+        assert 0.0 <= m["acc"] <= 100.0
+    assert set(report["delta"]) == {"full", "fc"}
