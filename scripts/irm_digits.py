@@ -87,6 +87,70 @@ def run(train_ds, val_ds, env_array, train_type, args):
     return out
 
 
+def run_reference(train_ds, val_ds, env_array, train_type, args):
+    """The identical protocol on the reference torch stack — its IRM
+    single-env episodes (``nwhead/support.py:76-78``) and prob-space env
+    ensemble (``nw.py:143-154``) compared head-to-head with ours on the
+    same real data, environments, and budget."""
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from parity_run import (_TorchDatasetAdapter, _import_reference,
+                                _metrics_from_logprobs)
+    finally:
+        sys.path.pop(0)
+    ref_nw, ref_model = _import_reference()
+
+    t_train = _TorchDatasetAdapter(train_ds)
+    t_val = _TorchDatasetAdapter(val_ds)
+    network = ref_nw.NWNet(
+        ref_model.load_model(args.arch), 10, support_dataset=t_train,
+        feat_dim=512, train_type=train_type,
+        env_array=np.asarray(env_array) if train_type == "irm" else None,
+        n_shot=1, n_way=args.n_way, device="cpu",
+    )
+    criterion = torch.nn.NLLLoss()
+    optimizer = torch.optim.SGD(
+        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
+        nesterov=True,
+    )
+    scheduler = torch.optim.lr_scheduler.MultiStepLR(
+        optimizer, milestones=args.milestones, gamma=0.1
+    )
+    rng = np.random.default_rng(args.seed)
+    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
+    for _ in range(args.epochs):
+        network.train()
+        order = rng.permutation(len(t_train))
+        for s in range(steps):
+            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
+            if len(idx) < args.batch_size:
+                idx = order[: args.batch_size]
+            img, label = t_train[idx]
+            optimizer.zero_grad()
+            loss = criterion(network(img, label), label)
+            loss.backward()
+            optimizer.step()
+        scheduler.step()
+
+    network.eval()
+    modes = ("full", "ensemble") if train_type == "irm" else ("full",)
+    out = {}
+    with torch.no_grad():
+        network.precompute()
+        for mode in modes:
+            outs = []
+            for s in range(0, len(t_val), args.batch_size):
+                idx = np.arange(s, min(s + args.batch_size, len(t_val)))
+                img, _ = t_val[idx]
+                outs.append(network.predict(img, mode).numpy())
+            m = _metrics_from_logprobs(np.concatenate(outs), t_val.targets)
+            out[mode] = {"acc": round(m["acc"], 2), "nll": round(m["nll"], 4),
+                         "ece": round(m["ece"], 3)}
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="resnet10")
@@ -99,6 +163,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compare", action="store_true",
                    help="also run train_type='random' on the same budget")
+    p.add_argument("--stacks", default="tpu",
+                   choices=["tpu", "reference", "both"],
+                   help="'reference' / 'both' also run the torch reference "
+                        "stack's IRM + ensemble paths on the identical "
+                        "data/environments/budget")
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"])
     args = p.parse_args(argv)
@@ -108,11 +177,24 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     train_ds, val_ds, env_array = build(args)
-    report = {"irm": run(train_ds, val_ds, env_array, "irm", args)}
-    print("irm:", json.dumps(report["irm"]), flush=True)
-    if args.compare:
-        report["random"] = run(train_ds, val_ds, env_array, "random", args)
-        print("random:", json.dumps(report["random"]), flush=True)
+    report = {}
+    if args.stacks in ("tpu", "both"):
+        report["irm"] = run(train_ds, val_ds, env_array, "irm", args)
+        print("irm:", json.dumps(report["irm"]), flush=True)
+        if args.compare:
+            report["random"] = run(train_ds, val_ds, env_array, "random", args)
+            print("random:", json.dumps(report["random"]), flush=True)
+    if args.stacks in ("reference", "both"):
+        report["reference_irm"] = run_reference(
+            train_ds, val_ds, env_array, "irm", args
+        )
+        print("reference_irm:", json.dumps(report["reference_irm"]), flush=True)
+        if args.compare:
+            report["reference_random"] = run_reference(
+                train_ds, val_ds, env_array, "random", args
+            )
+            print("reference_random:",
+                  json.dumps(report["reference_random"]), flush=True)
     return report
 
 

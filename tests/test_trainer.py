@@ -109,3 +109,26 @@ def test_irm_digits_script_smoke():
     report = mod.main(["--epochs", "1", "--steps_per_epoch", "2"])
     assert set(report["irm"]) == {"full", "ensemble"}
     assert 0 <= report["irm"]["ensemble"]["acc"] <= 100
+
+
+def test_irm_digits_reference_stack_smoke():
+    """--stacks reference drives the torch reference's IRM training
+    (single-env episodes) and ensemble predict on the same env-shifted
+    digits — the head-to-head for the NeurIPS-2023 extension."""
+    import importlib.util
+    import os
+
+    pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location(
+        "irm_digits",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "irm_digits.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main([
+        "--epochs", "1", "--steps_per_epoch", "2", "--stacks", "reference",
+    ])
+    assert set(report["reference_irm"]) == {"full", "ensemble"}
+    m = report["reference_irm"]["ensemble"]
+    assert np.isfinite([m["acc"], m["nll"], m["ece"]]).all()
