@@ -52,7 +52,17 @@ class NWModel(nn.Module):
     def setup(self):
         if self.proj_dim > 0:
             assert self.feat_dim is not None, "Feature dimension must be specified"
-            self.proj = nn.Dense(self.proj_dim)
+            # torch nn.Linear init conventions (the reference's projection
+            # is a default-init Linear, nw.py:74-79; torch's uniform init
+            # has 1/3 lecun_normal's variance — matters at short budgets).
+            from nwhead_tpu.nw.fc import (torch_linear_bias_init,
+                                          torch_linear_kernel_init)
+
+            self.proj = nn.Dense(
+                self.proj_dim,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_linear_bias_init(self.feat_dim),
+            )
         self.head = NWHead(
             n_classes=self.n_classes,
             kernel_type=self.kernel_type,

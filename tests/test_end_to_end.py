@@ -157,6 +157,40 @@ def test_fc_baseline_trains():
     assert acc > 60.0, f"fc acc {acc}"
 
 
+def test_fc_head_torch_linear_init_conventions():
+    """FCHead and the NWNet projection follow torch nn.Linear's default
+    init (uniform ±1/sqrt(fan_in) for kernel AND bias — 1/3 the variance
+    of flax's lecun_normal), matching the reference's fc.py:19-25 /
+    nw.py:74-79 modules; measurably better-calibrated at short budgets."""
+    import jax.numpy as jnp
+
+    model = FCNet(featurizer=TinyBackbone.make(), num_classes=64)
+    x = jnp.zeros((2, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    kernel = np.asarray(params["classifier"]["fc"]["kernel"])
+    bias = np.asarray(params["classifier"]["fc"]["bias"])
+    fan_in = kernel.shape[0]
+    bound = 1.0 / np.sqrt(fan_in)
+    for arr in (kernel, bias):
+        assert np.abs(arr).max() <= bound + 1e-7
+    # Uniform on ±bound: std ≈ bound/sqrt(3), and the bias is NOT zeros
+    # (flax's default) — both distinguish the torch convention.
+    assert abs(kernel.std() - bound / np.sqrt(3)) < 0.15 * bound
+    assert np.abs(bias).max() > 0
+
+    net = NWNet(
+        TinyBackbone.make(), n_classes=4,
+        support_dataset=make_synthetic_dataset(n=16, n_classes=4, size=8, seed=0),
+        feat_dim=16, proj_dim=8, seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), x)
+    pk = np.asarray(variables["params"]["proj"]["kernel"])
+    pb = np.asarray(variables["params"]["proj"]["bias"])
+    pbound = 1.0 / np.sqrt(pk.shape[0])
+    assert np.abs(pk).max() <= pbound + 1e-7
+    assert np.abs(pb).max() <= pbound + 1e-7 and np.abs(pb).max() > 0
+
+
 def test_irm_training_runs():
     train_ds = make_synthetic_dataset(n=48, n_classes=3, size=8, seed=0)
     env = np.tile([0, 1], 24)
