@@ -558,7 +558,11 @@ class NWNet:
         pass. Builds ALL eval artifacts and the prepared/sharded serving
         banks, so the fused full-mode path and ``make_serving_fn`` work
         exactly as after a fresh precompute. ``meta`` (per-item env ids)
-        defaults to a single environment."""
+        defaults to a single environment.
+
+        Row-order contract: features must be in canonical precompute order
+        (``FeatureBankCache`` saves them that way) — row -> dataset-index
+        identity consumers (``serve.py --explain``) assume it."""
         self._check_quantized_variables(variables)
         feats = np.asarray(feats)
         labels = np.asarray(labels)

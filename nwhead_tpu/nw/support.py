@@ -303,6 +303,10 @@ class SupportSetEval:
         smeta_env: List[np.ndarray],
     ) -> None:
         self._install_bank(sfeat, sy, smeta, sfeat_env, sy_env, smeta_env)
+        # Bank rows follow the canonical precompute order (concatenated
+        # ``full_bank_indices``), so row -> dataset-index identity holds.
+        # Incremental edits below re-order/extend the bank and clear this.
+        self.bank_is_canonical = True
 
     def extend_bank(self, new_feat: np.ndarray, new_y: np.ndarray, env_id: int = 0) -> None:
         """Append already-featurized items to the cached bank and refresh
@@ -345,6 +349,7 @@ class SupportSetEval:
         # with the still-installed old bank.
         if reuse:
             old_hnsw.add_items(new_feat, new_y)
+        self.bank_is_canonical = False  # rows no longer map to full_bank_indices
 
     def remove_bank_items(self, indices) -> None:
         """Drop rows (indices into the current full-bank ordering) and
@@ -383,6 +388,7 @@ class SupportSetEval:
             sy_env.append(sy[sel])
             smeta_env.append(smeta[sel])
         self._install_bank(sfeat, sy, smeta, sfeat_env, sy_env, smeta_env)
+        self.bank_is_canonical = False  # rows no longer map to full_bank_indices
 
     def _install_bank(
         self,

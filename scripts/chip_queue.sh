@@ -36,7 +36,7 @@ run bigbank python scripts/bigbank_lab.py
 run digits_tpu python scripts/parity_run.py --dataset digits --arch resnet10 \
   --epochs 8 --steps_per_epoch 40 --milestones 5 7 --n_way 8 \
   --modes random full cluster knn hnsw --stacks tpu \
-  --int8_eval --bf16_eval --out $OUT/digits_tpu.json
+  --int8_eval --bf16_eval --fc_baseline --out $OUT/digits_tpu.json
 
 # 3. JPEG-bytes serving now decoding REAL photographs.
 run jpeg_serve python serve.py --dataset synthetic --arch resnet18 \

@@ -97,10 +97,12 @@ def run_reference(train_ds, val_ds, env_array, train_type, args):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     try:
         from parity_run import (_TorchDatasetAdapter, _import_reference,
-                                _metrics_from_logprobs)
+                                _metrics_from_logprobs, _seed_torch_stack,
+                                predict_torch, train_torch_recipe)
     finally:
         sys.path.pop(0)
     ref_nw, ref_model = _import_reference()
+    _seed_torch_stack(args.seed)
 
     t_train = _TorchDatasetAdapter(train_ds)
     t_val = _TorchDatasetAdapter(val_ds)
@@ -110,29 +112,10 @@ def run_reference(train_ds, val_ds, env_array, train_type, args):
         env_array=np.asarray(env_array) if train_type == "irm" else None,
         n_shot=1, n_way=args.n_way, device="cpu",
     )
-    criterion = torch.nn.NLLLoss()
-    optimizer = torch.optim.SGD(
-        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
-        nesterov=True,
+    train_torch_recipe(
+        network, t_train, args,
+        lambda net, criterion, img, label: criterion(net(img, label), label),
     )
-    scheduler = torch.optim.lr_scheduler.MultiStepLR(
-        optimizer, milestones=args.milestones, gamma=0.1
-    )
-    rng = np.random.default_rng(args.seed)
-    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
-    for _ in range(args.epochs):
-        network.train()
-        order = rng.permutation(len(t_train))
-        for s in range(steps):
-            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
-            if len(idx) < args.batch_size:
-                idx = order[: args.batch_size]
-            img, label = t_train[idx]
-            optimizer.zero_grad()
-            loss = criterion(network(img, label), label)
-            loss.backward()
-            optimizer.step()
-        scheduler.step()
 
     network.eval()
     modes = ("full", "ensemble") if train_type == "irm" else ("full",)
@@ -140,12 +123,12 @@ def run_reference(train_ds, val_ds, env_array, train_type, args):
     with torch.no_grad():
         network.precompute()
         for mode in modes:
-            outs = []
-            for s in range(0, len(t_val), args.batch_size):
-                idx = np.arange(s, min(s + args.batch_size, len(t_val)))
-                img, _ = t_val[idx]
-                outs.append(network.predict(img, mode).numpy())
-            m = _metrics_from_logprobs(np.concatenate(outs), t_val.targets)
+            m = _metrics_from_logprobs(
+                predict_torch(
+                    lambda img, mm=mode: network.predict(img, mm), t_val, args
+                ),
+                t_val.targets,
+            )
             out[mode] = {"acc": round(m["acc"], 2), "nll": round(m["nll"], 4),
                          "ece": round(m["ece"], 3)}
     return out

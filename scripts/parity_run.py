@@ -109,11 +109,66 @@ def _metrics_from_logprobs(log_probs: np.ndarray, labels: np.ndarray) -> dict:
     return {"acc": acc, "nll": nll, "ece": ece}
 
 
+def _seed_torch_stack(seed: int) -> None:
+    """Make the reference leg reproducible. Its weight init draws from the
+    global torch RNG and its episodic sampler from the global numpy legacy
+    RNG (``nwhead/utils.py:129,136``) — seed both. (The jax leg seeds init
+    through PRNGKey(seed); without this, --seed only reshuffled the torch
+    leg's data order and reference numbers were irreproducible init noise.)"""
+    import torch
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+
+def train_torch_recipe(network, t_train, args, step_loss) -> None:
+    """The shared reference training loop (SGD momentum-0.9 nesterov +
+    MultiStepLR gamma 0.1, ``train.py:242-250,337-350``), used by the NW,
+    FC, and IRM reference legs so the recipe cannot drift between them.
+    ``step_loss(network, criterion, img, label) -> loss tensor``."""
+    import torch
+
+    criterion = torch.nn.NLLLoss()
+    optimizer = torch.optim.SGD(
+        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
+        nesterov=True,
+    )
+    scheduler = torch.optim.lr_scheduler.MultiStepLR(
+        optimizer, milestones=args.milestones, gamma=0.1
+    )
+    rng = np.random.default_rng(args.seed)
+    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
+    for _ in range(args.epochs):
+        network.train()
+        order = rng.permutation(len(t_train))
+        for s in range(steps):
+            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
+            if len(idx) < args.batch_size:
+                idx = order[: args.batch_size]
+            img, label = t_train[idx]
+            optimizer.zero_grad()
+            loss = step_loss(network, criterion, img, label)
+            loss.backward()
+            optimizer.step()
+        scheduler.step()
+
+
+def predict_torch(forward, t_val, args) -> np.ndarray:
+    """Batched eval over the val set: ``forward(img) -> log-probs``."""
+    outs = []
+    for s in range(0, len(t_val), args.batch_size):
+        idx = np.arange(s, min(s + args.batch_size, len(t_val)))
+        img, _ = t_val[idx]
+        outs.append(forward(img).numpy())
+    return np.concatenate(outs)
+
+
 def run_reference(train_ds, val_ds, args) -> dict:
     """The reference recipe on the torch stack (train.py:242-250,337-379)."""
     import torch
 
     ref_nw, ref_model = _import_reference()
+    _seed_torch_stack(args.seed)
 
     t_train = _TorchDatasetAdapter(train_ds)
     t_val = _TorchDatasetAdapter(val_ds)
@@ -130,45 +185,22 @@ def run_reference(train_ds, val_ds, args) -> dict:
         n_way=args.n_way,
         device="cpu",
     )
-    criterion = torch.nn.NLLLoss()
-    optimizer = torch.optim.SGD(
-        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
-        nesterov=True,
+    # log-probs forward (return_mask=False)
+    train_torch_recipe(
+        network, t_train, args,
+        lambda net, criterion, img, label: criterion(net(img, label), label),
     )
-    scheduler = torch.optim.lr_scheduler.MultiStepLR(
-        optimizer, milestones=args.milestones, gamma=0.1
-    )
-
-    rng = np.random.default_rng(args.seed)
-    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
-    for _ in range(args.epochs):
-        network.train()
-        order = rng.permutation(len(t_train))
-        for s in range(steps):
-            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
-            if len(idx) < args.batch_size:
-                idx = order[: args.batch_size]
-            img, label = t_train[idx]
-            optimizer.zero_grad()
-            output = network(img, label)  # log-probs (return_mask=False)
-            loss = criterion(output, label)
-            loss.backward()
-            optimizer.step()
-        scheduler.step()
 
     network.eval()
     with torch.no_grad():
         network.precompute()
         results = {}
-        labels_all = t_val.targets
         for mode in args.modes:
-            outs = []
-            for s in range(0, len(t_val), args.batch_size):
-                idx = np.arange(s, min(s + args.batch_size, len(t_val)))
-                img, _ = t_val[idx]
-                outs.append(network.predict(img, mode).numpy())
             results[mode] = _metrics_from_logprobs(
-                np.concatenate(outs), labels_all
+                predict_torch(
+                    lambda img, m=mode: network.predict(img, m), t_val, args
+                ),
+                t_val.targets,
             )
     return results
 
@@ -184,43 +216,21 @@ def run_reference_fc(train_ds, val_ds, args) -> dict:
     _import_reference()  # sets sys.path + hnswlib stub
     ref_fc = importlib.import_module("fchead.fc")
     ref_model = importlib.import_module("model")
+    _seed_torch_stack(args.seed)
 
     t_train = _TorchDatasetAdapter(train_ds)
     t_val = _TorchDatasetAdapter(val_ds)
     featurizer = ref_model.load_model(args.ref_arch or args.arch)
     network = ref_fc.FCNet(featurizer, args.feat_dim, t_train.num_classes)
-    criterion = torch.nn.NLLLoss()
-    optimizer = torch.optim.SGD(
-        network.parameters(), lr=args.lr, momentum=0.9, weight_decay=1e-4,
-        nesterov=True,
+    train_torch_recipe(
+        network, t_train, args,
+        lambda net, criterion, img, label: criterion(net(img), label),
     )
-    scheduler = torch.optim.lr_scheduler.MultiStepLR(
-        optimizer, milestones=args.milestones, gamma=0.1
-    )
-    rng = np.random.default_rng(args.seed)
-    steps = args.steps_per_epoch or max(1, len(t_train) // args.batch_size)
-    for _ in range(args.epochs):
-        network.train()
-        order = rng.permutation(len(t_train))
-        for s in range(steps):
-            idx = order[(s * args.batch_size) % len(order):][: args.batch_size]
-            if len(idx) < args.batch_size:
-                idx = order[: args.batch_size]
-            img, label = t_train[idx]
-            optimizer.zero_grad()
-            loss = criterion(network(img), label)
-            loss.backward()
-            optimizer.step()
-        scheduler.step()
 
     network.eval()
     with torch.no_grad():
-        outs = []
-        for s in range(0, len(t_val), args.batch_size):
-            idx = np.arange(s, min(s + args.batch_size, len(t_val)))
-            img, _ = t_val[idx]
-            outs.append(network(img).numpy())
-    return _metrics_from_logprobs(np.concatenate(outs), t_val.targets)
+        log_probs = predict_torch(network, t_val, args)
+    return _metrics_from_logprobs(log_probs, t_val.targets)
 
 
 def run_tpu_fc(train_ds, val_ds, args) -> dict:

@@ -347,6 +347,10 @@ def answer_queries(net, variables, train_ds, args):
                            train_ds.num_classes, transform=t_eval,
                            workers=args.workers, decoder=args.decoder)
     if explain:
+        if args.head_precision != "f32":
+            print(f"note: --explain answers use the exact f32 raw head; "
+                  f"the {args.head_precision} prepared bank serves only "
+                  f"unexplained paths", flush=True)
         explain_fns = _build_explainer(net, train_ds)
     else:
         serve = serving_fn(net, variables,
@@ -397,10 +401,13 @@ def _build_explainer(net, train_ds):
     from nwhead_tpu.nw.net import NWModel
     from nwhead_tpu.ops.influence import support_influence
 
-    # Bank row -> support-dataset identity. Valid while the bank is the
-    # constructor-built balanced bank (incremental add/remove re-orders it).
+    # Bank row -> support-dataset identity. Valid only while the bank is in
+    # canonical precompute order — incremental add/remove re-orders it and
+    # clears the flag (length alone is not a safe guard: an equal-size
+    # add-then-remove would silently mis-attribute every explanation).
     bank_to_ds = np.concatenate(net.support_eval.full_bank_indices)
-    if len(bank_to_ds) != len(np.asarray(net.full_y)):
+    if (not getattr(net.support_eval, "bank_is_canonical", False)
+            or len(bank_to_ds) != len(np.asarray(net.full_y))):
         bank_to_ds = None
     spaths = getattr(train_ds, "paths", None)
     sy_np = np.asarray(net.full_y)
@@ -438,16 +445,23 @@ def _build_explainer(net, train_ds):
         out = []
         for b in range(len(probs)):
             by_weight = np.argsort(-weights[b])[:k]
-            by_help = np.argsort(-infl[b])[:k]
+            # Only genuinely helpful items (influence > 0, i.e. label ==
+            # predicted class) — a plain top-K would pad with least-bad
+            # opposing items when K exceeds the positive count.
+            by_help = [int(r) for r in np.argsort(-infl[b])[:k]
+                       if infl[b][r] > 0]
             harmful = int(np.argmin(infl[b]))
-            out.append({
+            entry = {
                 "predicted_class": int(pred[b]),
                 "neighbors": [item(r, weights[b][r], "weight")
                               for r in by_weight],
                 "helpful": [item(r, infl[b][r], "influence")
                             for r in by_help],
-                "most_harmful": item(harmful, infl[b][harmful], "influence"),
-            })
+            }
+            if infl[b][harmful] < 0:
+                entry["most_harmful"] = item(harmful, infl[b][harmful],
+                                             "influence")
+            out.append(entry)
         # The head's exact output is log(probs + 1e-12) (nw.py:289) — one
         # featurizer pass serves both the answer and its explanation.
         return np.log(probs + 1e-12), out
@@ -506,7 +520,12 @@ def main(argv=None):
                         "items by softmax weight plus the most helpful/"
                         "harmful items by leave-one-out influence on the "
                         "predicted class (the reference's interpretability "
-                        "story, served per request)")
+                        "story, served per request). NOTE: explained "
+                        "answers go through the exact f32 raw head (the "
+                        "prepared int8/bf16 serving bank is bypassed), so "
+                        "probabilities can differ slightly from the "
+                        "unexplained serving path under --head_precision "
+                        "int8/bf16")
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"],
                    help="force the JAX backend; 'cpu' keeps the CLI "

@@ -85,6 +85,27 @@ def test_add_support_matches_fresh_precompute(base):
     np.testing.assert_allclose(outk1, outk2, rtol=0, atol=1e-5)
 
 
+def test_bank_edits_clear_canonical_order_flag(base):
+    """Row -> dataset-index identity (serve.py --explain, bank caches)
+    holds only in canonical precompute order; any incremental edit must
+    clear the flag — length equality alone cannot catch an equal-size
+    add-then-remove that re-ordered every row."""
+    ds, extra, _ = base
+    net, variables = _make_net(ds)
+    net.precompute(variables)
+    assert net.support_eval.bank_is_canonical
+    n_before = len(np.asarray(net.full_y))
+    net.add_support(variables, extra.images, extra.targets)
+    assert not net.support_eval.bank_is_canonical
+    net.remove_support(variables, np.arange(len(extra.targets)))
+    # Same size as the original bank again — the flag must stay cleared.
+    assert len(np.asarray(net.full_y)) == n_before
+    assert not net.support_eval.bank_is_canonical
+    # A fresh precompute restores canonical order.
+    net.precompute(variables)
+    assert net.support_eval.bank_is_canonical
+
+
 def test_add_then_remove_restores_bank_exactly(base):
     ds, extra, queries = base
     net, variables = _make_net(ds)
