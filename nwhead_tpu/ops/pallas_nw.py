@@ -143,7 +143,9 @@ def prepare_support(
         # 1024-row tiles measured best for the double-buffered serving
         # kernel (DMA/compute overlap with a small pipeline tail).
         block_s = 1024
-    block_s = min(block_s, _round_up(S, 128))
+    # TPU tiles are 128 lanes wide — a sub-lane block_s can never be
+    # valid (it would make _pack_labels' chunk count zero); round it up.
+    block_s = min(_round_up(block_s, 128), _round_up(S, 128))
     s_pad = _round_up(S, block_s)
     d_pad = _round_up(D, 128)
     s_p = jnp.pad(sn, ((0, s_pad - S), (0, d_pad - D)))
@@ -725,7 +727,7 @@ def nw_fused_partials(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
             _round_up(n_classes, 128),
         )
-    block_s = min(block_s, _round_up(sfeat.shape[0], 128))
+    block_s = min(_round_up(block_s, 128), _round_up(sfeat.shape[0], 128))
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     acc, m, l = _fwd_pallas(
         qn, sn, sy, support_mask.astype(jnp.float32), scale,
@@ -1111,7 +1113,7 @@ def nw_fused_log_probs(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
             _round_up(n_classes, 128),
         )
-    block_s = min(block_s, _round_up(sfeat.shape[0], 128))
+    block_s = min(_round_up(block_s, 128), _round_up(sfeat.shape[0], 128))
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     return _nw_fused_core(
         qn,

@@ -384,6 +384,62 @@ class TestInt8Bank:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_fused_randomized_property_sweep():
+    """Seeded randomized sweep over the fused kernel's whole configuration
+    space — kernel variant x odd B/S/D/C x mask on/off x block sizes —
+    each sample checked against the naive op. Catches interactions the
+    hand-picked cases above can't enumerate (e.g. a mask with an unaligned
+    D under a small block_s); deterministic via a fixed seed."""
+    from nwhead_tpu.ops.pallas_nw import prepare_support
+
+    sweep_rng = np.random.default_rng(2026)
+    for trial in range(12):
+        kernel = KERNELS[int(sweep_rng.integers(len(KERNELS)))]
+        B = int(sweep_rng.integers(1, 10))
+        S = int(sweep_rng.integers(64, 900))
+        D = int(sweep_rng.integers(3, 131))
+        C = int(sweep_rng.integers(2, 300))
+        block_s = int(sweep_rng.choice([64, 128, 256]))
+        use_mask = bool(sweep_rng.integers(2))
+        kparams = (
+            {"logit_scale": jnp.float32(np.log(1 / 0.07))}
+            if kernel == "clip" else {}
+        )
+        q = jnp.asarray(sweep_rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(sweep_rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(sweep_rng.integers(0, C, size=S).astype(np.int32))
+        ctx = f"trial={trial} {kernel} B={B} S={S} D={D} C={C} bs={block_s} mask={use_mask}"
+        if use_mask:
+            keep = int(sweep_rng.integers(1, S))
+            mask = jnp.asarray((np.arange(S) < keep).astype(np.float32))
+            got = np.asarray(nw_fused_log_probs(
+                q, s, sy, C, kernel=kernel, kernel_params=kparams,
+                support_mask=mask, block_s=block_s,
+            ))
+            want = np.asarray(nw_log_probs(
+                q, s[:keep], sy[:keep], C, kernel=kernel, kernel_params=kparams
+            ))
+        else:
+            got = np.asarray(nw_fused_log_probs(
+                q, s, sy, C, kernel=kernel, kernel_params=kparams,
+                block_s=block_s,
+            ))
+            want = np.asarray(nw_log_probs(
+                q, s, sy, C, kernel=kernel, kernel_params=kparams
+            ))
+            # The prepared serving path must agree on the same sample
+            # (clip's logit_scale rides at call time, not prepare time).
+            prepared = prepare_support(s, sy, C, kernel=kernel)
+            got_prep = np.asarray(nw_fused_log_probs(
+                q, prepared, None, C, kernel=kernel,
+                kernel_params=kparams or None,
+            ))
+            np.testing.assert_allclose(got_prep, want, rtol=2e-3, atol=2e-3,
+                                       err_msg="prepared " + ctx)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
+                                   err_msg=ctx)
+
+
 def test_bigbank_lab_smoke(capsys):
     """scripts/bigbank_lab.py (the million-item single-chip bank demo)
     validates its prepared heads against the exact streaming oracle on the
