@@ -190,6 +190,68 @@ def test_flash_tiled_raises_when_nothing_fits(monkeypatch):
         pa._select_k_chunk(4096, 384, 4)
 
 
+def test_fused_qkv_randomized_property_sweep(monkeypatch):
+    """Seeded randomized sweep over fused_attention_qkv's configuration
+    space — B/N/H/hd x custom-vs-default scale x single-pass-vs-forced-
+    flash-tiled — each sample vs the XLA chain, plus spot grad checks.
+    Complements the hand-picked cases with shape interactions they can't
+    enumerate (the NW-kernel twin of this sweep caught a real sub-lane
+    block_s bug on its first run)."""
+    import nwhead_tpu.ops.pallas_attn as pa
+
+    sweep_rng = np.random.default_rng(2027)
+    for trial in range(8):
+        B = int(sweep_rng.integers(1, 4))
+        N = int(sweep_rng.integers(5, 300))
+        H = int(sweep_rng.integers(1, 5))
+        hd = int(sweep_rng.choice([8, 16, 32, 64]))
+        custom_scale = bool(sweep_rng.integers(2))
+        force_flash = bool(sweep_rng.integers(2))
+        scale = 0.31 if custom_scale else 1.0 / hd ** 0.5
+        qkv = jnp.asarray(
+            sweep_rng.standard_normal((B, N, 3, H, hd)).astype(np.float32)
+        )
+        ctx = (f"trial={trial} B={B} N={N} H={H} hd={hd} "
+               f"scale={'custom' if custom_scale else 'default'} "
+               f"flash={force_flash}")
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        want = np.asarray(
+            _naive(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), scale,
+            ).transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+        )
+        with monkeypatch.context() as mp:
+            if force_flash:
+                mp.setattr(pa, "_VMEM_LIMIT", 512 * 1024)
+                mp.setattr(pa, "_FLASH_CHUNK", 64)
+            kw = {"scale": scale} if custom_scale else {}
+            got = np.asarray(pa.fused_attention_qkv(qkv, H, **kw))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5,
+                                       err_msg=ctx)
+            if trial % 4 == 0:  # spot-check gradients on a subset
+                w = jnp.asarray(
+                    sweep_rng.standard_normal((H * hd,)).astype(np.float32)
+                )
+
+                def loss_fused(qkv_):
+                    out = pa.fused_attention_qkv(qkv_, H, **kw)
+                    return jnp.sum(jnp.tanh(out) * w)
+
+                def loss_xla(qkv_):
+                    q_, k_, v_ = qkv_[:, :, 0], qkv_[:, :, 1], qkv_[:, :, 2]
+                    out = _naive(
+                        q_.transpose(0, 2, 1, 3), k_.transpose(0, 2, 1, 3),
+                        v_.transpose(0, 2, 1, 3), scale,
+                    ).transpose(0, 2, 1, 3).reshape(B, N, H * hd)
+                    return jnp.sum(jnp.tanh(out) * w)
+
+                g_fused = np.asarray(jax.grad(loss_fused)(qkv))
+                g_xla = np.asarray(jax.grad(loss_xla)(qkv))
+                np.testing.assert_allclose(g_fused, g_xla, rtol=2e-3,
+                                           atol=2e-4, err_msg="grad " + ctx)
+
+
 def test_fused_int8_attention_matches_composition(rng):
     """The one-kernel int8 attention sublayer must match the unfused
     QDense(qkv) -> fused_attention_qkv -> QDense(proj) composition it
