@@ -747,9 +747,14 @@ class NWNet:
 
         if mode == "ensemble":
             sfeat_env, sy_env, smask_env = sdata
-            output = self._ensemble_from_feats(
-                variables, qfeat, sfeat_env, sy_env, smask_env
-            )
+            if self.mesh is not None:
+                output = self._ensemble_sharded(
+                    variables, qfeat, sfeat_env, sy_env, smask_env
+                )
+            else:
+                output = self._ensemble_from_feats(
+                    variables, qfeat, sfeat_env, sy_env, smask_env
+                )
         else:
             sfeat, sy = sdata
             output = self._head_from_feats(
@@ -758,6 +763,45 @@ class NWNet:
         if self.return_mask:
             return output, np.full((len(x),), True)
         return output
+
+    def _ensemble_sharded(self, variables, qfeat, sfeat_env, sy_env, smask_env):
+        """Ensemble predict over the mesh: per-env banks shard their
+        support axis; per-env online-softmax partials merge with one
+        pmax/psum pair each (exact — see
+        ``parallel.sharded_ensemble_predict_fn``). Built lazily on first
+        ensemble predict and cached against the stacked-banks tuple (a
+        strong ref, so identity cannot recycle); kernel params (clip's
+        logit_scale) are captured at build time like the full-mode sharded
+        path."""
+        cached = getattr(self, "_sharded_ensemble_cache", None)
+        if cached is not None and cached[0] is sfeat_env:
+            return cached[1](qfeat)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nwhead_tpu.parallel import sharded_ensemble_predict_fn
+
+        n_shards = self.mesh.shape["support"]
+        S = sfeat_env.shape[1]
+        s_pad = -(-S // n_shards) * n_shards
+        feat, y, mask = sfeat_env, sy_env, smask_env
+        if s_pad != S:
+            pad = ((0, 0), (0, s_pad - S))
+            feat = jnp.pad(feat, pad + ((0, 0),))
+            y = jnp.pad(y, pad)
+            mask = jnp.pad(mask, pad)  # zeros: padding rows masked out
+        shard = NamedSharding(self.mesh, P(None, "support"))
+        feat = jax.device_put(feat, shard)
+        y = jax.device_put(jnp.asarray(y, dtype=jnp.int32), shard)
+        mask = jax.device_put(jnp.asarray(mask, dtype=jnp.float32), shard)
+        kparams = variables["params"].get("head", {})
+        kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
+        fn = sharded_ensemble_predict_fn(
+            self.mesh, feat, y, mask, self.n_classes,
+            kernel=self.kernel_type, kernel_params=kparams,
+        )
+        self._sharded_ensemble_cache = (sfeat_env, fn)
+        return fn(qfeat)
 
     def _ensemble_from_feats_impl(self, variables, qfeat, sfeat_env, sy_env, smask_env):
         """Prob-space average of per-env NW heads over stacked (E, S, D)

@@ -9,6 +9,7 @@ from nwhead_tpu.parallel.sharded_bank import (
     ShardedSupportBank,
     merge_partials,
     nw_partials,
+    sharded_ensemble_predict_fn,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "ShardedSupportBank",
     "nw_partials",
     "merge_partials",
+    "sharded_ensemble_predict_fn",
 ]

@@ -88,6 +88,66 @@ def merge_partials(m, l, acc, axis_name: str):
     return jnp.log(probs + LOG_FLOOR)
 
 
+def sharded_ensemble_predict_fn(
+    mesh: Mesh,
+    ens_feat: jnp.ndarray,
+    ens_y: jnp.ndarray,
+    ens_mask: jnp.ndarray,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+    use_fused: Optional[bool] = None,
+):
+    """Support-sharded ensemble predict: the prob-space per-environment
+    average (``nw.py:143-154``) at pod scale.
+
+    The stacked per-env banks (E, S_pad, D) shard their SUPPORT axis over
+    the 'support' mesh axis (``S_pad`` must be a multiple of the shard
+    count; padding rows carry ``ens_mask == 0``). Each device scans its
+    local slice of every environment, emitting online-softmax partials per
+    env; one (B, C+2) pmax/psum pair per env merges them exactly — the
+    same constant-ICI-payload recipe as full mode, E times. Returns a
+    jitted ``qfeat (B, D) -> (B, C)`` ensemble log-probs function
+    (queries sharded over 'data').
+    """
+    n_envs = ens_feat.shape[0]
+
+    def local(qfeat, sf, sy, sm):
+        def body(acc, xs):
+            f, y, m_ = xs
+            m, l, a = nw_partials(
+                qfeat, f, y, m_, n_classes,
+                kernel=kernel, kernel_params=kernel_params,
+                use_fused=use_fused,
+            )
+            lp = merge_partials(m, l, a, "support")
+            return acc + jnp.exp(lp), None
+
+        init = jnp.zeros((qfeat.shape[0], n_classes), jnp.float32)
+        total, _ = jax.lax.scan(body, init, (sf, sy, sm))
+        # Matches the single-device ensemble exactly: each env's log-probs
+        # already carry the +1e-12 floor; the mean is taken in prob space.
+        return jnp.log(total / n_envs)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P(None, "support"), P(None, "support"),
+                  P(None, "support")),
+        out_specs=P("data"),
+        # pallas_call outputs carry no varying-mesh-axes metadata (same
+        # reason as the full-mode paths below).
+        check_vma=False,
+    )
+
+    @jax.jit
+    def predict(qfeat):
+        return mapped(qfeat, ens_feat, ens_y, ens_mask)
+
+    return predict
+
+
 @dataclass
 class ShardedSupportBank:
     """HBM-resident support bank, rows sharded over the 'support' mesh axis.

@@ -260,6 +260,62 @@ def test_nwnet_with_mesh_full_mode(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_nwnet_with_mesh_ensemble_mode(rng):
+    """Ensemble mode under a mesh shards every env bank's support axis and
+    merges per-env online-softmax partials (exact) — it must match the
+    single-device stacked-bank scan bit-for-bit semantics, including
+    uneven per-env sizes (padding rows masked) and a support axis that
+    does not divide the shard count."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=42, n_classes=3, size=8, seed=0)
+    # Three environments of uneven sizes -> uneven per-env banks.
+    env = np.concatenate([np.zeros(10), np.ones(15), np.full(17, 2)]).astype(int)
+    mesh = make_mesh(2, 4)
+
+    def build(mesh_arg):
+        net = NWNet(
+            Tiny(), n_classes=3, support_dataset=ds, feat_dim=16,
+            n_shot=1, n_shot_full=7, env_array=env, train_type="irm",
+            seed=0, mesh=mesh_arg,
+        )
+        variables = net.init(
+            jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2)))
+        )
+        net.precompute(variables)
+        return net, variables
+
+    net_s, var_s = build(mesh)
+    net_u, var_u = build(None)
+
+    x = jnp.asarray(ds.gather(np.arange(4)))
+    got = np.asarray(net_s.predict(var_s, x, "ensemble"))
+    want = np.asarray(net_u.predict(var_u, x, "ensemble"))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # The sharded fn is cached and reused on a second predict.
+    fn_first = net_s._sharded_ensemble_cache[1]
+    _ = net_s.predict(var_s, x, "ensemble")
+    assert net_s._sharded_ensemble_cache[1] is fn_first
+    # A bank edit rebuilds the stacked banks -> the cache must refresh.
+    extra = make_synthetic_dataset(n=4, n_classes=3, size=8, seed=5)
+    net_s.add_support(var_s, extra.images, extra.targets, env_id=1)
+    got2 = np.asarray(net_s.predict(var_s, x, "ensemble"))
+    assert net_s._sharded_ensemble_cache[1] is not fn_first
+    assert np.isfinite(got2).all()
+
+
 def test_sync_batchnorm_matches_single_device(rng):
     """bn_axis_name='data' inside shard_map: per-device BN stats reduced
     across the mesh must equal single-device full-batch BN."""
