@@ -743,6 +743,23 @@ class NWNet:
                 return output, np.full((len(x),), True)
             return output
 
+        if (
+            mode == "knn"
+            and self.mesh is not None
+            and self.sharded_bank is not None
+            and self.sharded_bank.feat is not None  # raw-mode bank only
+            and self.support_eval.n_neighbors
+            <= self.sharded_bank.feat.shape[0] // self.mesh.shape["support"]
+        ):
+            # Pod-scale exact KNN: two-stage top-k + multiplicity-weighted
+            # partials over the sharded bank (no single-device bank copy
+            # touched). Prepared-mode banks drop raw rows; they fall back
+            # to the single-device ExactKNN path below.
+            output = self._knn_sharded(variables, qfeat)
+            if self.return_mask:
+                return output, np.full((len(x),), True)
+            return output
+
         sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if mode == "ensemble":
@@ -763,6 +780,30 @@ class NWNet:
         if self.return_mask:
             return output, np.full((len(x),), True)
         return output
+
+    def _knn_sharded(self, variables, qfeat):
+        """Sharded exact-KNN predict, cached against the sharded bank
+        (strong ref — identity cannot recycle; precompute/bank edits build
+        a new ShardedSupportBank and refresh the cache)."""
+        cached = getattr(self, "_sharded_knn_cache", None)
+        if cached is not None and cached[0] is self.sharded_bank:
+            return cached[1](qfeat)
+        from nwhead_tpu.parallel import sharded_knn_predict_fn
+
+        kparams = variables["params"].get("head", {})
+        kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
+        fn = sharded_knn_predict_fn(
+            self.mesh,
+            self.sharded_bank.feat,
+            self.sharded_bank.labels,
+            self.sharded_bank.mask,
+            self.n_classes,
+            self.support_eval.n_neighbors,
+            kernel=self.kernel_type,
+            kernel_params=kparams,
+        )
+        self._sharded_knn_cache = (self.sharded_bank, fn)
+        return fn(qfeat)
 
     def _ensemble_sharded(self, variables, qfeat, sfeat_env, sy_env, smask_env):
         """Ensemble predict over the mesh: per-env banks shard their

@@ -10,6 +10,7 @@ from nwhead_tpu.parallel.sharded_bank import (
     merge_partials,
     nw_partials,
     sharded_ensemble_predict_fn,
+    sharded_knn_predict_fn,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "nw_partials",
     "merge_partials",
     "sharded_ensemble_predict_fn",
+    "sharded_knn_predict_fn",
 ]

@@ -148,6 +148,100 @@ def sharded_ensemble_predict_fn(
     return predict
 
 
+def sharded_knn_predict_fn(
+    mesh: Mesh,
+    feat: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_classes: int,
+    n_neighbors: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+):
+    """Support-sharded exact-KNN predict: the reference's knn mode
+    (``nwhead/utils.py:178-193`` + the 2-D support broadcast
+    ``nw.py:277-289``) at pod scale, with its union-with-duplicates quirk
+    preserved exactly.
+
+    Two stages inside one shard_map, no feature gather ever crosses ICI:
+      1. each device takes its local L2 top-k per query, the per-shard
+         candidates all_gather over 'support' AND 'data' (the union is
+         over the WHOLE batch, like the reference's flat concat), and a
+         second top-k picks the true global neighbors;
+      2. the union support's NW head is full-mode NW restricted to the
+         union rows — with row MULTIPLICITY folded into the scores as
+         ``+ln(count)`` (``c·exp(s) == exp(s + ln c)``, so a row that is
+         several queries' neighbor counts several times, exactly matching
+         the reference's duplicated flat support). Per-shard
+         online-softmax partials then merge with the usual pmax/psum pair.
+
+    feat (S_pad, D) / labels (S_pad,) / mask (S_pad,) are sharded
+    P('support'); ``n_neighbors`` must not exceed the local shard size.
+    Returns a jitted ``qfeat (B, D) -> (B, C)`` log-probs function.
+    """
+    from nwhead_tpu.ops.kernels import pairwise_sqdist
+
+    kernel_fn, init_params = get_kernel(kernel)
+    kparams = kernel_params if kernel_params is not None else init_params
+    k = n_neighbors
+
+    def local(qfeat, sfeat, sy, smask):
+        S_loc = sfeat.shape[0]
+        # Stage 1: local L2 candidates (the reference's index metric is
+        # always L2 regardless of the head kernel, utils.py:187).
+        d2 = pairwise_sqdist(qfeat[None], sfeat[None])[0]  # (B_loc, S_loc)
+        neg = jnp.where(smask[None, :] > 0, -d2, -jnp.inf)
+        cand_s, cand_i = jax.lax.top_k(neg, k)
+        offset = jax.lax.axis_index("support") * S_loc
+        cand_gi = cand_i + offset
+        all_s = jax.lax.all_gather(cand_s, "support")  # (ns, B_loc, k)
+        all_i = jax.lax.all_gather(cand_gi, "support")
+        all_s = jax.lax.all_gather(all_s, "data")  # (nd, ns, B_loc, k)
+        all_i = jax.lax.all_gather(all_i, "data")
+        nd, ns, b_loc, _ = all_s.shape
+        # Global top-k per query over its ns*k candidates (exact: top-k of
+        # per-shard top-ks).
+        per_q_s = all_s.transpose(0, 2, 1, 3).reshape(nd * b_loc, ns * k)
+        per_q_i = all_i.transpose(0, 2, 1, 3).reshape(nd * b_loc, ns * k)
+        _, pos = jax.lax.top_k(per_q_s, k)
+        union_ids = jnp.take_along_axis(per_q_i, pos, axis=1).reshape(-1)
+
+        # Stage 2: per-row multiplicity on this shard.
+        loc = union_ids - offset
+        valid = (loc >= 0) & (loc < S_loc)
+        counts = jnp.zeros(S_loc, jnp.float32).at[
+            jnp.clip(loc, 0, S_loc - 1)
+        ].add(jnp.where(valid, 1.0, 0.0))
+
+        scores = kernel_fn(kparams, qfeat[None], sfeat[None])[0]  # (B_loc, S_loc)
+        adj = jnp.where(
+            counts[None, :] > 0,
+            scores + jnp.log(jnp.maximum(counts, 1.0))[None, :],
+            _NEG_INF,
+        )
+        m = jnp.max(adj, axis=-1, keepdims=True)
+        m_safe = jnp.where(m > _NEG_INF / 2, m, 0.0)
+        p = jnp.where(adj > _NEG_INF / 2, jnp.exp(adj - m_safe), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = p @ jax.nn.one_hot(sy, n_classes, dtype=jnp.float32)
+        return merge_partials(m, l, acc, "support")
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("support"), P("support"), P("support")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def predict(qfeat):
+        return mapped(qfeat, feat, labels, mask)
+
+    return predict
+
+
 @dataclass
 class ShardedSupportBank:
     """HBM-resident support bank, rows sharded over the 'support' mesh axis.

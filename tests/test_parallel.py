@@ -316,6 +316,90 @@ def test_nwnet_with_mesh_ensemble_mode(rng):
     assert np.isfinite(got2).all()
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_knn_matches_single_device(rng, mesh_shape):
+    """Sharded exact-KNN predict (two-stage top-k + multiplicity-weighted
+    masked partials) must equal the single-device ExactKNN union support
+    through the NW head — including the union-with-duplicates quirk (the
+    +ln(count) score fold) and the whole-batch union semantics across
+    data shards."""
+    from nwhead_tpu.ops.knn import ExactKNN
+    from nwhead_tpu.ops.nw import nw_log_probs
+    from nwhead_tpu.parallel import sharded_knn_predict_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data, n_support = mesh_shape
+    mesh = make_mesh(n_data, n_support)
+    C, S, D, B, k = 5, 96, 16, 8, 4
+    feats = rng.standard_normal((S, D)).astype(np.float32)
+    labels = rng.integers(0, C, size=S).astype(np.int32)
+    # Queries drawn NEAR bank rows so several queries share neighbors ->
+    # the union support contains duplicates (the quirk under test).
+    q = (feats[rng.integers(0, 12, size=B)]
+         + 0.01 * rng.standard_normal((B, D))).astype(np.float32)
+
+    # Single-device reference composition.
+    knn = ExactKNN(feats, labels, n_neighbors=k)
+    sf_u, sy_u = knn(q)
+    want = np.asarray(nw_log_probs(
+        jnp.asarray(q), sf_u, jnp.asarray(np.asarray(sy_u), dtype=jnp.int32), C
+    ))
+
+    shard = NamedSharding(mesh, P("support"))
+    fn = sharded_knn_predict_fn(
+        mesh,
+        jax.device_put(jnp.asarray(feats), shard),
+        jax.device_put(jnp.asarray(labels), shard),
+        jax.device_put(jnp.ones(S, jnp.float32), shard),
+        C, k,
+    )
+    got = np.asarray(fn(
+        jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_nwnet_with_mesh_knn_mode(rng):
+    """NWNet(mesh=...).predict(..., 'knn') routes through the sharded KNN
+    path (raw-mode bank) and must equal the meshless single-device result."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=0)
+    mesh = make_mesh(2, 4)
+
+    def build(mesh_arg):
+        net = NWNet(
+            Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+            n_shot=1, n_shot_full=10, n_neighbors=3, seed=0, mesh=mesh_arg,
+        )
+        variables = net.init(
+            jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2)))
+        )
+        net.precompute(variables)
+        return net, variables
+
+    net_s, var_s = build(mesh)
+    net_u, var_u = build(None)
+    assert net_s.sharded_bank is not None and net_s.sharded_bank.feat is not None
+
+    x = jnp.asarray(ds.gather(np.arange(8)))
+    got = np.asarray(net_s.predict(var_s, x, "knn"))
+    want = np.asarray(net_u.predict(var_u, x, "knn"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert net_s._sharded_knn_cache is not None  # routed through the mesh path
+
+
 def test_sync_batchnorm_matches_single_device(rng):
     """bn_axis_name='data' inside shard_map: per-device BN stats reduced
     across the mesh must equal single-device full-batch BN."""
