@@ -146,6 +146,49 @@ def main(argv=None):
         # Support sharding splits a FIXED bank: ideal speedup = n.
         report["predict_scaling_efficiency"] = round(qps_n / (qps_1 * n), 3)
 
+    # -- 1b. sharded ensemble + exact-KNN predict (the other two bank-
+    # holding modes; both ride the same partials merge — measured so the
+    # pod table covers every sharded inference path) -----------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from nwhead_tpu.parallel import (
+        sharded_ensemble_predict_fn, sharded_knn_predict_fn,
+    )
+
+    if n > 1:
+        mesh = make_mesh(1, n, devices=devices)
+        shard_s = NamedSharding(mesh, P("support"))
+        shard_es = NamedSharding(mesh, P(None, "support"))
+        n_envs = 3
+        s_env = (args.support // n_envs // n) * n  # per-env, shard-divisible
+        if s_env > 0:
+            ens_feat = jax.device_put(jnp.asarray(
+                feats[: n_envs * s_env].reshape(n_envs, s_env, args.dim)
+            ), shard_es)
+            ens_y = jax.device_put(jnp.asarray(
+                labels[: n_envs * s_env].reshape(n_envs, s_env)
+            ), shard_es)
+            ens_mask = jax.device_put(
+                jnp.ones((n_envs, s_env), jnp.float32), shard_es
+            )
+            ens_fn = sharded_ensemble_predict_fn(
+                mesh, ens_feat, ens_y, ens_mask, args.classes
+            )
+            t_e = _time_calls(ens_fn, (q,), args.iters)
+            report["ensemble_qps_ndev"] = round(args.batch / t_e, 1)
+            report["ensemble_ms_ndev"] = round(t_e * 1e3, 3)
+
+        k = min(20, args.support // n)
+        knn_fn = sharded_knn_predict_fn(
+            mesh,
+            jax.device_put(jnp.asarray(feats), shard_s),
+            jax.device_put(jnp.asarray(labels), shard_s),
+            jax.device_put(jnp.ones(args.support, jnp.float32), shard_s),
+            args.classes, k,
+        )
+        t_k = _time_calls(knn_fn, (q,), args.iters)
+        report["knn_qps_ndev"] = round(args.batch / t_k, 1)
+        report["knn_ms_ndev"] = round(t_k * 1e3, 3)
+
     # -- 2. data-parallel training step (weak scaling) ---------------------
     if not args.skip_train:
         report.update(_train_scaling(args, devices))
