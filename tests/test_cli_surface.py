@@ -178,6 +178,33 @@ def test_cli_mesh_distributed_training(tmp_path):
     assert (run_dir / "checkpoints" / "model.0001").exists()
 
 
+def test_cli_mesh_eval_sharded_modes(tmp_path):
+    """train.py --mesh -> eval.py --mesh over the checkpoint, evaluating
+    the three sharded inference paths (full / knn / ensemble). With a
+    single environment the sharded ensemble must equal full mode exactly
+    (E=1 prob-space mean is the identity)."""
+    import eval as E
+    import train as T
+
+    T.main([
+        "--dataset", "synthetic", "--models_dir", str(tmp_path / "runs"),
+        "--mesh", "2,2",
+        "--batch_size", "4", "--n_way", "4", "--n_shot", "1",
+        "--num_epochs", "1", "--num_steps_per_epoch", "2",
+        "--num_val_steps_per_epoch", "1", "--log_interval", "1",
+    ])
+    run_dir = next(p for p in (tmp_path / "runs").iterdir() if p.is_dir())
+    out = E.main([
+        "--dataset", "synthetic", "--mesh", "2,2",
+        "--modes", "full", "knn", "ensemble",
+        "--batch_size", "4", "--num_val_steps", "2",
+        "--ckpt", str(run_dir / "checkpoints" / "model.0001"),
+    ])
+    for mode in ("full", "knn", "ensemble"):
+        assert np.isfinite(out[mode]["acc"]) and 0 <= out[mode]["acc"] <= 100
+    assert abs(out["ensemble"]["nll"] - out["full"]["nll"]) < 1e-5
+
+
 def test_cli_mesh_rejects_fchead(tmp_path):
     import train as T
 
