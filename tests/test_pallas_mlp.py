@@ -112,6 +112,68 @@ def test_vit_fully_fused_trains(rng):
     assert np.abs(gm).max() > 0
 
 
+def test_fused_mlp_randomized_property_sweep():
+    """Seeded randomized sweep over fused_mlp's space — M/Din/Dh/Dout x
+    2-D/3-D input x block_m x dtype — vs the XLA chain, with spot grad
+    checks (the kernel-sweep pattern that caught a real block_s bug in the
+    NW kernel)."""
+    sweep_rng = np.random.default_rng(2028)
+    for trial in range(8):
+        Din = int(sweep_rng.choice([16, 48, 64, 96]))
+        Dh = int(sweep_rng.choice([32, 128, 200, 256]))
+        Dout = int(sweep_rng.choice([16, 64, 96]))
+        three_d = bool(sweep_rng.integers(2))
+        bf16 = bool(sweep_rng.integers(2))
+        block_m = int(sweep_rng.choice([64, 128, 512]))
+        if three_d:
+            B = int(sweep_rng.integers(1, 4))
+            N = int(sweep_rng.integers(3, 80))
+            shape = (B, N, Din)
+        else:
+            shape = (int(sweep_rng.integers(1, 400)), Din)
+        ctx = f"trial={trial} shape={shape} Dh={Dh} Dout={Dout} bm={block_m} bf16={bf16}"
+        x = jnp.asarray(sweep_rng.standard_normal(shape).astype(np.float32))
+        w1 = jnp.asarray(
+            (sweep_rng.standard_normal((Din, Dh)) * 0.1).astype(np.float32)
+        )
+        b1 = jnp.asarray(sweep_rng.standard_normal(Dh).astype(np.float32))
+        w2 = jnp.asarray(
+            (sweep_rng.standard_normal((Dh, Dout)) * 0.1).astype(np.float32)
+        )
+        b2 = jnp.asarray(sweep_rng.standard_normal(Dout).astype(np.float32))
+        if bf16:
+            xb = x.astype(jnp.bfloat16)
+            got = np.asarray(
+                fused_mlp(xb, w1, b1, w2, b2, block_m=block_m)
+                .astype(jnp.float32)
+            )
+            want = np.asarray(_naive(
+                xb, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2
+            ).astype(jnp.float32))
+            np.testing.assert_allclose(got, want, rtol=6e-2, atol=6e-2,
+                                       err_msg=ctx)
+        else:
+            got = np.asarray(fused_mlp(x, w1, b1, w2, b2, block_m=block_m))
+            want = np.asarray(_naive(x, w1, b1, w2, b2))
+            np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4,
+                                       err_msg=ctx)
+            if trial % 4 == 0:
+                def loss_f(fn):
+                    def f(x_, w1_, w2_):
+                        return jnp.sum(jnp.tanh(fn(x_, w1_, b1, w2_, b2)))
+                    return f
+
+                gf = jax.grad(loss_f(
+                    lambda *a, **k: fused_mlp(*a, block_m=block_m, **k)
+                ), argnums=(0, 1, 2))(x, w1, w2)
+                gx = jax.grad(loss_f(_naive), argnums=(0, 1, 2))(x, w1, w2)
+                for a, b, name in zip(gf, gx, ("dx", "dw1", "dw2")):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                        err_msg=f"{name} {ctx}",
+                    )
+
+
 def test_fused_int8_mlp_ln_folded(rng):
     """Folding the LayerNorm into the int8 MLP kernel must equal
     QLayerNorm -> fused_mlp_int8 exactly."""
