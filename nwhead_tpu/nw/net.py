@@ -155,6 +155,8 @@ class NWNet:
         # merge (parallel.ShardedSupportBank).
         self.mesh = mesh
         self.sharded_bank = None
+        self._sharded_knn_cache = None
+        self._sharded_ensemble_cache = None
         self.quantized_featurizer = None  # set by quantize_featurizer()
 
         self.model = NWModel(
@@ -253,6 +255,8 @@ class NWNet:
         self._prepared_full = None
         self.sharded_bank = None
         self._sharded_predict = None
+        self._sharded_knn_cache = None
+        self._sharded_ensemble_cache = None
 
     def forward(
         self,
@@ -336,6 +340,8 @@ class NWNet:
             self._prepared_full = None
             self.sharded_bank = None
             self._sharded_predict = None
+            self._sharded_knn_cache = None
+            self._sharded_ensemble_cache = None
             return
 
         def feat(_variables, x):
@@ -357,6 +363,8 @@ class NWNet:
         self._prepared_full = None
         self.sharded_bank = None
         self._sharded_predict = None
+        self._sharded_knn_cache = None
+        self._sharded_ensemble_cache = None
 
     def fuse_featurizer(self, variables: Dict[str, Any]) -> None:
         """Swap the eval/serving featurizer for the bf16 fused-serving
@@ -396,6 +404,8 @@ class NWNet:
         self._prepared_full = None
         self.sharded_bank = None
         self._sharded_predict = None
+        self._sharded_knn_cache = None
+        self._sharded_ensemble_cache = None
 
     @staticmethod
     def _variables_fingerprint(variables):
@@ -474,6 +484,10 @@ class NWNet:
         # shadows it and the extra bank-sized copy would defeat sharding's
         # memory purpose.
         self._prepared_full = None
+        # Drop the mode caches NOW — they pin whole retired banks in HBM
+        # until their mode happens to be called again otherwise.
+        self._sharded_knn_cache = None
+        self._sharded_ensemble_cache = None
         if (
             self.mesh is None
             and self.model.use_fused
@@ -507,9 +521,9 @@ class NWNet:
                 use_prepared=None if fused_ok else False,
             )
             # Trained kernel params (clip's logit_scale) ride along.
-            kparams = variables["params"].get("head", {})
-            kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
-            self._sharded_predict = self.sharded_bank.predict_fn(kernel_params=kparams)
+            self._sharded_predict = self.sharded_bank.predict_fn(
+                kernel_params=self._head_kernel_params(variables)
+            )
 
     # -- incremental bank updates (serving-time; beyond the reference) -------
 
@@ -750,6 +764,11 @@ class NWNet:
             and self.sharded_bank.feat is not None  # raw-mode bank only
             and self.support_eval.n_neighbors
             <= self.sharded_bank.feat.shape[0] // self.mesh.shape["support"]
+            # k must not exceed the VALID row count either — single-device
+            # ExactKNN errors loudly there (lax.top_k(k > S)); falling back
+            # preserves that behavior instead of silently padding the
+            # union with masked rows.
+            and self.support_eval.n_neighbors <= len(np.asarray(self.full_y))
         ):
             # Pod-scale exact KNN: two-stage top-k + multiplicity-weighted
             # partials over the sharded bank (no single-device bank copy
@@ -760,18 +779,22 @@ class NWNet:
                 return output, np.full((len(x),), True)
             return output
 
+        if mode == "ensemble" and self.mesh is not None:
+            # Sharded BEFORE get_support: the single-device path's stacked
+            # (E, S_max, D) bank would be materialized on one device —
+            # exactly the copy sharding exists to avoid.
+            output = self._ensemble_sharded(variables, qfeat)
+            if self.return_mask:
+                return output, np.full((len(x),), True)
+            return output
+
         sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if mode == "ensemble":
             sfeat_env, sy_env, smask_env = sdata
-            if self.mesh is not None:
-                output = self._ensemble_sharded(
-                    variables, qfeat, sfeat_env, sy_env, smask_env
-                )
-            else:
-                output = self._ensemble_from_feats(
-                    variables, qfeat, sfeat_env, sy_env, smask_env
-                )
+            output = self._ensemble_from_feats(
+                variables, qfeat, sfeat_env, sy_env, smask_env
+            )
         else:
             sfeat, sy = sdata
             output = self._head_from_feats(
@@ -781,17 +804,22 @@ class NWNet:
             return output, np.full((len(x),), True)
         return output
 
+    @staticmethod
+    def _head_kernel_params(variables) -> Optional[Dict[str, Any]]:
+        """Trained kernel params that ride into sharded predict builders
+        (today: clip's logit_scale)."""
+        kparams = variables["params"].get("head", {})
+        return {k: v for k, v in kparams.items() if k == "logit_scale"} or None
+
     def _knn_sharded(self, variables, qfeat):
         """Sharded exact-KNN predict, cached against the sharded bank
         (strong ref — identity cannot recycle; precompute/bank edits build
         a new ShardedSupportBank and refresh the cache)."""
-        cached = getattr(self, "_sharded_knn_cache", None)
+        cached = self._sharded_knn_cache
         if cached is not None and cached[0] is self.sharded_bank:
             return cached[1](qfeat)
         from nwhead_tpu.parallel import sharded_knn_predict_fn
 
-        kparams = variables["params"].get("head", {})
-        kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
         fn = sharded_knn_predict_fn(
             self.mesh,
             self.sharded_bank.feat,
@@ -800,48 +828,59 @@ class NWNet:
             self.n_classes,
             self.support_eval.n_neighbors,
             kernel=self.kernel_type,
-            kernel_params=kparams,
+            kernel_params=self._head_kernel_params(variables),
         )
         self._sharded_knn_cache = (self.sharded_bank, fn)
         return fn(qfeat)
 
-    def _ensemble_sharded(self, variables, qfeat, sfeat_env, sy_env, smask_env):
+    def _ensemble_sharded(self, variables, qfeat):
         """Ensemble predict over the mesh: per-env banks shard their
         support axis; per-env online-softmax partials merge with one
         pmax/psum pair each (exact — see
-        ``parallel.sharded_ensemble_predict_fn``). Built lazily on first
-        ensemble predict and cached against the stacked-banks tuple (a
-        strong ref, so identity cannot recycle); kernel params (clip's
-        logit_scale) are captured at build time like the full-mode sharded
-        path."""
-        cached = getattr(self, "_sharded_ensemble_cache", None)
-        if cached is not None and cached[0] is sfeat_env:
+        ``parallel.sharded_ensemble_predict_fn``).
+
+        The stacked banks are built straight from the HOST-side per-env
+        feature copies (``full_feat_sep`` numpy arrays) and device_put
+        with the sharded layout — the single-device (E, S_max, D) stack
+        the meshless path materializes never exists here, so ensemble
+        capacity scales with pod HBM. Built lazily on first ensemble
+        predict and cached against the sep-list identity (a strong ref, so
+        identity cannot recycle; ``_install_bank`` creates a new list on
+        every bank change); kernel params are captured at build time like
+        the full-mode sharded path."""
+        sep = self.support_eval.full_feat_sep
+        cached = self._sharded_ensemble_cache
+        if cached is not None and cached[0] is sep:
             return cached[1](qfeat)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from nwhead_tpu.parallel import sharded_ensemble_predict_fn
 
+        sy_sep = self.support_eval.full_y_sep
         n_shards = self.mesh.shape["support"]
-        S = sfeat_env.shape[1]
-        s_pad = -(-S // n_shards) * n_shards
-        feat, y, mask = sfeat_env, sy_env, smask_env
-        if s_pad != S:
-            pad = ((0, 0), (0, s_pad - S))
-            feat = jnp.pad(feat, pad + ((0, 0),))
-            y = jnp.pad(y, pad)
-            mask = jnp.pad(mask, pad)  # zeros: padding rows masked out
+        n_envs = len(sep)
+        s_max = max(len(f) for f in sep)
+        s_pad = -(-s_max // n_shards) * n_shards
+        d = sep[0].shape[-1]
+        ens_feat = np.zeros((n_envs, s_pad, d), np.float32)
+        ens_y = np.zeros((n_envs, s_pad), np.int32)
+        ens_mask = np.zeros((n_envs, s_pad), np.float32)
+        for e, (f, y) in enumerate(zip(sep, sy_sep)):
+            ens_feat[e, : len(f)] = f
+            ens_y[e, : len(y)] = y
+            ens_mask[e, : len(f)] = 1.0
         shard = NamedSharding(self.mesh, P(None, "support"))
-        feat = jax.device_put(feat, shard)
-        y = jax.device_put(jnp.asarray(y, dtype=jnp.int32), shard)
-        mask = jax.device_put(jnp.asarray(mask, dtype=jnp.float32), shard)
-        kparams = variables["params"].get("head", {})
-        kparams = {k: v for k, v in kparams.items() if k == "logit_scale"} or None
         fn = sharded_ensemble_predict_fn(
-            self.mesh, feat, y, mask, self.n_classes,
-            kernel=self.kernel_type, kernel_params=kparams,
+            self.mesh,
+            jax.device_put(jnp.asarray(ens_feat), shard),
+            jax.device_put(jnp.asarray(ens_y), shard),
+            jax.device_put(jnp.asarray(ens_mask), shard),
+            self.n_classes,
+            kernel=self.kernel_type,
+            kernel_params=self._head_kernel_params(variables),
         )
-        self._sharded_ensemble_cache = (sfeat_env, fn)
+        self._sharded_ensemble_cache = (sep, fn)
         return fn(qfeat)
 
     def _ensemble_from_feats_impl(self, variables, qfeat, sfeat_env, sy_env, smask_env):

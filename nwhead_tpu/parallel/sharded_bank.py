@@ -141,9 +141,13 @@ def sharded_ensemble_predict_fn(
         check_vma=False,
     )
 
-    @jax.jit
+    # The bank rides as jit ARGUMENTS — closing over it would inline it
+    # as HLO constants (the remote compile service rejects big bodies;
+    # CLAUDE.md 413 lesson).
+    jitted = jax.jit(mapped)
+
     def predict(qfeat):
-        return mapped(qfeat, ens_feat, ens_y, ens_mask)
+        return jitted(qfeat, ens_feat, ens_y, ens_mask)
 
     return predict
 
@@ -204,12 +208,17 @@ def sharded_knn_predict_fn(
         # per-shard top-ks).
         per_q_s = all_s.transpose(0, 2, 1, 3).reshape(nd * b_loc, ns * k)
         per_q_i = all_i.transpose(0, 2, 1, 3).reshape(nd * b_loc, ns * k)
-        _, pos = jax.lax.top_k(per_q_s, k)
+        top_s, pos = jax.lax.top_k(per_q_s, k)
         union_ids = jnp.take_along_axis(per_q_i, pos, axis=1).reshape(-1)
+        # A shard with fewer than k valid rows backfills its local top-k
+        # with -inf masked/padding candidates; if the GLOBAL valid count is
+        # also short of k they would survive the second top-k and leak
+        # masked rows into the union — drop them by score.
+        union_ok = (top_s > -jnp.inf).reshape(-1)
 
         # Stage 2: per-row multiplicity on this shard.
         loc = union_ids - offset
-        valid = (loc >= 0) & (loc < S_loc)
+        valid = (loc >= 0) & (loc < S_loc) & union_ok
         counts = jnp.zeros(S_loc, jnp.float32).at[
             jnp.clip(loc, 0, S_loc - 1)
         ].add(jnp.where(valid, 1.0, 0.0))
@@ -235,9 +244,10 @@ def sharded_knn_predict_fn(
         check_vma=False,
     )
 
-    @jax.jit
+    jitted = jax.jit(mapped)  # bank as jit args (413-proof), not closure
+
     def predict(qfeat):
-        return mapped(qfeat, feat, labels, mask)
+        return jitted(qfeat, feat, labels, mask)
 
     return predict
 
@@ -408,9 +418,10 @@ class ShardedSupportBank:
                 check_vma=False,
             )
 
-            @jax.jit
+            jitted = jax.jit(mapped)  # bank as jit args (413-proof)
+
             def predict_prepared(qfeat):
-                return mapped(qfeat, *[getattr(prep, n) for n in names])
+                return jitted(qfeat, *[getattr(prep, n) for n in names])
 
             return predict_prepared
 
@@ -431,8 +442,9 @@ class ShardedSupportBank:
             check_vma=False,
         )
 
-        @jax.jit
+        jitted = jax.jit(mapped)  # bank as jit args (413-proof)
+
         def predict(qfeat):
-            return mapped(qfeat, self.feat, self.labels, self.mask)
+            return jitted(qfeat, self.feat, self.labels, self.mask)
 
         return predict

@@ -177,12 +177,22 @@ def main(argv=None):
             report["ensemble_qps_ndev"] = round(args.batch / t_e, 1)
             report["ensemble_ms_ndev"] = round(t_e * 1e3, 3)
 
-        k = min(20, args.support // n)
+        # Pad the bank to a shard multiple (mask 0 = absent), like
+        # ShardedSupportBank.build — a non-dividing device count must not
+        # kill the scaling table.
+        s_pad = -(-args.support // n) * n
+        feats_p = np.zeros((s_pad, args.dim), np.float32)
+        feats_p[: args.support] = feats
+        labels_p = np.zeros(s_pad, np.int32)
+        labels_p[: args.support] = labels
+        mask_p = np.zeros(s_pad, np.float32)
+        mask_p[: args.support] = 1.0
+        k = min(20, s_pad // n)
         knn_fn = sharded_knn_predict_fn(
             mesh,
-            jax.device_put(jnp.asarray(feats), shard_s),
-            jax.device_put(jnp.asarray(labels), shard_s),
-            jax.device_put(jnp.ones(args.support, jnp.float32), shard_s),
+            jax.device_put(jnp.asarray(feats_p), shard_s),
+            jax.device_put(jnp.asarray(labels_p), shard_s),
+            jax.device_put(jnp.asarray(mask_p), shard_s),
             args.classes, k,
         )
         t_k = _time_calls(knn_fn, (q,), args.iters)

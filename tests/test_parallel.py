@@ -359,6 +359,42 @@ def test_sharded_knn_matches_single_device(rng, mesh_shape):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_knn_masked_rows_never_enter_union(rng):
+    """When shards back-fill their local top-k with -inf masked/padding
+    candidates (fewer than k valid rows on a shard — or even globally),
+    those rows must never reach the union: a masked row's label class must
+    stay at the log floor, not acquire real probability mass."""
+    from nwhead_tpu.parallel import sharded_knn_predict_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    C, D, k = 4, 8, 8  # k exceeds the 6 valid rows -> forced back-fill
+    feats = np.zeros((16, D), np.float32)
+    labels = np.zeros(16, np.int32)  # masked rows carry label 0
+    mask = np.zeros(16, np.float32)
+    valid = [1, 3, 5, 8, 10, 12]
+    for i, row in enumerate(valid):
+        feats[row] = rng.standard_normal(D)
+        labels[row] = 1 + (i % 3)  # valid labels are 1..3, never 0
+        mask[row] = 1.0
+    q = rng.standard_normal((2, D)).astype(np.float32)
+
+    shard = NamedSharding(mesh, P("support"))
+    fn = sharded_knn_predict_fn(
+        mesh,
+        jax.device_put(jnp.asarray(feats), shard),
+        jax.device_put(jnp.asarray(labels), shard),
+        jax.device_put(jnp.asarray(mask), shard),
+        C, k,
+    )
+    got = np.asarray(fn(
+        jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    ))
+    # Class 0 only labels masked rows: it must sit at the 1e-12 log floor.
+    assert (got[:, 0] < -20).all(), got[:, 0]
+    np.testing.assert_allclose(np.exp(got[:, 1:]).sum(-1), 1.0, rtol=1e-5)
+
+
 def test_nwnet_with_mesh_knn_mode(rng):
     """NWNet(mesh=...).predict(..., 'knn') routes through the sharded KNN
     path (raw-mode bank) and must equal the meshless single-device result."""
