@@ -842,8 +842,12 @@ class NWNet:
         The stacked banks are built straight from the HOST-side per-env
         feature copies (``full_feat_sep`` numpy arrays) and device_put
         with the sharded layout — the single-device (E, S_max, D) stack
-        the meshless path materializes never exists here, so ensemble
-        capacity scales with pod HBM. Built lazily on first ensemble
+        the meshless path materializes never exists here, so the ensemble
+        PATH scales with pod HBM. (NWNet as a whole still keeps one
+        single-device bank copy for the non-sharded artifacts — clusters,
+        ExactKNN fallback, neighbors/influence; banks beyond one chip's
+        HBM should drive ``parallel.sharded_*_predict_fn`` /
+        ``ShardedSupportBank`` directly.) Built lazily on first ensemble
         predict and cached against the sep-list identity (a strong ref, so
         identity cannot recycle; ``_install_bank`` creates a new list on
         every bank change); kernel params are captured at build time like
