@@ -359,6 +359,48 @@ def test_sharded_knn_matches_single_device(rng, mesh_shape):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("kernel", ["cosine", "clip"])
+def test_sharded_knn_kernel_variants(rng, kernel):
+    """The neighbor SEARCH is always L2 (the reference's index metric,
+    utils.py:187) but the NW head over the union uses the configured
+    kernel — cosine and clip (learnable scale) must match the
+    single-device composition."""
+    from nwhead_tpu.ops.knn import ExactKNN
+    from nwhead_tpu.ops.nw import nw_log_probs
+    from nwhead_tpu.parallel import sharded_knn_predict_fn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(2, 4)
+    C, S, D, B, k = 4, 64, 16, 8, 3
+    feats = rng.standard_normal((S, D)).astype(np.float32)
+    labels = rng.integers(0, C, size=S).astype(np.int32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    kparams = (
+        {"logit_scale": jnp.float32(np.log(1 / 0.07))}
+        if kernel == "clip" else None
+    )
+
+    knn = ExactKNN(feats, labels, n_neighbors=k)
+    sf_u, sy_u = knn(q)
+    want = np.asarray(nw_log_probs(
+        jnp.asarray(q), sf_u, jnp.asarray(np.asarray(sy_u), dtype=jnp.int32),
+        C, kernel=kernel, kernel_params=kparams or {},
+    ))
+
+    shard = NamedSharding(mesh, P("support"))
+    fn = sharded_knn_predict_fn(
+        mesh,
+        jax.device_put(jnp.asarray(feats), shard),
+        jax.device_put(jnp.asarray(labels), shard),
+        jax.device_put(jnp.ones(S, jnp.float32), shard),
+        C, k, kernel=kernel, kernel_params=kparams,
+    )
+    got = np.asarray(fn(
+        jax.device_put(jnp.asarray(q), NamedSharding(mesh, P("data")))
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_knn_masked_rows_never_enter_union(rng):
     """When shards back-fill their local top-k with -inf masked/padding
     candidates (fewer than k valid rows on a shard — or even globally),
