@@ -668,6 +668,31 @@ class NWNet:
         ``variables``/the prepared bank ride as arguments of the outer jit
         for the same reason.
         """
+        if self._prepared_full is None and self._sharded_predict is not None:
+            # Mesh serving: compose the already-jitted pieces (normalize ->
+            # featurize -> shard_mapped full-mode predict). A few dispatches
+            # instead of one — fine on a pod, where there is no high-latency
+            # tunnel between host and devices; re-tracing the (possibly
+            # quantized) featurizer inside a fresh jit would risk capturing
+            # its weights as HLO constants (the 413 lesson), so we don't.
+            self._check_quantized_variables(variables)
+            norm = None
+            if normalize is not None:
+                mean_ = jnp.asarray(normalize[0], jnp.float32)
+                std_ = jnp.asarray(normalize[1], jnp.float32)
+                norm = jax.jit(
+                    lambda x: (x.astype(jnp.float32) * (1.0 / 255.0) - mean_)
+                    / std_
+                )
+            feat_fn = self._featurize_eval
+            sharded = self._sharded_predict
+
+            def serve_sharded(x):
+                if norm is not None:
+                    x = norm(x)
+                return sharded(feat_fn(variables, x))
+
+            return serve_sharded
         if self._prepared_full is None:
             raise ValueError(
                 "make_serving_fn needs the prepared full-mode bank — run "

@@ -478,6 +478,51 @@ def test_nwnet_with_mesh_knn_mode(rng):
     assert net_s._sharded_knn_cache is not None  # routed through the mesh path
 
 
+def test_make_serving_fn_under_mesh(rng):
+    """make_serving_fn with a mesh attached routes through the sharded
+    full-mode predict (there is no prepared bank under a mesh) and must
+    match predict(..., 'full') — with and without uint8 normalization."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=32, n_classes=4, size=8, seed=0)
+    mesh = make_mesh(2, 4)
+    net = NWNet(
+        Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+        n_shot=1, n_shot_full=8, seed=0, mesh=mesh,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2))))
+    net.precompute(variables)
+    assert net._prepared_full is None and net._sharded_predict is not None
+
+    x = jnp.asarray(ds.gather(np.arange(4)))
+    serve = net.make_serving_fn(variables)
+    np.testing.assert_allclose(
+        np.asarray(serve(x)), np.asarray(net.predict(variables, x, "full")),
+        rtol=1e-5, atol=1e-6,
+    )
+    # uint8 path: serving fn normalizes on device.
+    mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+    u8 = (np.asarray(x) * 255).astype(np.uint8)
+    serve_u8 = net.make_serving_fn(variables, normalize=(mean, std))
+    manual = (np.asarray(u8).astype(np.float32) / 255.0 - np.asarray(mean)) / np.asarray(std)
+    np.testing.assert_allclose(
+        np.asarray(serve_u8(jnp.asarray(u8))),
+        np.asarray(net.predict(variables, jnp.asarray(manual), "full")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_sync_batchnorm_matches_single_device(rng):
     """bn_axis_name='data' inside shard_map: per-device BN stats reduced
     across the mesh must equal single-device full-batch BN."""
