@@ -46,6 +46,7 @@ def build_server(args):
                                  seed=args.seed, workers=args.workers,
                                  decoder=args.decoder)
     train_ds, val_ds = train_cli.build_datasets(ds_args)
+    mesh = train_cli.build_mesh(args)
 
     dtype = jnp.bfloat16 if args.bf16 else None
     extra = {}
@@ -65,6 +66,7 @@ def build_server(args):
         # size (the default 1024-row floor targets training-loop eval,
         # where tiny banks aren't worth the prepare step).
         fused_min_support=1,
+        mesh=mesh,
     )
     sample = jnp.asarray(train_ds.gather(np.arange(min(args.batch_size, len(train_ds)))))
     variables = net.init(jax.random.PRNGKey(args.seed), sample)
@@ -526,6 +528,12 @@ def main(argv=None):
                         "probabilities can differ slightly from the "
                         "unexplained serving path under --head_precision "
                         "int8/bf16")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'N_DATA,N_SUPPORT[,N_MODEL]' device mesh for "
+                        "pod serving: the support bank shards over "
+                        "'support' and every request runs the distributed "
+                        "online-softmax merge (batch size must divide "
+                        "N_DATA)")
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"],
                    help="force the JAX backend; 'cpu' keeps the CLI "

@@ -95,6 +95,21 @@ def test_serve_queries_with_explanations(tmp_path):
         assert ex["most_harmful"]["influence"] < 0
 
 
+def test_serve_latency_bench_with_mesh():
+    """serve.py --mesh: pod serving through the support-sharded bank (on
+    the virtual 8-device backend) — the serving fn composes featurize +
+    the shard_mapped full-mode predict."""
+    import serve
+
+    out = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--mesh", "2,4",
+        "--latency_bench", "--bench_batches", "2",
+    ])
+    assert out["latency"]["queries_per_sec"] > 0
+
+
 def test_serve_requires_an_action():
     import serve
 
