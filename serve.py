@@ -532,8 +532,8 @@ def main(argv=None):
                    help="'N_DATA,N_SUPPORT[,N_MODEL]' device mesh for "
                         "pod serving: the support bank shards over "
                         "'support' and every request runs the distributed "
-                        "online-softmax merge (batch size must divide "
-                        "N_DATA)")
+                        "online-softmax merge (batch size must be "
+                        "divisible by N_DATA)")
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"],
                    help="force the JAX backend; 'cpu' keeps the CLI "
