@@ -110,6 +110,25 @@ def test_serve_latency_bench_with_mesh():
     assert out["latency"]["queries_per_sec"] > 0
 
 
+def test_serve_bank_cache_with_mesh(tmp_path):
+    """--bank_cache + --mesh: the warm restore must rebuild the SHARDED
+    serving bank (restore_bank -> _build_serving_banks honors the mesh)
+    and still serve."""
+    import serve
+
+    base = [
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--mesh", "2,4",
+        "--bank_cache", str(tmp_path / "bank"),
+        "--latency_bench", "--bench_batches", "1",
+    ]
+    cold = serve.main(base)
+    warm = serve.main(base)
+    assert cold["latency"]["queries_per_sec"] > 0
+    assert warm["latency"]["queries_per_sec"] > 0
+
+
 def test_serve_requires_an_action():
     import serve
 
