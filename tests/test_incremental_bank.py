@@ -85,6 +85,53 @@ def test_add_support_matches_fresh_precompute(base):
     np.testing.assert_allclose(outk1, outk2, rtol=0, atol=1e-5)
 
 
+def test_randomized_edit_sequence_matches_fresh_precompute(base):
+    """Invariant under ANY edit sequence: after random interleaved
+    add_support/remove_support chains, full-mode and knn-mode predictions
+    equal a fresh net precomputed over the surviving items (the NW head is
+    permutation-invariant over support rows). Seeded, 2 sequences x 5 ops."""
+    ds, _, queries = base
+    pool = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=11)
+    for seq_seed in (0, 1):
+        seq_rng = np.random.default_rng(seq_seed)
+        net, variables = _make_net(ds)
+        net.precompute(variables)
+        # Host-side ledger of what the bank should contain, in bank order.
+        bank_idx = np.concatenate(net.support_eval.full_bank_indices)
+        ledger_imgs = list(np.asarray(ds.gather(bank_idx)))
+        ledger_y = list(np.asarray(ds.targets)[bank_idx])
+        pool_pos = 0
+        for _ in range(5):
+            if seq_rng.integers(2) == 0 and pool_pos + 3 <= len(pool):
+                add = np.arange(pool_pos, pool_pos + 3)
+                pool_pos += 3
+                net.add_support(variables, pool.images[add], pool.targets[add])
+                ledger_imgs += list(pool.images[add])
+                ledger_y += list(pool.targets[add])
+            else:
+                n = len(ledger_y)
+                drop = sorted(seq_rng.choice(n, size=min(2, n - 8), replace=False).tolist())
+                if not drop:
+                    continue
+                net.remove_support(variables, np.asarray(drop))
+                ledger_imgs = [im for i, im in enumerate(ledger_imgs) if i not in drop]
+                ledger_y = [y for i, y in enumerate(ledger_y) if i not in drop]
+
+        # The oracle installs the SAME surviving items via restore_bank
+        # (a fresh balanced precompute would re-cap unbalanced classes).
+        fresh, _ = _make_net(ds)
+        feats = np.asarray(fresh._featurize_eval(
+            variables, jnp.asarray(np.stack(ledger_imgs))
+        ))
+        fresh.restore_bank(variables, feats, np.asarray(ledger_y))
+        assert len(np.asarray(net.full_y)) == len(ledger_y)
+        for mode in ("full", "knn"):
+            got = np.asarray(net.predict(variables, queries, mode=mode))
+            want = np.asarray(fresh.predict(variables, queries, mode=mode))
+            np.testing.assert_allclose(got, want, rtol=0, atol=2e-5,
+                                       err_msg=f"seq={seq_seed} mode={mode}")
+
+
 def test_bank_edits_clear_canonical_order_flag(base):
     """Row -> dataset-index identity (serve.py --explain, bank caches)
     holds only in canonical precompute order; any incremental edit must
