@@ -465,7 +465,11 @@ class NWNet:
         full_y = np.concatenate(y_env, axis=0)
         full_meta = np.concatenate(meta_env, axis=0)
         self.support_eval.build_infer_iters(
-            full_feat, full_y, full_meta, feats_env, y_env, meta_env
+            full_feat, full_y, full_meta, feats_env, y_env, meta_env,
+            # Mesh nets keep the full bank HOST-side: steady-state device
+            # HBM holds only the sharded copies (clusters build from a
+            # transient device copy; exact-KNN fallback searches on host).
+            device_bank=self.mesh is None,
         )
         self._build_serving_banks(variables)
 
@@ -473,9 +477,10 @@ class NWNet:
         """(Re)build the device bank views + prepared/sharded serving banks
         from the eval engine's cached features. Shared by ``precompute()``
         and the incremental ``add_support``/``remove_support`` paths."""
-        # NWNet's bank views alias the eval engine's device arrays (one HBM
-        # copy of the bank, not two).
-        self.full_feat = self.support_eval.full_feat  # HBM-resident bank
+        # NWNet's bank views alias the eval engine's arrays (one copy of
+        # the bank, not two) — device-resident meshless, HOST numpy under
+        # a mesh (only the shards live in HBM then).
+        self.full_feat = self.support_eval.full_feat
         self.full_y = self.support_eval.full_y
         full_y_np = np.asarray(self.full_y)
         # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
@@ -602,6 +607,7 @@ class NWNet:
             np.concatenate(y_env) if y_env else labels,
             np.concatenate(meta_env) if meta_env else meta,
             feats_env, y_env, meta_env,
+            device_bank=self.mesh is None,
         )
         self._build_serving_banks(variables)
 
@@ -867,12 +873,11 @@ class NWNet:
         The stacked banks are built straight from the HOST-side per-env
         feature copies (``full_feat_sep`` numpy arrays) and device_put
         with the sharded layout — the single-device (E, S_max, D) stack
-        the meshless path materializes never exists here, so the ensemble
-        PATH scales with pod HBM. (NWNet as a whole still keeps one
-        single-device bank copy for the non-sharded artifacts — clusters,
-        ExactKNN fallback, neighbors/influence; banks beyond one chip's
-        HBM should drive ``parallel.sharded_*_predict_fn`` /
-        ``ShardedSupportBank`` directly.) Built lazily on first ensemble
+        the meshless path materializes never exists here, so ensemble
+        capacity scales with pod HBM (mesh nets also keep the full bank
+        host-side — ``build_infer_iters(device_bank=False)`` — so
+        steady-state device memory holds only shards). Built lazily on
+        first ensemble
         predict and cached against the sep-list identity (a strong ref, so
         identity cannot recycle; ``_install_bank`` creates a new list on
         every bank change); kernel params are captured at build time like

@@ -301,7 +301,14 @@ class SupportSetEval:
         sfeat_env: List[np.ndarray],
         sy_env: List[np.ndarray],
         smeta_env: List[np.ndarray],
+        device_bank: bool = True,
     ) -> None:
+        """``device_bank=False`` keeps the full bank HOST-side (numpy):
+        for mesh-attached nets, steady-state device HBM then holds only
+        the bank SHARDS — the artifacts that need the whole bank on device
+        (cluster k-means) use a transient copy freed after the build, and
+        exact-KNN searches on host."""
+        self._device_bank = device_bank
         self._install_bank(sfeat, sy, smeta, sfeat_env, sy_env, smeta_env)
         # Bank rows follow the canonical precompute order (concatenated
         # ``full_bank_indices``), so row -> dataset-index identity holds.
@@ -404,10 +411,17 @@ class SupportSetEval:
 
         from nwhead_tpu.ops.kmeans import compute_clusters
 
+        device_bank = getattr(self, "_device_bank", True)
         # The full bank is device-resident (HBM) so full-mode predict never
         # re-uploads it (the reference ships the CPU bank to device on every
-        # predict call, nw.py:156,226).
-        self.full_feat = jnp.asarray(sfeat)
+        # predict call, nw.py:156,226). With device_bank=False (mesh nets)
+        # it stays HOST numpy and only the sharded copies live in HBM.
+        if device_bank:
+            self.full_feat = jnp.asarray(sfeat)
+            cluster_src = self.full_feat
+        else:
+            self.full_feat = np.asarray(sfeat)
+            cluster_src = jnp.asarray(sfeat)  # transient: freed post-build
         self.full_y = jnp.asarray(np.asarray(sy))
         self.full_meta = np.asarray(smeta)
         self.full_feat_sep = [np.asarray(f) for f in sfeat_env]
@@ -424,8 +438,9 @@ class SupportSetEval:
 
         # Cluster: per-class k-means centroids (support.py:123).
         self.cluster_feat, self.cluster_y = compute_clusters(
-            self.full_feat, self.full_y, self.n_shot_cluster
+            cluster_src, self.full_y, self.n_shot_cluster
         )
+        del cluster_src
 
         # Random: episodic sampler over the precomputed features
         # (support.py:126-129). Index math stays host-side (numpy).
@@ -438,7 +453,10 @@ class SupportSetEval:
         # HNSW (extend_bank) is reused; otherwise build fresh.
         from nwhead_tpu.ops.knn import ExactKNN
 
-        self.knn = ExactKNN(self.full_feat, self.full_y, self.n_neighbors)
+        self.knn = ExactKNN(
+            self.full_feat, self.full_y, self.n_neighbors,
+            host=not device_bank,
+        )
         if hnsw is not None:
             self.hnsw = hnsw
         else:

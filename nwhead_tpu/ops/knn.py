@@ -73,16 +73,46 @@ def knn_indices_chunked(
 
 class ExactKNN:
     """Callable mirroring the reference ``KNN`` interface: ``knn(x) ->
-    (support_features (B * k, d), support_labels (B * k,))``."""
+    (support_features (B * k, d), support_labels (B * k,))``.
 
-    def __init__(self, data: np.ndarray, labels: np.ndarray, n_neighbors: int = 20):
-        self.data = jnp.asarray(data)  # single device-resident bank: the
-        # search AND the neighbor gather both run on-chip (no host mirror —
-        # 1x memory for large banks).
+    ``host=True`` keeps the bank as HOST numpy and searches with numpy —
+    for mesh-attached nets whose device HBM holds only bank SHARDS (the
+    sharded knn path serves the common case; this is the fallback when it
+    can't, e.g. prepared-mode banks or k beyond a shard)."""
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        labels: np.ndarray,
+        n_neighbors: int = 20,
+        host: bool = False,
+    ):
+        self.host = host
+        if host:
+            self.data = np.asarray(data)
+        else:
+            self.data = jnp.asarray(data)  # single device-resident bank:
+            # the search AND the neighbor gather both run on-chip (no host
+            # mirror — 1x memory for large banks).
         self.labels = np.asarray(labels)
         self.n_neighbors = n_neighbors
 
     def __call__(self, x) -> Tuple[jnp.ndarray, np.ndarray]:
-        idx = np.asarray(knn_indices(jnp.asarray(x), self.data, self.n_neighbors))
+        k = self.n_neighbors
+        if self.host:
+            xq = np.asarray(x, dtype=np.float32)
+            # (B, S) squared distances via the expansion (no (B, S, d)
+            # intermediate); exact, like the device path.
+            d2 = (
+                (xq ** 2).sum(-1, keepdims=True)
+                - 2.0 * xq @ self.data.T
+                + (self.data ** 2).sum(-1)[None, :]
+            )
+            part = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
+            order = np.argsort(np.take_along_axis(d2, part, 1), axis=1)
+            idx = np.take_along_axis(part, order, 1)  # sorted, like top_k
+            flat = idx.reshape(-1)
+            return jnp.asarray(self.data[flat]), self.labels[flat]
+        idx = np.asarray(knn_indices(jnp.asarray(x), self.data, k))
         flat = idx.reshape(-1)  # flat-concat union support (utils.py:191-192)
         return jnp.take(self.data, jnp.asarray(flat), axis=0), self.labels[flat]

@@ -476,6 +476,14 @@ def test_nwnet_with_mesh_knn_mode(rng):
     want = np.asarray(net_u.predict(var_u, x, "knn"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
     assert net_s._sharded_knn_cache is not None  # routed through the mesh path
+    # Under a mesh the full bank stays HOST-side (steady-state device HBM
+    # holds only the shards); the host exact-KNN fallback must agree too.
+    assert isinstance(net_s.support_eval.full_feat, np.ndarray)
+    assert net_s.support_eval.knn.host
+    sf_h, sy_h = net_s.support_eval.knn(np.asarray(net_u._featurize_eval(var_u, x)))
+    sf_d, sy_d = net_u.support_eval.knn(np.asarray(net_u._featurize_eval(var_u, x)))
+    np.testing.assert_allclose(np.asarray(sf_h), np.asarray(sf_d), atol=1e-6)
+    np.testing.assert_array_equal(sy_h, sy_d)
 
 
 def test_make_serving_fn_under_mesh(rng):
