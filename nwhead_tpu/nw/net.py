@@ -155,6 +155,7 @@ class NWNet:
         # merge (parallel.ShardedSupportBank).
         self.mesh = mesh
         self.sharded_bank = None
+        self._sharded_predict = None
         self._sharded_knn_cache = None
         self._sharded_ensemble_cache = None
         self.quantized_featurizer = None  # set by quantize_featurizer()
