@@ -692,9 +692,19 @@ class NWNet:
                     / std_
                 )
             feat_fn = self._featurize_eval
-            sharded = self._sharded_predict
 
             def serve_sharded(x):
+                # Read the sharded predict LIVE so bank edits
+                # (add_support/remove_support) are picked up on the next
+                # call, like the meshless path's live prepared-bank read —
+                # and so the retired bank isn't pinned by this closure.
+                sharded = self._sharded_predict
+                if sharded is None:
+                    raise ValueError(
+                        "the sharded serving bank is gone — a bank edit or "
+                        "featurizer swap invalidated it; run precompute() "
+                        "and rebuild the serving fn"
+                    )
                 if norm is not None:
                     x = norm(x)
                 return sharded(feat_fn(variables, x))

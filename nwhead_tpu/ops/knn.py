@@ -90,6 +90,9 @@ class ExactKNN:
         self.host = host
         if host:
             self.data = np.asarray(data)
+            # Static bank-norm term of the expansion, computed once (the
+            # bank is immutable for this instance's lifetime).
+            self._data2 = (self.data.astype(np.float32) ** 2).sum(-1)
         else:
             self.data = jnp.asarray(data)  # single device-resident bank:
             # the search AND the neighbor gather both run on-chip (no host
@@ -106,11 +109,13 @@ class ExactKNN:
             d2 = (
                 (xq ** 2).sum(-1, keepdims=True)
                 - 2.0 * xq @ self.data.T
-                + (self.data ** 2).sum(-1)[None, :]
+                + self._data2[None, :]
             )
-            part = np.argpartition(d2, kth=k - 1, axis=1)[:, :k]
-            order = np.argsort(np.take_along_axis(d2, part, 1), axis=1)
-            idx = np.take_along_axis(part, order, 1)  # sorted, like top_k
+            # Stable full sort: equal distances keep ascending bank index —
+            # exactly lax.top_k's tie-break, so duplicate rows straddling
+            # the k boundary select the SAME neighbors as the device path
+            # (argpartition's within-partition tie order is unspecified).
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
             flat = idx.reshape(-1)
             return jnp.asarray(self.data[flat]), self.labels[flat]
         idx = np.asarray(knn_indices(jnp.asarray(x), self.data, k))

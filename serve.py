@@ -361,11 +361,21 @@ def answer_queries(net, variables, train_ds, args):
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start:start + args.batch_size]
         imgs = qds.gather(np.arange(start, start + len(chunk)))
+        # Pad the ragged final chunk to the full batch: one compiled shape
+        # (no per-size recompiles), and under --mesh the batch must divide
+        # the 'data' axis — a short chunk would crash the shard_map.
+        pad = args.batch_size - len(chunk)
+        if pad > 0:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+            )
         explanations = None
         if explain:
             out, explanations = explain_fns(variables, imgs, explain)
+            out = out[: len(chunk)]
+            explanations = explanations[: len(chunk)]
         else:
-            out = np.asarray(serve(jnp.asarray(imgs)))
+            out = np.asarray(serve(jnp.asarray(imgs)))[: len(chunk)]
         if args.temperature != 1.0:
             # Post-hoc calibration (fit T offline with eval.py
             # --fit_temperature); rescales reported probabilities only —

@@ -529,6 +529,16 @@ def test_make_serving_fn_under_mesh(rng):
         np.asarray(net.predict(variables, jnp.asarray(manual), "full")),
         rtol=1e-4, atol=1e-5,
     )
+    # Live bank pickup: an edit rebuilds the sharded bank and the SAME
+    # closure must serve the new bank on its next call (the old one would
+    # both answer stale and pin the retired shards).
+    extra = make_synthetic_dataset(n=8, n_classes=4, size=8, seed=9)
+    net.add_support(variables, extra.images, extra.targets)
+    np.testing.assert_allclose(
+        np.asarray(serve(x)),
+        np.asarray(net.predict(variables, x, "full")),
+        rtol=1e-5, atol=1e-6,
+    )
 
 
 def test_sync_batchnorm_matches_single_device(rng):

@@ -110,6 +110,31 @@ def test_serve_latency_bench_with_mesh():
     assert out["latency"]["queries_per_sec"] > 0
 
 
+def test_serve_queries_with_mesh_ragged_chunk(tmp_path):
+    """--queries under --mesh: the final chunk is usually ragged
+    (len(paths) % batch_size) and the shard_map over 'data' requires the
+    full compiled batch — chunks must be padded (and pad rows dropped)."""
+    from PIL import Image
+
+    import serve
+
+    rng = np.random.default_rng(3)
+    for i in range(3):  # 3 files, batch 8 -> one ragged chunk of 3
+        arr = rng.integers(0, 255, size=(48, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"q{i}.jpg", quality=90)
+
+    out = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5", "--topk", "2",
+        "--mesh", "2,4",
+        "--queries", str(tmp_path / "*.jpg"),
+    ])
+    qs = out["queries"]
+    assert len(qs) == 3
+    for q in qs:
+        assert 0.0 <= q["topk"][0]["prob"] <= 1.0
+
+
 def test_serve_bank_cache_with_mesh(tmp_path):
     """--bank_cache + --mesh: the warm restore must rebuild the SHARDED
     serving bank (restore_bank -> _build_serving_banks honors the mesh)

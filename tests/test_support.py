@@ -251,3 +251,26 @@ def test_knn_indices_chunked_matches_exact(rng):
     a = np.asarray(knn_indices(jnp.asarray(q), jnp.asarray(bank), 7))
     b = np.asarray(knn_indices_chunked(jnp.asarray(q), jnp.asarray(bank), 7, chunk=128))
     np.testing.assert_array_equal(np.sort(a, -1), np.sort(b, -1))
+
+
+def test_exact_knn_host_matches_device_with_ties(rng):
+    """Host-mode ExactKNN (mesh nets keep the bank on host) must select
+    the SAME neighbors as the device path, including on exact distance
+    ties: lax.top_k breaks ties by lowest index, and the host stable sort
+    must too. Duplicate rows straddling the k boundary are the trap."""
+    from nwhead_tpu.ops.knn import ExactKNN
+
+    D, k = 8, 3
+    base = rng.standard_normal((4, D)).astype(np.float32)
+    # Bank with each row duplicated (ties everywhere); k=3 cuts through a
+    # duplicate pair for any query near a base row.
+    bank = np.repeat(base, 2, axis=0)  # rows 0,1 identical; 2,3; ...
+    labels = np.arange(len(bank), dtype=np.int64)  # identity -> row id
+    q = (base[:2] + 1e-3 * rng.standard_normal((2, D))).astype(np.float32)
+
+    host = ExactKNN(bank, labels, n_neighbors=k, host=True)
+    dev = ExactKNN(bank, labels, n_neighbors=k, host=False)
+    sf_h, sy_h = host(q)
+    sf_d, sy_d = dev(q)
+    np.testing.assert_array_equal(sy_h, sy_d)  # same rows, same order
+    np.testing.assert_allclose(np.asarray(sf_h), np.asarray(sf_d))
