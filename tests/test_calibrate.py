@@ -66,7 +66,7 @@ def test_fit_matches_torch_lbfgs_oracle():
         return loss
 
     opt.step(closure)
-    T_torch = float(log_t.exp())
+    T_torch = float(log_t.exp().detach())
     assert abs(T_ours - T_torch) < 0.02 * T_torch, (T_ours, T_torch)
 
 

@@ -112,7 +112,7 @@ def test_support_influence_matches_torch_loop(rng):
     )
 
     # Torch loop oracle.
-    t_probs = torch.from_numpy(np.asarray(probs))
+    t_probs = torch.from_numpy(np.array(probs))
     t_weights = torch.from_numpy(np.asarray(weights))
     for b in range(B):
         p = t_probs[b, qy[b]]
