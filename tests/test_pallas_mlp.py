@@ -174,6 +174,68 @@ def test_fused_mlp_randomized_property_sweep():
                     )
 
 
+def test_fused_int8_mlp_tiling_invariance_sweep(rng):
+    """Seeded sweep: the int8 MLP kernel's output must be invariant to the
+    token tile size (block_m) across random shapes and random fold flags
+    (LN / LayerScale / residual) — tile boundaries and M-padding are where
+    kernel bugs live (cf. the NW kernel's block_s bug)."""
+    from nwhead_tpu.models.quantize import QLayerNorm
+    from nwhead_tpu.ops.pallas_mlp import fused_mlp_int8
+
+    sweep_rng = np.random.default_rng(2029)
+
+    def mk_q(din, dout):
+        w = sweep_rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = sweep_rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b)
+
+    for trial in range(6):
+        D = int(sweep_rng.choice([16, 32, 64]))
+        Dh = int(sweep_rng.choice([64, 128, 192]))
+        B = int(sweep_rng.integers(1, 3))
+        N = int(sweep_rng.integers(3, 200))
+        block_m = int(sweep_rng.choice([64, 128, 256]))
+        use_ln = bool(sweep_rng.integers(2))
+        use_ls = bool(sweep_rng.integers(2))
+        residual = bool(sweep_rng.integers(2))
+        ctx = (f"trial={trial} B={B} N={N} D={D} Dh={Dh} bm={block_m} "
+               f"ln={use_ln} ls={use_ls} res={residual}")
+        x = jnp.asarray(
+            sweep_rng.standard_normal((B, N, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        wq1, s1, b1 = mk_q(D, Dh)
+        wq2, s2, b2 = mk_q(Dh, D)
+        kw = {}
+        if use_ln:
+            ln = QLayerNorm(
+                scale=jnp.asarray(
+                    1.0 + 0.1 * sweep_rng.standard_normal(D).astype(np.float32)
+                ),
+                bias=jnp.asarray(
+                    0.1 * sweep_rng.standard_normal(D).astype(np.float32)
+                ),
+            )
+            kw = {"ln_scale": ln.scale, "ln_bias": ln.bias}
+        if use_ls:
+            kw["layerscale"] = jnp.asarray(
+                0.1 * sweep_rng.standard_normal(D).astype(np.float32)
+            )
+        kw["residual"] = residual
+        small = fused_mlp_int8(
+            x, wq1, s1, b1, 0.05, wq2, s2, b2, 0.05, block_m=block_m, **kw
+        )
+        big = fused_mlp_int8(
+            x, wq1, s1, b1, 0.05, wq2, s2, b2, 0.05, block_m=1024, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(small.astype(jnp.float32)),
+            np.asarray(big.astype(jnp.float32)),
+            rtol=1e-5, atol=1e-5, err_msg=ctx,
+        )
+
+
 def test_fused_int8_mlp_ln_folded(rng):
     """Folding the LayerNorm into the int8 MLP kernel must equal
     QLayerNorm -> fused_mlp_int8 exactly."""
