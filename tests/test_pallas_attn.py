@@ -289,6 +289,58 @@ def test_fused_int8_attention_matches_composition(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_fused_int8_attention_randomized_shape_sweep():
+    """Seeded sweep of the one-kernel int8 attention sublayer vs its
+    QDense->fused_attention_qkv->QDense composition across random
+    (B, N, H, hd) accepted by the fits gate — the int8 twin of the other
+    kernel sweeps."""
+    from nwhead_tpu.models.quantize import QDense
+    from nwhead_tpu.ops.pallas_attn import (
+        fused_attention_qkv, fused_attention_qkv_int8, int8_attention_fits)
+
+    sweep_rng = np.random.default_rng(2030)
+
+    def mk_qdense(din, dout):
+        w = sweep_rng.standard_normal((din, dout)).astype(np.float32) * 0.1
+        s = np.abs(w).max(0) / 127.0
+        wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        b = sweep_rng.standard_normal((dout,)).astype(np.float32) * 0.01
+        return QDense(jnp.asarray(wq), jnp.asarray(s), jnp.asarray(b),
+                      jnp.float32(0.05))
+
+    done = 0
+    for trial in range(20):
+        if done >= 6:
+            break
+        B = int(sweep_rng.integers(1, 3))
+        N = int(sweep_rng.integers(5, 320))
+        H = int(sweep_rng.integers(1, 5))
+        hd = int(sweep_rng.choice([8, 16, 32, 64]))
+        D = H * hd
+        if not int8_attention_fits(N, D):
+            continue
+        done += 1
+        ctx = f"trial={trial} B={B} N={N} H={H} hd={hd}"
+        x = jnp.asarray(
+            sweep_rng.standard_normal((B, N, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        qkv_d = mk_qdense(D, 3 * D)
+        proj_d = mk_qdense(D, D)
+        got = np.asarray(
+            fused_attention_qkv_int8(
+                x, qkv_d.wq, qkv_d.w_scale, qkv_d.bias, qkv_d.act_scale,
+                proj_d.wq, proj_d.w_scale, proj_d.bias, proj_d.act_scale, H,
+            ).astype(jnp.float32)
+        )
+        h = qkv_d(x).reshape(B, N, 3, H, hd)
+        want = np.asarray(
+            proj_d(fused_attention_qkv(h, H)).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2,
+                                   err_msg=ctx)
+    assert done >= 4, f"only {done} accepted shapes in the sweep"
+
+
 def test_fused_int8_attention_rejects_oversize():
     from nwhead_tpu.ops.pallas_attn import int8_attention_fits
 
