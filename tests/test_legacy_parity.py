@@ -27,6 +27,40 @@ def test_streaming_matches_single_shot(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_streaming_randomized_chunk_sweep():
+    """Seeded sweep: streaming online-softmax must equal the single-shot
+    op for ANY (S, chunk_size, kernel) combination — chunk boundaries and
+    the padded last chunk are the failure surface."""
+    from nwhead_tpu.ops.kernels import KERNEL_NAMES
+
+    sweep_rng = np.random.default_rng(2031)
+    kernels = list(KERNEL_NAMES)  # incl. clip (default logit_scale init)
+    for trial in range(6):
+        B = int(sweep_rng.integers(1, 5))
+        S = int(sweep_rng.integers(40, 900))
+        D = int(sweep_rng.integers(4, 48))
+        C = int(sweep_rng.integers(2, 12))
+        chunk = int(sweep_rng.choice([64, 100, 256]))
+        kernel = kernels[int(sweep_rng.integers(len(kernels)))]
+        ctx = f"trial={trial} B={B} S={S} D={D} C={C} chunk={chunk} {kernel}"
+        q = jnp.asarray(sweep_rng.standard_normal((B, D)).astype(np.float32))
+        s = sweep_rng.standard_normal((S, D)).astype(np.float32)
+        sy = sweep_rng.integers(0, C, size=S).astype(np.int32)
+
+        def chunks():
+            for start in range(0, S, chunk):
+                yield s[start:start + chunk], sy[start:start + chunk]
+
+        want = np.asarray(nw_log_probs(
+            q, jnp.asarray(s), jnp.asarray(sy), C, kernel=kernel
+        ))
+        got = np.asarray(nw_streaming_log_probs(
+            q, chunks(), C, chunk_size=chunk, kernel=kernel
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=ctx)
+
+
 def test_streaming_from_disk_cache(tmp_path, rng):
     from nwhead_tpu.data import FeatureBankCache
 
