@@ -64,7 +64,10 @@ def _loop(fn, n):
 
 def _measure(cases, n1, n2, cycles=9):
     """Interleaved differential timing: one (n1, n2) sample per case per
-    cycle, median over cycles. Returns {name: seconds_per_call}."""
+    cycle, median over cycles. Returns ({name: seconds_per_call},
+    {name: [per-cycle samples]}) — the raw samples let callers form
+    PAIRED per-cycle ratios (e.g. head vs stream), which cancels the
+    tunnel's run-scale clock drift that independent medians do not."""
     fns = {}
     for name, fn, args in cases:
         f1, f2 = _loop(fn, n1), _loop(fn, n2)
@@ -77,7 +80,16 @@ def _measure(cases, n1, n2, cycles=9):
             t = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t
             t = time.perf_counter(); float(f2(*args)); t2 = time.perf_counter() - t
             samples[name].append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
+    return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}, samples
+
+
+def _paired_ratio(samples, num_name, den_name, scale):
+    """Median over cycles of scale * num_sample / den_sample (paired
+    within each interleaved cycle)."""
+    r = sorted(
+        scale * a / b for a, b in zip(samples[num_name], samples[den_name])
+    )
+    return r[len(r) // 2]
 
 
 def _stream_case(rng, D=512):
@@ -287,7 +299,7 @@ def main():
              (qfeat256, prep_int8)),
         ]
     HN = (100, 1600) if on_tpu else (1, 3)
-    head_t = _measure(head_cases, *HN)
+    head_t, head_samples = _measure(head_cases, *HN)
 
     # int8 PTQ serving featurizer (BN-folded, per-channel int8 weights,
     # activation scales calibrated on the bench batch) — models/quantize.py.
@@ -310,10 +322,10 @@ def main():
             ("feat_int8_b256", lambda x, c: q8.apply(x).mean(), (q_img256,)),
         ]
     FN = (10, 110) if on_tpu else (1, 2)
-    feat_t = _measure(feat_cases, *FN)
+    feat_t, _ = _measure(feat_cases, *FN)
 
     TN = (20, 120) if on_tpu else (1, 2)
-    train_t = _measure([_train_step_case(on_tpu, IMG)], *TN)["train_step"]
+    train_t = _measure([_train_step_case(on_tpu, IMG)], *TN)[0]["train_step"]
 
     qps_int8_early = B / (feat_t["feat_int8_b64"] + head_t["head_int8"])
     jpeg_stats = _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, qps_int8_early)
@@ -322,6 +334,21 @@ def main():
         stream_bytes / head_t["stream"] if on_tpu else 50e9  # bytes/sec
     )
     bank_bytes = S * D * 4
+    # Roofline fractions as PAIRED per-cycle ratios (stream and head are
+    # sampled back-to-back inside each _measure cycle, so the tunnel's
+    # clock drift hits both and cancels in the ratio; dividing two
+    # independent medians does not cancel it — this is where the
+    # 0.85-vs-0.98 run-to-run spread came from).
+    if on_tpu:
+        frac_f32 = _paired_ratio(
+            head_samples, "stream", "head_prepared", bank_bytes / stream_bytes
+        )
+        frac_bf16 = _paired_ratio(
+            head_samples, "stream", "head_bf16", bank_bytes / 2 / stream_bytes
+        )
+    else:
+        frac_f32 = (bank_bytes / stream_bw) / head_t["head_prepared"]
+        frac_bf16 = (bank_bytes / 2 / stream_bw) / head_t["head_bf16"]
     t_head = head_t["head_prepared"]
     t_feat = feat_t["feat_b64"]
 
@@ -374,15 +401,11 @@ def main():
                 "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,
                 "stream_gbps_measured": round(stream_bw / 1e9, 1),
-                "head_hbm_roofline_frac": round(
-                    (bank_bytes / stream_bw) / t_head, 3
-                ),
+                "head_hbm_roofline_frac": round(frac_f32, 3),
                 "head_roofline_frac_nominal": round(
                     (bank_bytes / 819e9) / t_head, 3
                 ),
-                "head_bf16_roofline_frac": round(
-                    (bank_bytes / 2 / stream_bw) / head_t["head_bf16"], 3
-                ),
+                "head_bf16_roofline_frac": round(frac_bf16, 3),
                 "backend": backend,
             }
         )

@@ -133,6 +133,7 @@ class NWNet:
         n_shot_random: int = 1,
         n_shot_full: int = 100,
         n_shot_cluster: int = 1,
+        cluster_impl: str = "device",
         n_neighbors: int = 10,
         env_array: Optional[Sequence[int]] = None,
         debug_mode: bool = False,
@@ -190,6 +191,7 @@ class NWNet:
                 n_shot_random,
                 n_shot_full,
                 n_shot_cluster=n_shot_cluster,
+                cluster_impl=cluster_impl,
                 n_neighbors=n_neighbors,
                 env_array=env_array,
                 seed=seed,

@@ -276,6 +276,7 @@ class SupportSetEval:
         n_neighbors: int = 20,
         env_array: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        cluster_impl: str = "device",
     ) -> None:
         self.envs = Environments.build(targets_or_list, env_array)
         self.n_classes = n_classes
@@ -284,6 +285,9 @@ class SupportSetEval:
         self.n_shot_cluster = n_shot_cluster
         self.n_neighbors = n_neighbors
         self.seed = seed
+        # "device" = batched jitted Lloyd; "sklearn" = the reference's exact
+        # per-class host KMeans(random_state=0) call (bit-identical clusters).
+        self.cluster_impl = cluster_impl
         # Per-env deterministic balanced banks (indices into the combined set).
         self.full_bank_indices: List[np.ndarray] = []
         for e in self.envs.env_ids:
@@ -438,7 +442,10 @@ class SupportSetEval:
 
         # Cluster: per-class k-means centroids (support.py:123).
         self.cluster_feat, self.cluster_y = compute_clusters(
-            cluster_src, self.full_y, self.n_shot_cluster
+            np.asarray(sfeat) if self.cluster_impl == "sklearn" else cluster_src,
+            self.full_y,
+            self.n_shot_cluster,
+            impl=self.cluster_impl,
         )
         del cluster_src
 

@@ -91,6 +91,7 @@ def compute_clusters(
     n_clusters: int,
     closest: bool = False,
     seed: int = 0,
+    impl: str = "device",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-class k-means support construction (``nwhead/utils.py:218-246``).
 
@@ -100,14 +101,44 @@ def compute_clusters(
 
     :param closest: if True, replace each centroid with the nearest real
         support feature (``utils.py:234-240``).
+    :param impl: ``"device"`` (default) fits all classes at once with the
+        jitted vmapped Lloyd above; ``"sklearn"`` makes the exact
+        per-class host call the reference makes —
+        ``KMeans(n_clusters, random_state=0).fit`` (``utils.py:230``) —
+        so cluster-mode outputs are bit-identical to the reference
+        (different k-means local optima are the one source of cluster-mode
+        divergence the device path cannot eliminate).
     """
     embeddings = np.asarray(embeddings, dtype=np.float32)
     labels = np.asarray(labels)
     classes = np.unique(labels)
     d = embeddings.shape[1]
 
-    # Pad per-class features to a common length for the batched device fit.
     groups = [embeddings[labels == c] for c in classes]
+
+    if impl == "sklearn":
+        from sklearn.cluster import KMeans
+
+        sfeat = []
+        for g in groups:
+            # The reference passes torch tensors, which sklearn's
+            # check_array upcasts to float64 (verified: np-f32 vs torch
+            # input give different centroids) — fit f64, round to f32
+            # exactly like the reference's torch.tensor(...).float().
+            km = KMeans(n_clusters=n_clusters, random_state=seed).fit(
+                g.astype(np.float64)
+            )
+            cents = km.cluster_centers_.astype(np.float32)
+            if closest:
+                d2 = ((cents[:, None, :] - g[None, :, :]) ** 2).sum(-1)
+                sfeat.append(g[d2.argmin(-1)])
+            else:
+                sfeat.append(cents)
+        return np.concatenate(sfeat, axis=0), np.repeat(classes, n_clusters)
+    if impl != "device":
+        raise ValueError(f"Unknown kmeans impl: {impl!r}")
+
+    # Pad per-class features to a common length for the batched device fit.
     n_max = max(len(g) for g in groups)
     x = np.zeros((len(classes), n_max, d), dtype=np.float32)
     mask = np.zeros((len(classes), n_max), dtype=np.float32)

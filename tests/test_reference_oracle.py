@@ -405,3 +405,86 @@ def test_cluster_pipeline_matches_reference(parity_setup, reference_modules):
         ref_net.n_classes,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_sklearn_cluster_impl_bit_exact(reference_modules):
+    """``compute_clusters(impl='sklearn')`` is BIT-identical to the
+    reference's sklearn path (``nwhead/utils.py:218-246``) on ambiguous
+    random blobs — data where different k-means local optima are real, so
+    the behavioral device-Lloyd test above cannot assert exact equality.
+    Covers closest=False (the reference's actual call, ``support.py:123``
+    passes the default) and closest=True."""
+    import importlib
+
+    import torch
+
+    from nwhead_tpu.ops.kmeans import compute_clusters as our_clusters
+
+    ref_utils = importlib.import_module("nwhead.utils")
+
+    rng = np.random.default_rng(7)
+    C, D, k = 5, 24, 3
+    feats, labels = [], []
+    for c in range(C):
+        n = int(rng.integers(9, 17))  # uneven class sizes
+        feats.append(rng.standard_normal((n, D)).astype(np.float32))
+        labels += [c] * n
+    feats = np.concatenate(feats)
+    labels = np.asarray(labels)
+
+    for closest in (False, True):
+        ref_f, ref_y = ref_utils.compute_clusters(
+            torch.from_numpy(feats.copy()),
+            torch.from_numpy(labels.copy()),
+            k,
+            closest=closest,
+        )
+        our_f, our_y = our_clusters(
+            feats, labels, k, closest=closest, impl="sklearn"
+        )
+        np.testing.assert_array_equal(ref_y.numpy(), our_y)
+        np.testing.assert_array_equal(ref_f.numpy(), our_f)
+
+
+def test_cluster_mode_net_parity_with_sklearn_impl(parity_setup):
+    """End-to-end cluster-mode predict parity: NWNet(cluster_impl='sklearn')
+    runs the reference's exact per-class KMeans(random_state=0) on its own
+    feature bank, so the one remaining source of cluster-mode divergence is
+    featurizer float noise — decisions must agree exactly, log-probs to the
+    same tolerance as the full/knn oracle tests."""
+    import torch
+
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+
+    ref_net, _, variables, images, targets = parity_setup
+    C = int(targets.max()) + 1
+
+    net = NWNet(
+        load_model("resnet18"), C,
+        support_dataset=ArrayDataset(images, targets, num_classes=C),
+        feat_dim=512, n_shot=2, n_shot_full=8, n_shot_cluster=2,
+        n_neighbors=3, seed=0, cluster_impl="sklearn",
+    )
+    net.precompute(variables)
+
+    # The k-means inputs (feature banks) agree to float tolerance and the
+    # clustering call is identical — centroids must agree tightly.
+    ref_cf = ref_net.support_eval.cluster_feat.numpy()
+    np.testing.assert_array_equal(
+        ref_net.support_eval.cluster_y.numpy(),
+        np.asarray(net.support_eval.cluster_y),
+    )
+    np.testing.assert_allclose(
+        np.asarray(net.support_eval.cluster_feat), ref_cf, rtol=5e-2, atol=5e-3
+    )
+
+    x = images[:8]
+    with torch.no_grad():
+        want = ref_net.predict(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), "cluster"
+        ).numpy()
+    got = np.asarray(net.predict(variables, jnp.asarray(x), "cluster"))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
