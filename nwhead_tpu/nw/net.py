@@ -753,7 +753,14 @@ class NWNet:
             # The bank is read LIVE from self so add_support/remove_support
             # updates reach existing serving callables (at worst one
             # recompile for the new bank shape).
-            return lambda x: serve_q(variables, tree, proj, self._live_prepared(), x)
+            fn = lambda x: serve_q(variables, tree, proj, self._live_prepared(), x)
+            # AOT-export hook (utils/aot.py): the jitted composition +
+            # a live getter for its non-input operands.
+            fn._export_parts = (
+                serve_q,
+                lambda: (variables, tree, proj, self._live_prepared()),
+            )
+            return fn
 
         feat = self._featurize_eval
 
@@ -762,7 +769,9 @@ class NWNet:
             return head(vv, feat(vv, maybe_norm(x)), prep)
 
         # Live bank read — see the serve_q comment above.
-        return lambda x: serve(variables, self._live_prepared(), x)
+        fn = lambda x: serve(variables, self._live_prepared(), x)
+        fn._export_parts = (serve, lambda: (variables, self._live_prepared()))
+        return fn
 
     def _live_prepared(self):
         """The current prepared bank for live serving closures; loud error

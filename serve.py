@@ -399,6 +399,119 @@ def answer_queries(net, variables, train_ds, args):
     return results
 
 
+def export_artifact(net, variables, train_ds, val_ds, args):
+    """AOT-export the serving function (``--export_artifact DIR``): one
+    jax.export'd StableHLO module + its operand arrays (weights, prepared
+    bank). The exported fn takes UINT8 pixels (normalization folded in,
+    like the deployment path) except for CIFAR archs which are served
+    pre-normalized floats."""
+    from nwhead_tpu.utils.aot import export_serving_artifact
+
+    is_cifar = args.dataset in ("cifar10", "cifar100")
+    fn = serving_fn(net, variables, uint8_normalize=not is_cifar)
+    sample = np.asarray(val_ds.gather(np.arange(1)))
+    hw = sample.shape[1:3]
+    dtype = sample.dtype if is_cifar else np.uint8
+    spec = jax.ShapeDtypeStruct((args.batch_size, hw[0], hw[1], 3),
+                                jnp.dtype(dtype))
+    meta = export_serving_artifact(
+        fn, spec, args.export_artifact,
+        metadata={
+            "arch": args.arch,
+            "dataset": args.dataset,
+            "n_classes": int(train_ds.num_classes),
+            "featurizer_precision": args.featurizer_precision,
+            "head_precision": args.head_precision,
+            "normalize": "none (pre-normalized floats)" if is_cifar
+            else "imagenet uint8 (folded into the module)",
+        },
+    )
+    report = {"exported": args.export_artifact, **meta}
+    print(json.dumps(report))
+    return report
+
+
+def artifact_serve(args):
+    """Serve from an AOT artifact (``--serve_artifact DIR``): no model
+    code, dataset or precompute — deserialize, compile once, answer."""
+    from nwhead_tpu.utils.aot import load_serving_artifact
+
+    serve = load_serving_artifact(args.serve_artifact)
+    meta = serve.meta
+    B, H, W, _ = meta["input_shape"]
+    dtype = np.dtype(meta["input_dtype"])
+    out = {"artifact": args.serve_artifact, "meta": meta}
+
+    if args.latency_bench:
+        rng = np.random.default_rng(0)
+        imgs = (rng.integers(0, 256, size=(B, H, W, 3)).astype(dtype)
+                if dtype == np.uint8
+                else rng.standard_normal((B, H, W, 3)).astype(dtype))
+        imgs = jnp.asarray(imgs)
+        for _ in range(3):
+            np.asarray(serve(imgs))
+        lat = []
+        for _ in range(max(1, args.bench_batches)):
+            t0 = time.perf_counter()
+            _ = np.asarray(serve(imgs))
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        report = {
+            "batch_size": B,
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+            "queries_per_sec": round(B / float(np.median(lat)), 1),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(report))
+        out["latency"] = report
+
+    if args.queries:
+        from nwhead_tpu.data import transforms as T
+        from nwhead_tpu.data.datasets import ImageFileDataset
+
+        paths = sorted(glob.glob(args.queries))
+        if not paths:
+            raise SystemExit(f"no files match {args.queries!r}")
+        if dtype != np.uint8:
+            raise SystemExit(
+                "--queries against a float-input artifact is unsupported "
+                "(export with a uint8 pipeline for image files)"
+            )
+        t_eval = T.imagenet_eval_transform(device_normalize=True)
+        qds = ImageFileDataset(paths, np.zeros(len(paths), np.int64),
+                               meta.get("n_classes", 0), transform=t_eval,
+                               workers=args.workers, decoder=args.decoder)
+        results = []
+        for start in range(0, len(paths), B):
+            chunk = paths[start:start + B]
+            imgs = qds.gather(np.arange(start, start + len(chunk)))
+            pad = B - len(chunk)
+            if pad > 0:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                )
+            lp = np.asarray(serve(jnp.asarray(imgs)))[: len(chunk)]
+            top = np.argsort(-lp, axis=-1)[:, : args.topk]
+            for pth, t, row in zip(chunk, top, lp):
+                entry = {
+                    "file": pth,
+                    "topk": [
+                        {"class": int(c),
+                         "prob": round(float(np.exp(row[c])), 4)}
+                        for c in t
+                    ],
+                }
+                results.append(entry)
+                print(json.dumps(entry))
+        out["queries"] = results
+    if not (args.latency_bench or args.queries):
+        raise SystemExit(
+            "--serve_artifact: pass --latency_bench and/or --queries"
+        )
+    return out
+
+
 def _build_explainer(net, train_ds):
     """Per-query explanations from the NW head's own weights — the
     reference's flagship interpretability (``nw.py:245-249`` neighbors,
@@ -550,16 +663,31 @@ def main(argv=None):
                         "usable when the TPU tunnel is down (the axon "
                         "jaxlib ignores JAX_PLATFORMS; a hung tunnel "
                         "blocks backend init)")
+    p.add_argument("--export_artifact", default=None, metavar="DIR",
+                   help="build the server, AOT-export the one-dispatch "
+                        "serving fn (jax.export StableHLO + operand "
+                        "arrays) to DIR, and exit; serve it later with "
+                        "--serve_artifact DIR (no model code / dataset / "
+                        "precompute needed at load)")
+    p.add_argument("--serve_artifact", default=None, metavar="DIR",
+                   help="serve from an AOT artifact exported by "
+                        "--export_artifact instead of building the model; "
+                        "supports --latency_bench and --queries")
     args = p.parse_args(argv)
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    if args.serve_artifact:
+        return artifact_serve(args)
+
     if not (args.latency_bench or args.jpeg_bench or args.queries
-            or args.microbatch_bench):
+            or args.microbatch_bench or args.export_artifact):
         raise SystemExit("pass --latency_bench, --microbatch_bench, "
-                         "--jpeg_bench and/or --queries")
+                         "--jpeg_bench, --queries and/or --export_artifact")
 
     net, variables, train_ds, val_ds = build_server(args)
+    if args.export_artifact:
+        return export_artifact(net, variables, train_ds, val_ds, args)
     out = {}
     if args.latency_bench:
         out["latency"] = latency_bench(net, variables, val_ds, args)

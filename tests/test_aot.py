@@ -1,0 +1,160 @@
+"""AOT-exported serving artifacts (``nwhead_tpu/utils/aot.py`` +
+``serve.py --export_artifact/--serve_artifact``): the jax.export'd
+one-dispatch serving fn must reload WITHOUT model code and reproduce the
+live serving fn exactly."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+
+    rng = np.random.default_rng(0)
+    C, N = 4, 48
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 32, 32, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    net = NWNet(
+        load_model("resnet10"), C, support_dataset=ds, feat_dim=512,
+        n_shot_full=12, fused_min_support=1, seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.precompute(variables)
+    return net, variables, x
+
+
+def test_export_reload_parity_float(small_net, tmp_path):
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    net, variables, x = small_net
+    fn = net.make_serving_fn(variables)
+    q = jnp.asarray(x[:6])
+    want = np.asarray(fn(q))
+
+    meta = export_serving_artifact(fn, q, str(tmp_path / "art"))
+    assert meta["n_operand_leaves"] > 0
+    assert meta["input_shape"] == [6, 32, 32, 3]
+
+    reloaded = load_serving_artifact(str(tmp_path / "art"))
+    got = np.asarray(reloaded(q))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    assert reloaded.meta["platforms"] == meta["platforms"]
+
+
+def test_export_reload_parity_uint8_normalize(small_net, tmp_path):
+    """The deployment form: uint8 pixels in, normalization folded into the
+    exported module."""
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    net, variables, _ = small_net
+    fn = net.make_serving_fn(
+        variables, normalize=(T.IMAGENET_MEAN, T.IMAGENET_STD)
+    )
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.integers(0, 256, size=(3, 32, 32, 3)).astype(np.uint8))
+    want = np.asarray(fn(q))
+
+    export_serving_artifact(fn, q, str(tmp_path / "art8"))
+    reloaded = load_serving_artifact(str(tmp_path / "art8"))
+    np.testing.assert_allclose(np.asarray(reloaded(q)), want,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_export_rejects_plain_callables(small_net, tmp_path):
+    from nwhead_tpu.utils.aot import export_serving_artifact
+
+    with pytest.raises(ValueError, match="make_serving_fn"):
+        export_serving_artifact(
+            lambda x: x, jnp.ones((2, 2)), str(tmp_path / "bad")
+        )
+
+
+def test_platform_mismatch_refuses(small_net, tmp_path):
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    net, variables, x = small_net
+    fn = net.make_serving_fn(variables)
+    export_serving_artifact(fn, jnp.asarray(x[:2]), str(tmp_path / "artp"))
+    meta_path = tmp_path / "artp" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["platforms"] = ["tpu"]  # pretend it was lowered for the chip
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="lowered for"):
+        load_serving_artifact(str(tmp_path / "artp"))
+
+
+def test_cli_export_then_serve_artifact(tmp_path):
+    """serve.py round trip: --export_artifact writes the artifact, a fresh
+    --serve_artifact invocation (no model build) answers a latency bench."""
+    import serve
+
+    art = str(tmp_path / "artifact")
+    rep = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "4", "--n_shot_full", "5",
+        "--export_artifact", art,
+    ])
+    assert rep["exported"] == art
+    assert os.path.exists(os.path.join(art, "module.jax_export"))
+
+    out = serve.main([
+        "--dataset", "synthetic",  # ignored by the artifact path
+        "--serve_artifact", art,
+        "--latency_bench", "--bench_batches", "2",
+    ])
+    assert out["latency"]["batch_size"] == 4
+    assert out["latency"]["queries_per_sec"] > 0
+
+
+def test_export_reload_parity_int8_featurizer(tmp_path):
+    """Quantized-CNN serving export: the int8 featurizer's folded weights
+    ride inside its closure (baked as module constants — small for CNNs),
+    the float variables + prepared bank as stored operands."""
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    rng = np.random.default_rng(3)
+    C, N = 3, 24
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 32, 32, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    net = NWNet(load_model("resnet10"), C, support_dataset=ds,
+                feat_dim=512, n_shot_full=6, fused_min_support=1, seed=0)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.quantize_featurizer(variables, x[:8])
+    net.precompute(variables)
+
+    fn = net.make_serving_fn(variables)
+    q = jnp.asarray(x[:4])
+    want = np.asarray(fn(q))
+    export_serving_artifact(fn, q, str(tmp_path / "arti8"))
+    reloaded = load_serving_artifact(str(tmp_path / "arti8"))
+    np.testing.assert_allclose(np.asarray(reloaded(q)), want,
+                               rtol=1e-6, atol=1e-6)

@@ -240,3 +240,63 @@ def test_incremental_bank_and_serving_fn_on_tpu(tmp_path):
     net2.restore_bank(variables, emb, lbl, meta)
     got = np.asarray(net2.predict(variables, xq, "full"))
     np.testing.assert_allclose(got, after, rtol=0, atol=1e-5)
+
+
+def test_randomized_nw_sweep_compiled_on_tpu():
+    """Compiled-Mosaic randomized mini-sweep: the CPU suite's randomized
+    sweeps (tests/test_pallas_nw.py) run the kernels in interpret mode —
+    layout/tiling/relayout bugs only exist in the COMPILED lowering, so a
+    reduced seeded sweep must also run on the real chip. Features are
+    scaled so squared distances stay O(10): MXU DEFAULT precision carries
+    ~3e-4 relative error, which at O(1000) score magnitudes becomes ~0.3
+    absolute log-space error and no tight gate can hold (measured;
+    interpret mode is exact so the CPU sweep keeps its tight gates)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from nwhead_tpu.ops.nw import nw_log_probs
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
+
+    kernels = ["euclidean", "hypersphere_euclidean", "cosine", "dotproduct"]
+    rng = np.random.default_rng(31)
+    for trial in range(4):
+        kernel = kernels[int(rng.integers(len(kernels)))]
+        B = int(rng.integers(1, 9))
+        S = int(rng.integers(256, 2049))
+        D = int(rng.integers(32, 400))
+        C = int(rng.integers(4, 300))
+        scale = 4.0 / np.sqrt(D)
+        q = jnp.asarray(scale * rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(scale * rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        ctx = f"trial={trial} {kernel} B={B} S={S} D={D} C={C}"
+
+        want = np.asarray(nw_log_probs(q, s, sy, C, kernel=kernel))
+        got = np.asarray(nw_fused_log_probs(q, s, sy, C, kernel=kernel))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2, err_msg=ctx)
+        np.testing.assert_array_equal(
+            got.argmax(-1), want.argmax(-1), err_msg=ctx
+        )
+
+        prep = prepare_support(s, sy, C, kernel=kernel)
+        got_p = np.asarray(nw_fused_log_probs(q, prep, None, C, kernel=kernel))
+        np.testing.assert_allclose(
+            got_p, want, rtol=3e-2, atol=3e-2, err_msg="prepared " + ctx
+        )
+        # Lossy prepared banks: probability-space agreement (quantization
+        # shifts log-probs at the floor; semantics = probs + decisions).
+        for prec, tol in (("bf16", 5e-2), ("int8", 1e-1)):
+            prep_l = prepare_support(s, sy, C, kernel=kernel, precision=prec)
+            got_l = np.asarray(
+                nw_fused_log_probs(q, prep_l, None, C, kernel=kernel)
+            )
+            perr = float(np.max(np.abs(np.exp(got_l) - np.exp(want))))
+            assert perr < tol, (prec, perr, ctx)
