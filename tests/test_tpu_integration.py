@@ -300,3 +300,50 @@ def test_randomized_nw_sweep_compiled_on_tpu():
             )
             perr = float(np.max(np.abs(np.exp(got_l) - np.exp(want))))
             assert perr < tol, (prec, perr, ctx)
+
+
+def test_aot_artifact_roundtrip_on_tpu(tmp_path):
+    """AOT serving artifact with a REAL Mosaic kernel body: export the
+    one-dispatch serving fn on the chip, reload it, and require exact
+    agreement with the live fn (same serialized module, same backend —
+    the CPU suite can only prove this for interpret-mode lowerings)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    rng = np.random.default_rng(5)
+    C, N = 6, 60
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 32, 32, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    net = NWNet(load_model("resnet10", dtype=jnp.bfloat16), C,
+                support_dataset=ds, feat_dim=512, n_shot_full=10,
+                fused_min_support=1, seed=0)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.precompute(variables)
+
+    fn = net.make_serving_fn(variables)
+    q = jnp.asarray(x[:4])
+    want = np.asarray(fn(q))
+    meta = export_serving_artifact(fn, q, str(tmp_path / "art_tpu"))
+    assert "tpu" in [p.lower() for p in meta["platforms"]], meta
+
+    reloaded = load_serving_artifact(str(tmp_path / "art_tpu"))
+    np.testing.assert_allclose(np.asarray(reloaded(q)), want,
+                               rtol=1e-5, atol=1e-5)
