@@ -158,3 +158,42 @@ def test_export_reload_parity_int8_featurizer(tmp_path):
     reloaded = load_serving_artifact(str(tmp_path / "arti8"))
     np.testing.assert_allclose(np.asarray(reloaded(q)), want,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_export_reload_parity_quantized_vit(tmp_path):
+    """The QuantizedViT serving export (``serve_q``): its weight tree rides
+    as stored operands (never baked — ViT-B constant bodies get rejected
+    by the remote compile service), which exercises the NamedTuple
+    registrations (QViTBlock/QDense/QLayerNorm) and scalar act-scale
+    leaves in the operand pytree."""
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    rng = np.random.default_rng(4)
+    C, N = 3, 12
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 64, 64, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    vit = load_model("vit_s16")
+    net = NWNet(vit, C, support_dataset=ds, feat_dim=vit.feat_dim,
+                n_shot_full=4, fused_min_support=1, seed=0)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.quantize_featurizer(variables, x[:6])
+    net.precompute(variables)
+
+    fn = net.make_serving_fn(variables)
+    q = jnp.asarray(x[:2])
+    want = np.asarray(fn(q))
+    meta = export_serving_artifact(fn, q, str(tmp_path / "artvit"))
+    # The ViT weight tree must be in the operands, not baked: far more
+    # leaves than the CNN path's (variables, prepared) pair.
+    assert meta["n_operand_leaves"] > 50
+    reloaded = load_serving_artifact(str(tmp_path / "artvit"))
+    np.testing.assert_allclose(np.asarray(reloaded(q)), want,
+                               rtol=1e-6, atol=1e-6)
