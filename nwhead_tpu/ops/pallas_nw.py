@@ -51,6 +51,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -115,6 +117,15 @@ class PreparedSupport(NamedTuple):
     lane: jnp.ndarray  # (n_tiles, nchunk, 128) f32 labels, -1 = invalid
     sub: jnp.ndarray  # (n_tiles, 128, nchunk) f32
     sscale: Optional[jnp.ndarray] = None  # (n_tiles, nchunk, 128) f32, int8 only
+    # Class-windowed aggregation (C > 128 host-side preps): rows are SORTED
+    # by class so each tile's labels span a narrow window; win[j, 0] is the
+    # tile's 128-aligned window start and the STATIC window width rides in
+    # the array's shape (W = win.shape[1] * 128 — a plain int field would
+    # become a traced leaf when the prepared bank rides as a jit argument).
+    # The kernel then builds a (block_s, W) one-hot + (TB, W) label matmul
+    # instead of (block_s, c_pad): the aggregation term is the dominant
+    # non-DMA cost at large C (measured S=1e6/C=1000 int8: 0.5 of 1.48 ms).
+    win: Optional[jnp.ndarray] = None  # (n_tiles, W//128) int32
 
 
 def prepare_support(
@@ -126,10 +137,39 @@ def prepare_support(
     support_mask: Optional[jnp.ndarray] = None,
     precision: str = "f32",
     block_s: Optional[int] = None,
+    window: bool = True,
 ) -> PreparedSupport:
-    """Pad + normalize + pack a support bank for the fused serving path."""
+    """Pad + normalize + pack a support bank for the fused serving path.
+
+    ``window=True`` (default; host-side preps with C > 128 only): sort the
+    bank by class so each tile's labels span a narrow 128-aligned class
+    window, shrinking the per-tile one-hot/label-matmul from O(block_s *
+    c_pad) to O(block_s * W). Row order inside a prepared bank is opaque
+    (the head's output is order-independent); pass ``window=False`` where
+    callers slice prepared fields positionally across shards (the sharded
+    bank concatenates per-shard preps, whose static widths could differ).
+    """
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
+    sy_np = mask_np = None
+    windowed = (
+        window
+        and n_classes > 128
+        and not isinstance(sy, jax.core.Tracer)
+        and not isinstance(support_mask, jax.core.Tracer)
+    )
+    if windowed:
+        sy_np = np.asarray(sy)
+        mask_np = np.asarray(support_mask)
+        # Stable sort by class, masked rows last (their label is a
+        # sentinel anyway); applied to features/labels/mask together.
+        order = np.argsort(
+            np.where(mask_np > 0, sy_np, n_classes), kind="stable"
+        )
+        sfeat = jnp.asarray(sfeat)[order]
+        sy = jnp.asarray(sy)[order]
+        support_mask = jnp.asarray(support_mask)[order]
+        sy_np, mask_np = sy_np[order], mask_np[order]
     if not isinstance(sy, jax.core.Tracer):  # host-side prep: validate labels
         mx = int(jnp.max(sy))
         if mx >= n_classes:
@@ -187,7 +227,37 @@ def prepare_support(
         s2 = jnp.where(mrow > 0, s2, _MASK_S2)
         s2c = s2.reshape(s_pad // block_s, nchunk, 128)
     lane, sub = _pack_labels(jnp.asarray(sy), support_mask, s_pad, block_s)
-    return PreparedSupport(s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale)
+
+    win = None
+    if windowed:
+        n_tiles = s_pad // block_s
+        c_pad = _round_up(n_classes, 128)
+        lab = np.full(s_pad, -1, np.int64)
+        lab[:S] = np.where(mask_np > 0, sy_np, -1)
+        labt = lab.reshape(n_tiles, block_s)
+        valid = labt >= 0
+        any_valid = valid.any(axis=1)
+        c_lo = np.where(
+            any_valid, np.where(valid, labt, n_classes).min(axis=1), 0
+        )
+        c_hi = np.where(any_valid, np.where(valid, labt, -1).max(axis=1), 0)
+        w = (c_lo // 128) * 128
+        W = _round_up(max(int(np.max(c_hi - w + 1)), 1), 128)
+        if W < c_pad:  # a full-width window would just be the plain path
+            # Clamp so w + W never crosses c_pad ([c_lo, c_hi] stays
+            # covered: w only ever moves DOWN). Stored as BLOCK indices —
+            # the kernel multiplies by 128 in-index so Mosaic can
+            # statically prove the dynamic lane offset's alignment.
+            w = np.minimum(w, c_pad - W)
+            win = jnp.asarray(
+                np.broadcast_to(
+                    (w // 128).astype(np.int32)[:, None],
+                    (n_tiles, W // 128),
+                ).copy()
+            )
+    return PreparedSupport(
+        s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale, win=win
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +510,7 @@ def _nw_prepared_kernel(
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, partials: bool = False,
+    win_w: int = 0,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -453,6 +524,9 @@ def _nw_prepared_kernel(
         sscale_ref = refs[i]; i += 1  # (n_tiles, 1, TS) f32 row scales
     lane_ref = refs[i]; i += 1    # (n_tiles, 1, TS) VMEM labels (flat)
     sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk) VMEM
+    win_ref = None
+    if win_w:
+        win_ref = refs[i]; i += 1  # SMEM (n_tiles, win_w/128) int32 blocks
     out_ref = refs[i]; i += 1     # (TB, C_pad)
     mstat_ref = lstat_ref = None
     if partials:
@@ -480,7 +554,11 @@ def _nw_prepared_kernel(
 
     get_dma(0, 0).start()
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, c_pad), 1).astype(
+    # Windowed aggregation: the one-hot/label-matmul width is the class
+    # window W instead of the full c_pad (rows are class-sorted at
+    # prepare time; each tile's labels fit [w, w + W)).
+    cw = win_w if win_w else c_pad
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, cw), 1).astype(
         jnp.float32
     )
 
@@ -545,8 +623,12 @@ def _nw_prepared_kernel(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
 
+        if win_w:
+            wbase = (win_ref[j, 0] * 128).astype(jnp.float32)
         for t in range(nchunk):
             col = sub_ref[pl.ds(j, 1), :, t:t + 1].reshape(128, 1)
+            if win_w:
+                col = col - wbase  # labels exact in f32; -1 stays invalid
             oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
                 jnp.float32
             )
@@ -555,7 +637,13 @@ def _nw_prepared_kernel(
             p, oh_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        if win_w:
+            acc_ref[:] = acc_ref[:] * alpha
+            # block-idx * 128: Mosaic statically proves lane alignment.
+            sl = pl.ds(win_ref[j, 0] * 128, win_w)
+            acc_ref[:, sl] = acc_ref[:, sl] + pv
+        else:
+            acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         return 0
 
@@ -620,6 +708,13 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
     ]
     inputs += [lane.reshape(flat), sub]
+    win = prepared.win
+    win_w = win.shape[1] * 128 if win is not None else 0
+    if win_w:
+        in_specs.append(
+            pl.BlockSpec(win.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        inputs.append(win)
 
     out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32)
@@ -633,7 +728,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
-            partials=partials,
+            partials=partials, win_w=win_w,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -644,7 +739,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, c_pad), jnp.float32),
-            pltpu.VMEM((block_s, c_pad), jnp.float32),
+            pltpu.VMEM((block_s, win_w if win_w else c_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

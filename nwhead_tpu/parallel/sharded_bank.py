@@ -335,6 +335,11 @@ class ShardedSupportBank:
                         n_classes, kernel=kernel,
                         support_mask=jnp.asarray(mask_p[sl]),
                         precision=precision,
+                        # Per-shard windows could carry DIFFERENT static
+                        # widths; the concat below slices fields
+                        # positionally across shards, so keep the plain
+                        # full-width aggregation here.
+                        window=False,
                     )
                 )
 

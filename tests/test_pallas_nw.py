@@ -459,3 +459,62 @@ def test_bigbank_lab_smoke(capsys):
     assert "FAIL" not in out
     assert out.count("OK ") == 3
     assert "tiny smoke OK" in out
+
+
+def test_windowed_prepared_aggregation():
+    """Class-windowed prepared banks (C > 128): rows are sorted by class at
+    prepare time and the kernel aggregates into a narrow dynamic window —
+    output must equal the naive op on the ORIGINAL (unsorted) bank for
+    every precision, with masks, and under label skew; C <= 128 and
+    window=False must not build a window at all."""
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
+
+    rng = np.random.default_rng(11)
+    B, S, D, C = 5, 700, 64, 500
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+
+    want = np.asarray(nw_log_probs(q, s, sy, C))
+    prep = prepare_support(s, sy, C, block_s=256)
+    assert prep.win is not None, "C=500 host prep must window"
+    assert prep.win.shape[1] * 128 < 512  # narrower than c_pad
+    got = np.asarray(nw_fused_log_probs(q, prep, None, C))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # Lossy precisions ride the same window machinery.
+    for prec in ("bf16", "int8"):
+        prep_l = prepare_support(s, sy, C, block_s=256, precision=prec)
+        assert prep_l.win is not None
+        got_l = np.asarray(nw_fused_log_probs(q, prep_l, None, C))
+        perr = np.max(np.abs(np.exp(got_l) - np.exp(want)))
+        assert perr < 0.06, (prec, perr)
+
+    # Masked rows sort to the end and never leak into any window.
+    keep = 450
+    mask = jnp.asarray((np.arange(S) < keep).astype(np.float32))
+    # Poison the masked rows' labels toward a class far from the rest.
+    sy_poison = np.asarray(sy).copy()
+    sy_poison[keep:] = C - 1
+    prep_m = prepare_support(
+        s, jnp.asarray(sy_poison), C, block_s=256, support_mask=mask
+    )
+    want_m = np.asarray(
+        nw_log_probs(q, s[:keep], jnp.asarray(sy_poison[:keep]), C)
+    )
+    got_m = np.asarray(nw_fused_log_probs(q, prep_m, None, C))
+    np.testing.assert_allclose(got_m, want_m, rtol=2e-3, atol=2e-3)
+
+    # Label skew: 90% of rows in one class, the rest spread — windows stay
+    # correct when a class spans multiple tiles.
+    sy_skew = np.full(S, 7, np.int32)
+    sy_skew[: S // 10] = rng.integers(0, C, size=S // 10)
+    sy_skew = jnp.asarray(sy_skew)
+    prep_k = prepare_support(s, sy_skew, C, block_s=256)
+    got_k = np.asarray(nw_fused_log_probs(q, prep_k, None, C))
+    want_k = np.asarray(nw_log_probs(q, s, sy_skew, C))
+    np.testing.assert_allclose(got_k, want_k, rtol=2e-3, atol=2e-3)
+
+    # No window when it cannot help / is disabled.
+    assert prepare_support(s, sy % 100, 100).win is None
+    assert prepare_support(s, sy, C, window=False).win is None
