@@ -780,7 +780,14 @@ def nw_fused_from_prepared(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
-        block_b = min(128, _round_up(qfeat.shape[0], 8))
+        # Whole batch as ONE query tile (up to a VMEM-budgeted cap): the
+        # bank then streams ONCE per call regardless of batch size and the
+        # per-tile one-hot is built once, not once per 128-query tile
+        # (B=256 f32 previously paid 2x the bank bytes). The cap keeps the
+        # (block_b, c_pad) accumulator inside a ~8 MB budget at huge C.
+        c_pad = _round_up(n_classes, 128)
+        cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
+        block_b = min(cap, _round_up(qfeat.shape[0], 8))
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
     return _prepared_call(
         qn, prepared, scale,
@@ -816,7 +823,11 @@ def nw_fused_partials(
         qfeat = qfeat.astype(jnp.bfloat16)
         sfeat = sfeat.astype(jnp.bfloat16)
     if block_b is None:
-        block_b = min(128, _round_up(qfeat.shape[0], 8))
+        # Same whole-batch default as nw_fused_from_prepared: one query tile
+        # means each shard's bank streams once per call regardless of B.
+        c_pad = _round_up(n_classes, 128)
+        cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
+        block_b = min(cap, _round_up(qfeat.shape[0], 8))
     if block_s is None:
         block_s = _auto_block_s(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,

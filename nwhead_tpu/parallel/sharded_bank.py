@@ -335,13 +335,35 @@ class ShardedSupportBank:
                         n_classes, kernel=kernel,
                         support_mask=jnp.asarray(mask_p[sl]),
                         precision=precision,
-                        # Per-shard windows could carry DIFFERENT static
-                        # widths; the concat below slices fields
-                        # positionally across shards, so keep the plain
-                        # full-width aggregation here.
-                        window=False,
                     )
                 )
+
+            # Class-windowed aggregation across shards: the shard_mapped
+            # predict runs ONE program, so the window's STATIC width (it
+            # rides in win.shape) must agree on every shard — widen each
+            # shard's window to the max width, clamping starts so the
+            # window stays inside c_pad (starts only move DOWN, so each
+            # tile's original [c_lo, c_hi] span stays covered). If any
+            # shard came back un-windowed (its span is full-width), drop
+            # windows everywhere — rows stay class-sorted, which the
+            # full-width kernel is indifferent to.
+            wins = [p.win for p in preps]
+            if all(w is not None for w in wins):
+                c_pad = _round_up(n_classes, 128)
+                wb = max(w.shape[1] for w in wins)  # width in 128-blocks
+                if wb * 128 < c_pad:
+                    uni = []
+                    for w in wins:
+                        starts = np.minimum(
+                            np.asarray(w)[:, 0], c_pad // 128 - wb
+                        ).astype(np.int32)
+                        uni.append(jnp.asarray(np.broadcast_to(
+                            starts[:, None], (w.shape[0], wb)).copy()))
+                    preps = [p._replace(win=w) for p, w in zip(preps, uni)]
+                else:
+                    preps = [p._replace(win=None) for p in preps]
+            elif any(w is not None for w in wins):
+                preps = [p._replace(win=None) for p in preps]
 
             def cat(field):
                 vals = [getattr(p, field) for p in preps]
@@ -351,7 +373,7 @@ class ShardedSupportBank:
 
             prepared = PreparedSupport(
                 s=cat("s"), s2c=cat("s2c"), lane=cat("lane"),
-                sub=cat("sub"), sscale=cat("sscale"),
+                sub=cat("sub"), sscale=cat("sscale"), win=cat("win"),
             )
             return ShardedSupportBank(
                 feat=None, labels=None, mask=None, mesh=mesh,
@@ -396,7 +418,7 @@ class ShardedSupportBank:
             # Only the fields this kernel/precision actually uses ride
             # through the shard_map (s2c: l2 modes; sscale: int8 banks).
             names = [
-                n for n in ("s", "s2c", "lane", "sub", "sscale")
+                n for n in ("s", "s2c", "lane", "sub", "sscale", "win")
                 if getattr(prep, n) is not None
             ]
 
@@ -405,6 +427,7 @@ class ShardedSupportBank:
                 local_prep = PreparedSupport(
                     s=kw["s"], s2c=kw.get("s2c"), lane=kw["lane"],
                     sub=kw["sub"], sscale=kw.get("sscale"),
+                    win=kw.get("win"),
                 )
                 m, l, acc = nw_fused_from_prepared(
                     qfeat, local_prep, n_classes,

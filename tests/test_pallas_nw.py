@@ -196,6 +196,34 @@ class TestPreparedSupport:
                                        kernel_params=kparams))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("B", [136, 200, 256])
+    def test_prepared_whole_batch_tile_default(self, rng, B):
+        """The default block_b is now the VMEM-budgeted WHOLE batch (one
+        query tile -> the bank streams once per call); batches above 128,
+        including non-128-multiples, must stay exact — with and without a
+        class window (C > 128)."""
+        from nwhead_tpu.ops.nw import nw_log_probs
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        S, D, C = 500, 40, 500  # c_pad = 512
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(np.sort(rng.integers(0, C, size=S)).astype(np.int32))
+
+        want = np.asarray(nw_log_probs(q, s, sy, C))
+        for window in (True, False):
+            # block_s=128 forces multiple tiles whose sorted-label spans
+            # (~128 classes each) are guaranteed narrower than c_pad, so a
+            # window MUST materialize; the default single-tile prep at this
+            # S would legitimately drop it (full-width span).
+            prepared = prepare_support(s, sy, C, window=window, block_s=128)
+            assert (prepared.win is not None) == window
+            got = np.asarray(nw_fused_log_probs(q, prepared, None, C))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                       err_msg=f"window={window}")
+
     def test_prepared_with_mask(self, rng):
         from nwhead_tpu.ops.nw import nw_log_probs
         from nwhead_tpu.ops.pallas_nw import (

@@ -89,6 +89,50 @@ def test_sharded_prepared_kernel_variants_and_clip(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=kernel)
 
 
+@pytest.mark.parametrize("precision", ["f32", "int8"])
+def test_sharded_prepared_windowed_large_c(rng, precision):
+    """C > 128 sharded prepared banks carry class windows with ONE static
+    width across shards (each shard's window widened to the max and starts
+    clamped), and the windowed per-shard kernel still merges exactly."""
+    mesh = make_mesh(2, 4)
+    B, S, D, C = 4, 700, 32, 300  # c_pad = 384
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    # Skew labels so per-tile class spans are narrow post-sort.
+    sy = np.sort(rng.integers(0, C, size=S)).astype(np.int32)
+
+    bank = ShardedSupportBank.build(s, sy, mesh, C, precision=precision,
+                                    use_prepared=True)
+    win = bank.prepared.win
+    assert win is not None, "large-C sharded bank should be windowed"
+    assert win.shape[1] * 128 < 384  # narrower than full width
+    got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
+    want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s),
+                                   jnp.asarray(sy), C))
+    tol = 1e-4 if precision == "f32" else 0.1
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=tol, atol=max(tol, 1e-4))
+
+
+def test_sharded_prepared_window_dropped_when_full_width(rng):
+    """Uniform random labels over a large C make every tile's span full
+    width — the sharded build must fall back to the plain aggregation
+    (win=None) and stay exact."""
+    mesh = make_mesh(4, 2)
+    B, S, D, C = 4, 400, 16, 200
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    s = rng.standard_normal((S, D)).astype(np.float32)
+    # Every tile sees both class extremes -> window width == c_pad.
+    sy = np.tile([0, C - 1], S // 2).astype(np.int32)
+
+    bank = ShardedSupportBank.build(s, sy, mesh, C, use_prepared=True)
+    assert bank.prepared.win is None
+    got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
+    want = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s),
+                                   jnp.asarray(sy), C))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_prepared_bank_precisions(rng):
     """bf16 and int8 sharded banks merge exactly like their single-device
     prepared counterparts (sharding introduces no extra quantization error)."""
