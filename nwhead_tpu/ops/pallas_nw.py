@@ -510,7 +510,7 @@ def _nw_prepared_kernel(
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, partials: bool = False,
-    win_w: int = 0,
+    win_w: int = 0, softmax_impl: str = "exp",
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -618,7 +618,21 @@ def _nw_prepared_kernel(
         m_new = jnp.maximum(m_prev, jnp.max(score, axis=1, keepdims=True))
         m_safe = jnp.where(m_new > _NEG_INF / 2, m_new, 0.0)
         alpha = jnp.where(m_prev > _NEG_INF / 2, jnp.exp(m_prev - m_safe), 0.0)
-        p = jnp.where(score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0)
+        if softmax_impl == "exp":
+            p = jnp.where(score > _NEG_INF / 2, jnp.exp(score - m_safe), 0.0)
+        elif softmax_impl == "exp_noguard":
+            # The guard is redundant: score and m_safe are FINITE (masked
+            # rows carry ~-1e15/-3.4e38, m_safe is where-guarded to 0 when
+            # every row so far is masked), so score - m_safe is either a
+            # huge negative f32 or -inf from overflow — exp of both is
+            # exactly 0.0, which is what the where produced. Saves a
+            # compare + select per (TB, TS) element on the VPU hot chain.
+            p = jnp.exp(score - m_safe)
+        else:
+            assert softmax_impl == "exp2_noguard"
+            # Same values as exp (exp2(x*log2e) == exp(x) to rounding);
+            # measures whether Mosaic's exp costs more than exp2 + mul.
+            p = jnp.exp2((score - m_safe) * 1.4426950408889634)
         l_ref[:] = jnp.broadcast_to(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
@@ -661,7 +675,7 @@ def _nw_prepared_kernel(
 
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
-                   block_b, interpret, partials=False):
+                   block_b, interpret, partials=False, softmax_impl="exp"):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -728,7 +742,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
-            partials=partials, win_w=win_w,
+            partials=partials, win_w=win_w, softmax_impl=softmax_impl,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -764,6 +778,7 @@ def nw_fused_from_prepared(
     block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
     partials: bool = False,
+    softmax_impl: str = "exp",
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -792,7 +807,7 @@ def nw_fused_from_prepared(
     return _prepared_call(
         qn, prepared, scale,
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
-        partials=partials,
+        partials=partials, softmax_impl=softmax_impl,
     )
 
 
@@ -1164,6 +1179,7 @@ def nw_fused_log_probs(
     block_s: Optional[int] = None,
     interpret: Optional[bool] = None,
     precision: Optional[str] = None,
+    softmax_impl: str = "exp",
 ) -> jnp.ndarray:
     """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
 
@@ -1200,6 +1216,12 @@ def nw_fused_log_probs(
             qfeat, sfeat, n_classes,
             kernel=kernel, kernel_params=kernel_params,
             block_b=block_b, interpret=interpret,
+            softmax_impl=softmax_impl,
+        )
+    if softmax_impl != "exp":
+        raise ValueError(
+            "softmax_impl is a prepared-bank serving option; the raw-array "
+            "(differentiable) path always uses the guarded exp"
         )
     kernel_params = kernel_params or {}
     if support_mask is None:

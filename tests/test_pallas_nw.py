@@ -224,6 +224,32 @@ class TestPreparedSupport:
             np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
                                        err_msg=f"window={window}")
 
+    @pytest.mark.parametrize("precision", ["f32", "int8"])
+    def test_prepared_softmax_impl_variants_identical(self, rng, precision):
+        """The exp_noguard / exp2_noguard softmax implementations must
+        produce the SAME probabilities as the guarded exp baseline —
+        including with masked rows, whose finite-huge-negative scores must
+        underflow to exactly 0 without the per-element where."""
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_log_probs, prepare_support,
+        )
+
+        B, S, D, C = 8, 400, 32, 300
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(np.sort(rng.integers(0, C, size=S)).astype(np.int32))
+        mask = jnp.asarray((rng.random(S) > 0.3).astype(np.float32))
+
+        prep = prepare_support(s, sy, C, support_mask=mask,
+                               precision=precision, block_s=128)
+        base = np.asarray(nw_fused_log_probs(q, prep, None, C))
+        for impl in ("exp_noguard", "exp2_noguard"):
+            got = np.asarray(
+                nw_fused_log_probs(q, prep, None, C, softmax_impl=impl))
+            np.testing.assert_allclose(
+                np.exp(got), np.exp(base), rtol=0, atol=3e-7,
+                err_msg=f"{impl} {precision}")
+
     def test_prepared_with_mask(self, rng):
         from nwhead_tpu.ops.nw import nw_log_probs
         from nwhead_tpu.ops.pallas_nw import (

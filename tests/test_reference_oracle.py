@@ -187,6 +187,11 @@ def test_train_forward_matches_with_pinned_support(parity_setup):
     sy = targets[sidx]
     sx = images[sidx]
 
+    # train() forward UPDATES BN running stats in-place even under
+    # no_grad; the fixture is module-scoped, so restore the exact state
+    # afterwards or every later featurizer-dependent parity test compares
+    # a drifted torch net against our undrifted `variables`.
+    sd_before = {k: v.clone() for k, v in ref_net.state_dict().items()}
     ref_net.train()
     with torch.no_grad():
         want = ref_net.forward(
@@ -199,6 +204,7 @@ def test_train_forward_matches_with_pinned_support(parity_setup):
             ),
         ).numpy()
     ref_net.eval()
+    ref_net.load_state_dict(sd_before)
 
     got, isin, _ = net.forward(
         variables, jnp.asarray(q), qy,
