@@ -402,6 +402,54 @@ class ShardedSupportBank:
             kernel=kernel,
         )
 
+    def mapped_prepared(self, kernel_params: Optional[Dict[str, Any]] = None):
+        """The UNJITTED shard_mapped prepared predict plus its operand
+        field names: ``(mapped, names)`` where ``mapped(qfeat, *arrs)``
+        with ``arrs = [getattr(prepared, n) for n in names]`` returns
+        (B, C) log-probs. Shared by ``predict_fn`` (live serving) and the
+        AOT mesh exporter (``utils.aot.export_mesh_serving_artifact``),
+        which needs the traceable fn to compose into one exported jit."""
+        if self.prepared is None:
+            raise ValueError("mapped_prepared needs a prepared sharded bank")
+        from nwhead_tpu.ops.pallas_nw import (
+            PreparedSupport, nw_fused_from_prepared,
+        )
+
+        n_classes = self.n_classes
+        kernel = self.kernel
+        prep = self.prepared
+        # Only the fields this kernel/precision actually uses ride
+        # through the shard_map (s2c: l2 modes; sscale: int8 banks).
+        names = [
+            n for n in ("s", "s2c", "lane", "sub", "sscale", "win")
+            if getattr(prep, n) is not None
+        ]
+
+        def local_prepared(qfeat, *arrs):
+            kw = dict(zip(names, arrs))
+            local_prep = PreparedSupport(
+                s=kw["s"], s2c=kw.get("s2c"), lane=kw["lane"],
+                sub=kw["sub"], sscale=kw.get("sscale"),
+                win=kw.get("win"),
+            )
+            m, l, acc = nw_fused_from_prepared(
+                qfeat, local_prep, n_classes,
+                kernel=kernel, kernel_params=kernel_params,
+                partials=True,
+            )
+            return merge_partials(m, l, acc, "support")
+
+        mapped = jax.shard_map(
+            local_prepared,
+            mesh=self.mesh,
+            in_specs=(P("data"),) + (P("support"),) * len(names),
+            out_specs=P("data"),
+            # pallas_call outputs carry no varying-mesh-axes metadata;
+            # the collective correctness is covered by the parity tests.
+            check_vma=False,
+        )
+        return mapped, names
+
     def predict_fn(self, kernel_params: Optional[Dict[str, Any]] = None):
         """Jitted, shard_mapped full-mode predict: qfeat (B, D) -> (B, C)
         log-probs. Queries are sharded over 'data' and replicated over
@@ -410,41 +458,8 @@ class ShardedSupportBank:
         kernel = self.kernel
 
         if self.prepared is not None:
-            from nwhead_tpu.ops.pallas_nw import (
-                PreparedSupport, nw_fused_from_prepared,
-            )
-
             prep = self.prepared
-            # Only the fields this kernel/precision actually uses ride
-            # through the shard_map (s2c: l2 modes; sscale: int8 banks).
-            names = [
-                n for n in ("s", "s2c", "lane", "sub", "sscale", "win")
-                if getattr(prep, n) is not None
-            ]
-
-            def local_prepared(qfeat, *arrs):
-                kw = dict(zip(names, arrs))
-                local_prep = PreparedSupport(
-                    s=kw["s"], s2c=kw.get("s2c"), lane=kw["lane"],
-                    sub=kw["sub"], sscale=kw.get("sscale"),
-                    win=kw.get("win"),
-                )
-                m, l, acc = nw_fused_from_prepared(
-                    qfeat, local_prep, n_classes,
-                    kernel=kernel, kernel_params=kernel_params,
-                    partials=True,
-                )
-                return merge_partials(m, l, acc, "support")
-
-            mapped = jax.shard_map(
-                local_prepared,
-                mesh=self.mesh,
-                in_specs=(P("data"),) + (P("support"),) * len(names),
-                out_specs=P("data"),
-                # pallas_call outputs carry no varying-mesh-axes metadata;
-                # the collective correctness is covered by the parity tests.
-                check_vma=False,
-            )
+            mapped, names = self.mapped_prepared(kernel_params)
 
             jitted = jax.jit(mapped)  # bank as jit args (413-proof)
 

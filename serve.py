@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import os
 import threading
 import json
 import time
@@ -405,27 +406,39 @@ def export_artifact(net, variables, train_ds, val_ds, args):
     bank). The exported fn takes UINT8 pixels (normalization folded in,
     like the deployment path) except for CIFAR archs which are served
     pre-normalized floats."""
-    from nwhead_tpu.utils.aot import export_serving_artifact
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.utils.aot import (
+        export_mesh_serving_artifact, export_serving_artifact,
+    )
 
     is_cifar = args.dataset in ("cifar10", "cifar100")
-    fn = serving_fn(net, variables, uint8_normalize=not is_cifar)
     sample = np.asarray(val_ds.gather(np.arange(1)))
     hw = sample.shape[1:3]
     dtype = sample.dtype if is_cifar else np.uint8
     spec = jax.ShapeDtypeStruct((args.batch_size, hw[0], hw[1], 3),
                                 jnp.dtype(dtype))
-    meta = export_serving_artifact(
-        fn, spec, args.export_artifact,
-        metadata={
-            "arch": args.arch,
-            "dataset": args.dataset,
-            "n_classes": int(train_ds.num_classes),
-            "featurizer_precision": args.featurizer_precision,
-            "head_precision": args.head_precision,
-            "normalize": "none (pre-normalized floats)" if is_cifar
-            else "imagenet uint8 (folded into the module)",
-        },
-    )
+    metadata = {
+        "arch": args.arch,
+        "dataset": args.dataset,
+        "n_classes": int(train_ds.num_classes),
+        "featurizer_precision": args.featurizer_precision,
+        "head_precision": args.head_precision,
+        "normalize": "none (pre-normalized floats)" if is_cifar
+        else "imagenet uint8 (folded into the module)",
+    }
+    if net.mesh is not None:
+        # Pod serving artifact: one multi-device module over the net's
+        # mesh (bank shards + weights as sharded/replicated operands).
+        stats = None if is_cifar else (T.IMAGENET_MEAN, T.IMAGENET_STD)
+        meta = export_mesh_serving_artifact(
+            net, variables, spec, args.export_artifact,
+            normalize=stats, metadata=metadata,
+        )
+    else:
+        fn = serving_fn(net, variables, uint8_normalize=not is_cifar)
+        meta = export_serving_artifact(
+            fn, spec, args.export_artifact, metadata=metadata,
+        )
     report = {"exported": args.export_artifact, **meta}
     print(json.dumps(report))
     return report
@@ -434,9 +447,16 @@ def export_artifact(net, variables, train_ds, val_ds, args):
 def artifact_serve(args):
     """Serve from an AOT artifact (``--serve_artifact DIR``): no model
     code, dataset or precompute — deserialize, compile once, answer."""
-    from nwhead_tpu.utils.aot import load_serving_artifact
+    from nwhead_tpu.utils.aot import (
+        load_mesh_serving_artifact, load_serving_artifact,
+    )
 
-    serve = load_serving_artifact(args.serve_artifact)
+    with open(os.path.join(args.serve_artifact, "meta.json")) as f:
+        _meta_probe = json.load(f)
+    if "mesh_shape" in _meta_probe:
+        serve = load_mesh_serving_artifact(args.serve_artifact)
+    else:
+        serve = load_serving_artifact(args.serve_artifact)
     meta = serve.meta
     B, H, W, _ = meta["input_shape"]
     dtype = np.dtype(meta["input_dtype"])

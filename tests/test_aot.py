@@ -197,3 +197,120 @@ def test_export_reload_parity_quantized_vit(tmp_path):
     reloaded = load_serving_artifact(str(tmp_path / "artvit"))
     np.testing.assert_allclose(np.asarray(reloaded(q)), want,
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def mesh_net():
+    import flax.linen as nn
+
+    from nwhead_tpu.data import make_synthetic_dataset
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.parallel.mesh import make_mesh
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(16)(x)
+
+    ds = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=0)
+    mesh = make_mesh(2, 4)
+    net = NWNet(Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+                n_shot=1, n_shot_full=5, fused_min_support=1, seed=0,
+                mesh=mesh)
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.asarray(ds.gather(np.arange(2))))
+    net.precompute(variables)
+    return net, variables, ds
+
+
+def test_mesh_export_reload_parity(mesh_net, tmp_path):
+    """Pod-serving artifact: the shard_mapped prepared pipeline exports as
+    ONE multi-device module; reloading (mesh rebuilt from the running
+    devices) reproduces the live sharded predict exactly. Bank shards ride
+    as 'support'-sharded operands, weights replicated."""
+    from nwhead_tpu.utils.aot import (
+        export_mesh_serving_artifact,
+        load_mesh_serving_artifact,
+        load_serving_artifact,
+    )
+
+    net, variables, ds = mesh_net
+    x = jnp.asarray(ds.gather(np.arange(8)))
+    want = np.asarray(net.predict(variables, x, "full"))
+
+    art = str(tmp_path / "mesh_art")
+    meta = export_mesh_serving_artifact(net, variables, x, art)
+    assert meta["nr_devices"] == 8
+    assert meta["mesh_axis_names"][:2] == ["data", "support"]
+
+    fn = load_mesh_serving_artifact(art)
+    got = np.asarray(fn(np.asarray(x)))
+    # The live CPU mesh predict runs the RAW jnp path while the artifact
+    # snapshots freshly-built PREPARED shards — same math, different
+    # summation order (~1e-4 rel). Decisions and probabilities must agree.
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+    # Reloading twice must give identical outputs (deterministic module).
+    fn2 = load_mesh_serving_artifact(art)
+    np.testing.assert_array_equal(np.asarray(fn2(np.asarray(x))), got)
+
+    # The single-device loader must refuse it loudly (and vice versa).
+    with pytest.raises(ValueError, match="mesh"):
+        load_serving_artifact(art)
+
+
+def test_mesh_artifact_guards(mesh_net, small_net, tmp_path):
+    """Cross-loader and mesh-shape guards."""
+    from nwhead_tpu.parallel.mesh import make_mesh
+    from nwhead_tpu.utils.aot import (
+        export_mesh_serving_artifact,
+        export_serving_artifact,
+        load_mesh_serving_artifact,
+    )
+
+    net, variables, ds = mesh_net
+    x = jnp.asarray(ds.gather(np.arange(8)))
+    art = str(tmp_path / "m")
+    export_mesh_serving_artifact(net, variables, x, art)
+
+    # Wrong mesh shape refused.
+    with pytest.raises(ValueError, match="does not match"):
+        load_mesh_serving_artifact(art, mesh=make_mesh(4, 2))
+
+    # Mesh loader refuses a single-device artifact.
+    snet, svars, sx = small_net
+    fn = snet.make_serving_fn(svars)
+    sart = str(tmp_path / "s")
+    export_serving_artifact(fn, jnp.asarray(sx[:4]), sart)
+    with pytest.raises(ValueError, match="single-device"):
+        load_mesh_serving_artifact(sart)
+
+
+def test_cli_mesh_export_then_serve_artifact(tmp_path):
+    """serve.py --mesh --export_artifact writes a pod artifact; a fresh
+    --serve_artifact invocation auto-detects it and serves."""
+    import serve
+
+    art = str(tmp_path / "mesh_artifact")
+    rep = serve.main([
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--mesh", "2,4",
+        "--export_artifact", art,
+    ])
+    assert rep["exported"] == art
+    assert rep["nr_devices"] == 8
+
+    out = serve.main([
+        "--dataset", "synthetic",  # ignored by the artifact path
+        "--serve_artifact", art,
+        "--latency_bench", "--bench_batches", "2",
+    ])
+    assert out["latency"]["batch_size"] == 8
+    assert out["latency"]["queries_per_sec"] > 0
