@@ -277,6 +277,59 @@ def test_add_support_on_mesh_rebuilds_sharded_bank(base):
     )
 
 
+def test_randomized_edit_sequence_on_mesh_matches_restore_oracle(base):
+    """The mesh variant of the randomized edit-sequence invariant: after
+    seeded interleaved add_support/remove_support chains on a
+    NWNet(mesh=...), the SHARDED full and knn predict paths must equal a
+    restore_bank oracle over the surviving items (single-device oracle —
+    the sharded merges are exact, so cross-path agreement is the claim)."""
+    ds, _, queries = base
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual multi-device mesh")
+    from nwhead_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_support=4)
+    pool = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=11)
+    seq_rng = np.random.default_rng(2)
+    net, variables = _make_net(ds, mesh=mesh)
+    net.precompute(variables)
+    assert net.sharded_bank is not None
+    bank_idx = np.concatenate(net.support_eval.full_bank_indices)
+    ledger_imgs = list(np.asarray(ds.gather(bank_idx)))
+    ledger_y = list(np.asarray(ds.targets)[bank_idx])
+    pool_pos = 0
+    for _ in range(4):
+        if seq_rng.integers(2) == 0 and pool_pos + 3 <= len(pool):
+            add = np.arange(pool_pos, pool_pos + 3)
+            pool_pos += 3
+            net.add_support(variables, pool.images[add], pool.targets[add])
+            ledger_imgs += list(pool.images[add])
+            ledger_y += list(pool.targets[add])
+        else:
+            n = len(ledger_y)
+            drop = sorted(seq_rng.choice(
+                n, size=min(2, n - 8), replace=False).tolist())
+            if not drop:
+                continue
+            net.remove_support(variables, np.asarray(drop))
+            ledger_imgs = [im for i, im in enumerate(ledger_imgs)
+                           if i not in drop]
+            ledger_y = [y for i, y in enumerate(ledger_y) if i not in drop]
+
+    assert net.sharded_bank is not None  # edits rebuilt, not dropped, it
+    fresh, _ = _make_net(ds)  # single-device oracle
+    feats = np.asarray(fresh._featurize_eval(
+        variables, jnp.asarray(np.stack(ledger_imgs))
+    ))
+    fresh.restore_bank(variables, feats, np.asarray(ledger_y))
+    assert len(np.asarray(net.full_y)) == len(ledger_y)
+    for mode in ("full", "knn"):
+        got = np.asarray(net.predict(variables, queries, mode=mode))
+        want = np.asarray(fresh.predict(variables, queries, mode=mode))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5,
+                                   err_msg=f"mode={mode}")
+
+
 def test_add_support_with_quantized_featurizer():
     """Incremental adds run the NEW images through the quantized featurizer
     and must match a fresh quantized precompute over the union bank."""
