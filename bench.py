@@ -173,6 +173,58 @@ def _train_step_case(on_tpu, img):
     return ("train_step", step, args)
 
 
+def _bigbank_fields(on_tpu):
+    """Million-item single-chip bank leg (BASELINE.md 'Million-item support
+    bank'): prepared f32/int8 heads over an S=1e6, D=512, C=1000 bank
+    generated ON DEVICE (a 2 GB host->device transfer over the tunnel
+    stalls for minutes). Defensive: any failure degrades to an error field
+    instead of killing the official bench line. Skip with
+    NWHEAD_BENCH_BIGBANK=0."""
+    if not on_tpu or os.environ.get("NWHEAD_BENCH_BIGBANK") == "0":
+        return {}
+    try:
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_from_prepared, prepare_support,
+        )
+
+        S, D, C = 1_000_000, 512, 1000
+        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(7), 3)
+        sy = jax.random.randint(k0, (S,), 0, C, dtype=jnp.int32)
+        cents = 0.1 * jax.random.normal(k1, (C, D), jnp.float32)
+        sfeat = jax.jit(
+            lambda sy_: cents[sy_]
+            + 0.05 * jax.random.normal(k2, (S, D), jnp.float32)
+        )(sy)
+        prep_f32 = prepare_support(sfeat, sy, C)
+        prep_i8 = prepare_support(sfeat, sy, C, precision="int8")
+        del sfeat
+        rng = np.random.default_rng(1)
+        q64 = jnp.asarray(rng.standard_normal((64, D)), jnp.float32)
+        q256 = jnp.asarray(rng.standard_normal((256, D)), jnp.float32)
+        # Banks ride the timing loops as ARGS (the 413/bigbank lesson).
+        cases = [
+            ("big_f32_b64",
+             lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+             (q64, prep_f32)),
+            ("big_int8_b64",
+             lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+             (q64, prep_i8)),
+            ("big_int8_b256",
+             lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+             (q256, prep_i8)),
+        ]
+        t, _ = _measure(cases, 8, 40, cycles=7)
+        return {
+            "bigbank_s": S,
+            "bigbank_c": C,
+            "bigbank_f32_ms_b64": round(t["big_f32_b64"] * 1e3, 2),
+            "bigbank_int8_qps_b64": round(64 / t["big_int8_b64"], 1),
+            "bigbank_int8_qps_b256": round(256 / t["big_int8_b256"], 1),
+        }
+    except Exception as e:  # noqa: BLE001 — never kill the official line
+        return {"bigbank_error": f"{type(e).__name__}: {e}"[:200]}
+
+
 def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     """Images-in -> answers-out from JPEG BYTES: photo-sized (480x640)
     JPEGs decoded by the native C++ pool in a producer thread, pipelined
@@ -400,6 +452,7 @@ def main():
                 "train_step_ms": round(train_t * 1e3, 2),
                 "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,
+                **_bigbank_fields(on_tpu),
                 "stream_gbps_measured": round(stream_bw / 1e9, 1),
                 "head_hbm_roofline_frac": round(frac_f32, 3),
                 "head_roofline_frac_nominal": round(
