@@ -347,3 +347,57 @@ def test_aot_artifact_roundtrip_on_tpu(tmp_path):
     reloaded = load_serving_artifact(str(tmp_path / "art_tpu"))
     np.testing.assert_allclose(np.asarray(reloaded(q)), want,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_aot_artifact_roundtrip_on_tpu(tmp_path):
+    """Mesh AOT artifact with a REAL Mosaic body: the single chip hosts a
+    degenerate 1x1 mesh — the export still goes through shard_map + the
+    sharded-operand store/reload path, proving the pod artifact format
+    compiles and runs with compiled (non-interpret) kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.parallel.mesh import make_mesh
+    from nwhead_tpu.utils.aot import (
+        export_mesh_serving_artifact,
+        load_mesh_serving_artifact,
+    )
+
+    rng = np.random.default_rng(6)
+    C, N = 5, 40
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 32, 32, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    mesh = make_mesh(1, 1)
+    net = NWNet(load_model("resnet10", dtype=jnp.bfloat16), C,
+                support_dataset=ds, feat_dim=512, n_shot_full=8,
+                fused_min_support=1, seed=0, mesh=mesh)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.precompute(variables)
+
+    q = jnp.asarray(x[:4])
+    want = np.asarray(net.predict(variables, q, "full"))
+    art = str(tmp_path / "mesh_art_tpu")
+    meta = export_mesh_serving_artifact(net, variables, q, art)
+    assert "tpu" in [p.lower() for p in meta["platforms"]], meta
+    assert meta["nr_devices"] == 1
+
+    fn = load_mesh_serving_artifact(art)
+    got = np.asarray(fn(np.asarray(q)))
+    # Compiled-MXU f32 dots run in DEFAULT (fast reduced-pass) precision
+    # (~3e-4 relerr, CLAUDE.md) — prob sums land at 1 +- ~1e-3 on chip.
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=2e-3)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
