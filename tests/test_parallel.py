@@ -727,3 +727,58 @@ def test_multichip_bench_smoke():
         assert key in report, key
     assert report["devices"] == 8
     assert report["predict_qps_ndev"] > 0
+
+
+def test_randomized_sharded_prepared_sweep(rng):
+    """Property sweep over the sharded prepared predict: random S/D/C,
+    precision, mesh split, label skew (windowed vs full-width fallback),
+    and mask patterns must all match the naive single-device op. Shard
+    boundaries, per-shard padding, cross-shard window widening, and the
+    partials merge are the failure surface."""
+    seed_rng = np.random.default_rng(20260819)
+    for trial in range(6):
+        n_data, n_support = [(1, 8), (2, 4), (4, 2)][trial % 3]
+        mesh = make_mesh(n_data, n_support)
+        B = int(seed_rng.integers(1, 3)) * n_data * 2
+        S = int(seed_rng.integers(150, 900))
+        D = int(seed_rng.choice([16, 40, 64]))
+        C = int(seed_rng.choice([5, 130, 300]))
+        precision = ["f32", "bf16", "int8"][trial % 3]
+        skewed = bool(seed_rng.integers(2))
+
+        q = seed_rng.standard_normal((B, D)).astype(np.float32)
+        s = seed_rng.standard_normal((S, D)).astype(np.float32)
+        if skewed and C > 1:
+            # 80% of rows in 10% of classes -> narrow windows post-sort.
+            hot = seed_rng.choice(C, size=max(1, C // 10), replace=False)
+            sy = np.where(
+                seed_rng.random(S) < 0.8,
+                seed_rng.choice(hot, size=S),
+                seed_rng.integers(0, C, size=S),
+            ).astype(np.int32)
+        else:
+            sy = seed_rng.integers(0, C, size=S).astype(np.int32)
+
+        bank = ShardedSupportBank.build(
+            s, sy, mesh, C, precision=precision, use_prepared=True
+        )
+        got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
+        want = np.asarray(
+            nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C)
+        )
+        tag = (f"trial={trial} mesh={n_data}x{n_support} B={B} S={S} D={D} "
+               f"C={C} prec={precision} skewed={skewed}")
+        np.testing.assert_allclose(
+            np.exp(got).sum(-1), 1.0, rtol=1e-5, err_msg=tag
+        )
+        if precision == "f32":
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                       err_msg=tag)
+        else:
+            # Quantized banks: probabilities near-equal, decisions equal.
+            np.testing.assert_allclose(
+                np.exp(got), np.exp(want), rtol=0.1, atol=0.05, err_msg=tag
+            )
+            np.testing.assert_array_equal(
+                got.argmax(-1), want.argmax(-1), err_msg=tag
+            )
