@@ -81,6 +81,19 @@ def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
     return DEFAULT_BLOCK_S
 
 
+def _default_block_b(B: int, n_classes: int) -> int:
+    """Whole batch as ONE query tile (up to a VMEM-budgeted cap): the bank
+    then streams ONCE per call regardless of batch size and the per-tile
+    one-hot is built once, not once per 128-query tile (B=256 f32
+    previously paid 2x the bank bytes — blockb_lab: 1.85x at the 1M bank).
+    The cap keeps the (block_b, c_pad) f32 accumulator inside an ~8 MB
+    budget at huge C. Shared by nw_fused_from_prepared and
+    nw_fused_partials so the single-device and sharded paths always agree."""
+    c_pad = _round_up(n_classes, 128)
+    cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
+    return min(cap, _round_up(B, 8))
+
+
 def _l2_normalize(x, axis=-1, eps=1e-12):
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(norm, eps)
@@ -795,14 +808,7 @@ def nw_fused_from_prepared(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
-        # Whole batch as ONE query tile (up to a VMEM-budgeted cap): the
-        # bank then streams ONCE per call regardless of batch size and the
-        # per-tile one-hot is built once, not once per 128-query tile
-        # (B=256 f32 previously paid 2x the bank bytes). The cap keeps the
-        # (block_b, c_pad) accumulator inside a ~8 MB budget at huge C.
-        c_pad = _round_up(n_classes, 128)
-        cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
-        block_b = min(cap, _round_up(qfeat.shape[0], 8))
+        block_b = _default_block_b(qfeat.shape[0], n_classes)
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
     return _prepared_call(
         qn, prepared, scale,
@@ -838,11 +844,7 @@ def nw_fused_partials(
         qfeat = qfeat.astype(jnp.bfloat16)
         sfeat = sfeat.astype(jnp.bfloat16)
     if block_b is None:
-        # Same whole-batch default as nw_fused_from_prepared: one query tile
-        # means each shard's bank streams once per call regardless of B.
-        c_pad = _round_up(n_classes, 128)
-        cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
-        block_b = min(cap, _round_up(qfeat.shape[0], 8))
+        block_b = _default_block_b(qfeat.shape[0], n_classes)
     if block_s is None:
         block_s = _auto_block_s(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,

@@ -351,17 +351,17 @@ class ShardedSupportBank:
             if all(w is not None for w in wins):
                 c_pad = _round_up(n_classes, 128)
                 wb = max(w.shape[1] for w in wins)  # width in 128-blocks
-                if wb * 128 < c_pad:
-                    uni = []
-                    for w in wins:
-                        starts = np.minimum(
-                            np.asarray(w)[:, 0], c_pad // 128 - wb
-                        ).astype(np.int32)
-                        uni.append(jnp.asarray(np.broadcast_to(
-                            starts[:, None], (w.shape[0], wb)).copy()))
-                    preps = [p._replace(win=w) for p, w in zip(preps, uni)]
-                else:
-                    preps = [p._replace(win=None) for p in preps]
+                # prepare_support only windows when W < c_pad (both
+                # 128-multiples), so the widened wb stays < c_pad too.
+                assert wb * 128 < c_pad
+                uni = []
+                for w in wins:
+                    starts = np.minimum(
+                        np.asarray(w)[:, 0], c_pad // 128 - wb
+                    ).astype(np.int32)
+                    uni.append(jnp.asarray(np.broadcast_to(
+                        starts[:, None], (w.shape[0], wb)).copy()))
+                preps = [p._replace(win=w) for p, w in zip(preps, uni)]
             elif any(w is not None for w in wins):
                 preps = [p._replace(win=None) for p in preps]
 

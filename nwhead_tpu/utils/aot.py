@@ -99,8 +99,9 @@ def export_serving_artifact(
     if parts is None:
         raise ValueError(
             "not an exportable serving fn — pass the callable returned by "
-            "NWNet.make_serving_fn on a single-device net (mesh/sharded "
-            "serving reads live state per call and cannot be exported)"
+            "NWNet.make_serving_fn on a single-device net; for a mesh "
+            "(sharded) net use export_mesh_serving_artifact(net, ...) "
+            "instead (the live mesh callable reads bank state per call)"
         )
     jitfn, get_operands = parts
     operands = get_operands()
@@ -213,16 +214,20 @@ def export_mesh_serving_artifact(
             variables["params"]["proj"] if net.model.proj_dim > 0 else None
         )
 
+        # No `variables` operand here: the head's kernel params are already
+        # closed into `mapped`, the featurizer weights ride in `tr`, and
+        # the projection in `pj` — storing the full float tree too would
+        # pickle ~344 MB of dead ViT-B weights and replicate them onto
+        # every device at load for an argument the module DCEs.
         @jax.jit
-        def serve_mesh(vv, tr, pj, bank, x):
+        def serve_mesh(tr, pj, bank, x):
             f = fwd(statics, tr, maybe_norm(x))
             if pj is not None:
                 f = f @ pj["kernel"] + pj["bias"]
             return mapped(f, *bank)
 
-        operands = (variables, tree, proj, bank_arrs)
+        operands = (tree, proj, bank_arrs)
         spec_tree = (
-            jax.tree.map(lambda _: "rep", variables),
             jax.tree.map(lambda _: "rep", tree),
             jax.tree.map(lambda _: "rep", proj),
             jax.tree.map(lambda _: "support", bank_arrs),
@@ -351,6 +356,17 @@ def load_mesh_serving_artifact(path: str, mesh=None) -> Callable:
     fn.meta = meta
     fn.mesh = mesh
     return fn
+
+
+def load_any_serving_artifact(path: str) -> Callable:
+    """Dispatch on the artifact kind: mesh (multi-device) artifacts load
+    through ``load_mesh_serving_artifact``, single-device ones through
+    ``load_serving_artifact``. The one loader CLI callers should use."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    if "mesh_shape" in meta:
+        return load_mesh_serving_artifact(path)
+    return load_serving_artifact(path)
 
 
 def load_serving_artifact(path: str) -> Callable:

@@ -43,7 +43,7 @@ def device_bank(S, C, D, seed=7):
     return build(sy), sy
 
 
-def parity_probe(q, prep, C, rtol=0.0):
+def parity_probe(q, prep, C):
     """Compiled-Mosaic value check: all impls must agree exactly."""
     base = np.asarray(nw_fused_from_prepared(q, prep, C))
     for impl in IMPLS[1:]:

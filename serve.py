@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import os
 import threading
 import json
 import time
@@ -447,16 +446,9 @@ def export_artifact(net, variables, train_ds, val_ds, args):
 def artifact_serve(args):
     """Serve from an AOT artifact (``--serve_artifact DIR``): no model
     code, dataset or precompute — deserialize, compile once, answer."""
-    from nwhead_tpu.utils.aot import (
-        load_mesh_serving_artifact, load_serving_artifact,
-    )
+    from nwhead_tpu.utils.aot import load_any_serving_artifact
 
-    with open(os.path.join(args.serve_artifact, "meta.json")) as f:
-        _meta_probe = json.load(f)
-    if "mesh_shape" in _meta_probe:
-        serve = load_mesh_serving_artifact(args.serve_artifact)
-    else:
-        serve = load_serving_artifact(args.serve_artifact)
+    serve = load_any_serving_artifact(args.serve_artifact)
     meta = serve.meta
     B, H, W, _ = meta["input_shape"]
     dtype = np.dtype(meta["input_dtype"])

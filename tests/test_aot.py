@@ -314,3 +314,57 @@ def test_cli_mesh_export_then_serve_artifact(tmp_path):
     ])
     assert out["latency"]["batch_size"] == 8
     assert out["latency"]["queries_per_sec"] > 0
+
+
+def test_mesh_export_quantized_vit(tmp_path):
+    """The quantized-ViT mesh export branch: the weight tree rides as a
+    stored operand (NO dead full-float variables tree — it would pickle
+    and replicate ViT-scale weights the module never reads), bank shards
+    as 'support'; reload matches the live sharded predict."""
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.parallel.mesh import make_mesh
+    from nwhead_tpu.utils.aot import (
+        export_mesh_serving_artifact,
+        load_mesh_serving_artifact,
+    )
+
+    rng = np.random.default_rng(9)
+    C, N = 3, 24
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 64, 64, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    vit = load_model("vit_s16")
+    mesh = make_mesh(2, 4)
+    net = NWNet(vit, C, support_dataset=ds, feat_dim=vit.feat_dim,
+                n_shot_full=8, fused_min_support=1, seed=0, mesh=mesh)
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.quantize_featurizer(variables, x[:6])
+    net.precompute(variables)
+
+    q = jnp.asarray(x[:8])
+    want = np.asarray(net.predict(variables, q, "full"))
+    art = str(tmp_path / "mesh_vit")
+    meta = export_mesh_serving_artifact(net, variables, q, art)
+    assert meta["nr_devices"] == 8
+
+    # No dead float tree: the float params alone would exceed the stored
+    # operand byte count if they had been included alongside the q-tree.
+    import pickle
+
+    with open(os.path.join(art, "operands.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    stored = sum(np.asarray(l).nbytes for l in blob["leaves"])
+    float_tree = sum(
+        np.asarray(l).nbytes
+        for l in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert stored < 2 * float_tree  # tree is int8-ish + bank, not 2x float
+
+    fn = load_mesh_serving_artifact(art)
+    got = np.asarray(fn(np.asarray(q)))
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
