@@ -64,7 +64,11 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 _MASK_S2 = 1e30  # self-norm sentinel for masked rows (prepared l2 path)
 DEFAULT_BLOCK_S = 2048
 _SINGLE_TILE_BUDGET = 14_000_000  # bytes of (bank tile + one-hot scratch)
-_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128 MiB VMEM; default limit is lower
+# v5e has 128 MiB VMEM; the compiler's default scoped limit is lower. 100
+# MiB gives the whole-batch query tile headroom: the per-tile f32 score
+# chain allocates O(block_b * block_s) stack copies, and block_b=512 at
+# block_s=1024 measured 66.5 MB scoped — over the old 64 MiB limit.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -81,16 +85,21 @@ def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
     return DEFAULT_BLOCK_S
 
 
-def _default_block_b(B: int, n_classes: int) -> int:
+def _default_block_b(B: int, n_classes: int, block_s: int = 0) -> int:
     """Whole batch as ONE query tile (up to a VMEM-budgeted cap): the bank
     then streams ONCE per call regardless of batch size and the per-tile
     one-hot is built once, not once per 128-query tile (B=256 f32
     previously paid 2x the bank bytes — blockb_lab: 1.85x at the 1M bank).
-    The cap keeps the (block_b, c_pad) f32 accumulator inside an ~8 MB
-    budget at huge C. Shared by nw_fused_from_prepared and
-    nw_fused_partials so the single-device and sharded paths always agree."""
+    Two budgets bound the cap: the (block_b, c_pad) f32 accumulator (~8 MB
+    at huge C), and — when the support tile size is known — the per-tile
+    f32 score-chain stack, which scales with block_b * block_s (512 x 1024
+    measured 66.5 MB scoped vmem against the 100 MiB limit; hold the
+    product at or under that point). Shared by nw_fused_from_prepared and
+    nw_fused_partials so the single-device and sharded paths agree."""
     c_pad = _round_up(n_classes, 128)
     cap = max(128, min(512, (8 << 20) // (c_pad * 4) // 8 * 8))
+    if block_s:
+        cap = min(cap, max(128, (512 * 1024 // block_s) // 8 * 8))
     return min(cap, _round_up(B, 8))
 
 
@@ -808,7 +817,11 @@ def nw_fused_from_prepared(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:
-        block_b = _default_block_b(qfeat.shape[0], n_classes)
+        # The prepared bank's tile size rides in lane's (n_tiles, nchunk,
+        # 128) shape — the stack-budget term needs it.
+        block_b = _default_block_b(
+            qfeat.shape[0], n_classes, prepared.lane.shape[1] * 128
+        )
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
     return _prepared_call(
         qn, prepared, scale,
@@ -843,14 +856,14 @@ def nw_fused_partials(
     if precision == "bf16":
         qfeat = qfeat.astype(jnp.bfloat16)
         sfeat = sfeat.astype(jnp.bfloat16)
-    if block_b is None:
-        block_b = _default_block_b(qfeat.shape[0], n_classes)
     if block_s is None:
         block_s = _auto_block_s(
             sfeat.shape[0], sfeat.shape[1], sfeat.dtype.itemsize,
             _round_up(n_classes, 128),
         )
     block_s = min(_round_up(block_s, 128), _round_up(sfeat.shape[0], 128))
+    if block_b is None:
+        block_b = _default_block_b(qfeat.shape[0], n_classes, block_s)
     mode, scale, qn, sn = _resolve_mode(kernel, kernel_params, qfeat, sfeat)
     acc, m, l = _fwd_pallas(
         qn, sn, sy, support_mask.astype(jnp.float32), scale,
