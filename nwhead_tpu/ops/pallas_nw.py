@@ -532,7 +532,7 @@ def _nw_prepared_kernel(
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, partials: bool = False,
-    win_w: int = 0, softmax_impl: str = "exp",
+    win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -562,6 +562,21 @@ def _nw_prepared_kernel(
     sem = refs[i]; i += 1         # DMA semaphores (2,)
 
     q = q_ref[:]
+
+    # Loop-invariant hoists (the fori_loop body is NOT hoisted by Mosaic):
+    # the per-query norm q2 and the per-query dequant scale column are
+    # computed once per call instead of once per bank tile. The caller
+    # pre-DOUBLES the l2 query (f32/bf16: q *= 2; int8: qscale *= 2 — both
+    # exact power-of-2 scalings), so the score chain's per-element
+    # ``2.0 * dot`` multiply disappears: d2 = q2 - dot2 + s2 with
+    # dot2 == 2*dot bitwise and q2 recovered exactly as 0.25*sum(qf^2).
+    qcol = qscale_ref[:, :1] if quant else None
+    q2 = None
+    if mode == "l2" and fold2:
+        qf = q.astype(jnp.float32)
+        if quant:
+            qf = qf * qcol
+        q2 = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True)
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
@@ -605,25 +620,32 @@ def _nw_prepared_kernel(
             # (the old (n_tiles, nchunk, 128) layout cost nchunk slices +
             # a lane concat on the VPU every tile).
             ssrow = sscale_ref[pl.ds(j, 1)].reshape(1, block_s)
-            dot = dot_i.astype(jnp.float32) * qscale_ref[:, :1] * ssrow
+            dot = dot_i.astype(jnp.float32) * qcol * ssrow
         else:
             dot = jax.lax.dot_general(
                 q, s, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if mode == "l2":
-            if quant:
-                qf = q.astype(jnp.float32) * qscale_ref[:, :1]
-            else:
-                qf = q.astype(jnp.float32)
-            q2 = jnp.sum(qf * qf, axis=1, keepdims=True)
             if s2_input:
                 s2row = s2_ref[pl.ds(j, 1)].reshape(1, block_s)
             else:
                 sf = s.astype(jnp.float32)
                 s2row = jnp.sum(sf * sf, axis=1, keepdims=True).T
-            d2 = jnp.maximum(q2 - 2.0 * dot + s2row, 0.0)
+            if fold2:
+                # The caller pre-doubled q/qscale: dot == 2*(q.s) already.
+                d2 = jnp.maximum(q2 - dot + s2row, 0.0)
+            else:
+                qf_t = q.astype(jnp.float32)
+                if quant:
+                    qf_t = qf_t * qcol
+                q2_t = jnp.sum(qf_t * qf_t, axis=1, keepdims=True)
+                d2 = jnp.maximum(q2_t - 2.0 * dot + s2row, 0.0)
             score = -jnp.sqrt(d2)
+        elif quant and fold2:
+            # scale is folded into the per-query dequant column by the
+            # caller (one (B,) mul) — skip the per-element multiply.
+            score = dot
         else:
             score = dot * scale_ref[0, 0]
 
@@ -697,7 +719,8 @@ def _nw_prepared_kernel(
 
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
-                   block_b, interpret, partials=False, softmax_impl="exp"):
+                   block_b, interpret, partials=False, softmax_impl="exp",
+                   fold2=True):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -714,9 +737,24 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         amax = jnp.max(jnp.abs(qf), axis=1)
         qscale = jnp.where(amax > 0, amax / 127.0, 1.0)
         q_p = jnp.clip(jnp.round(qf / qscale[:, None]), -127, 127).astype(jnp.int8)
+        if fold2 and mode == "l2":
+            # Pre-double the dequant scale (exact) so the kernel's score
+            # chain skips the per-element 2.0*dot multiply; the kernel
+            # recovers q2 exactly as 0.25*sum((q*qscale)^2).
+            qscale = qscale * 2.0
+        elif fold2:
+            # Fold the similarity scale (1.0 for dot/cosine, learnable for
+            # clip) into the per-query dequant column: one (B,) multiply
+            # here replaces a (B, S) per-element multiply in the kernel.
+            qscale = qscale * scale.astype(jnp.float32)
         qscale_b = jnp.broadcast_to(qscale[:, None], (b_pad, 128))
-    elif q_p.dtype != s_p.dtype:
-        q_p = q_p.astype(s_p.dtype)
+    else:
+        if q_p.dtype != s_p.dtype:
+            q_p = q_p.astype(s_p.dtype)
+        if fold2 and mode == "l2":
+            # Exact power-of-2 scaling (f32/bf16): dot(2q, s) == 2*dot(q, s)
+            # bitwise, so the kernel drops its 2.0*dot multiply.
+            q_p = q_p * jnp.asarray(2.0, q_p.dtype)
 
     s2_input = s2c is not None
 
@@ -765,6 +803,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
+            fold2=fold2,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -801,6 +840,7 @@ def nw_fused_from_prepared(
     interpret: Optional[bool] = None,
     partials: bool = False,
     softmax_impl: str = "exp",
+    _fold2: bool = True,
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -826,7 +866,7 @@ def nw_fused_from_prepared(
     return _prepared_call(
         qn, prepared, scale,
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
-        partials=partials, softmax_impl=softmax_impl,
+        partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
     )
 
 

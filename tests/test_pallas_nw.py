@@ -250,6 +250,51 @@ class TestPreparedSupport:
                 np.exp(got), np.exp(base), rtol=0, atol=3e-7,
                 err_msg=f"{impl} {precision}")
 
+    @pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+    def test_prepared_fold2_chain_parity(self, rng, precision):
+        """The fold2 score-chain rewrite (caller pre-doubles q/qscale so the
+        kernel drops its per-element 2.0*dot multiply; q2 hoisted out of the
+        tile loop) must be BIT-identical for l2 kernels at every precision —
+        the doubling is a power-of-2 scaling, which commutes with rounding.
+        The quant dot-mode scale fold changes one f32 rounding order, so it
+        gets a tolerance instead."""
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_from_prepared, prepare_support,
+        )
+
+        B, S, D, C = 8, 400, 32, 300  # C > 128 → windowed aggregation too
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        mask = jnp.asarray((rng.random(S) > 0.3).astype(np.float32))
+
+        prep = prepare_support(s, sy, C, support_mask=mask,
+                               precision=precision, block_s=128)
+        old = np.asarray(
+            nw_fused_from_prepared(q, prep, C, _fold2=False))
+        new = np.asarray(
+            nw_fused_from_prepared(q, prep, C, _fold2=True))
+        if precision == "int8":
+            # Interpret mode runs on XLA CPU, whose FMA contraction breaks
+            # exact equality for the int8 dequant chain at the last-ulp
+            # level (max log diff ~1e-6 observed); the compiled Mosaic
+            # kernel measured bit-identical on chip (scripts/fold_lab.py).
+            np.testing.assert_allclose(new, old, rtol=0, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(old, new)
+
+        if precision == "int8":
+            prep_c = prepare_support(s, sy, C, support_mask=mask,
+                                     kernel="clip", precision="int8",
+                                     block_s=128)
+            kp = {"logit_scale": jnp.float32(np.log(1 / 0.07))}
+            old = np.asarray(nw_fused_from_prepared(
+                q, prep_c, C, kernel="clip", kernel_params=kp, _fold2=False))
+            new = np.asarray(nw_fused_from_prepared(
+                q, prep_c, C, kernel="clip", kernel_params=kp, _fold2=True))
+            np.testing.assert_allclose(np.exp(new), np.exp(old),
+                                       rtol=0, atol=1e-6)
+
     def test_prepared_with_mask(self, rng):
         from nwhead_tpu.ops.nw import nw_log_probs
         from nwhead_tpu.ops.pallas_nw import (
