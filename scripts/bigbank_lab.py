@@ -21,6 +21,13 @@ int32 label branch):
 
 Run on the chip: ``python scripts/bigbank_lab.py``; CPU smoke:
 ``python scripts/bigbank_lab.py --tiny`` (interpret-mode kernels).
+
+``--hnsw`` adds the host-ANN comparison leg: the reference's answer to
+large banks is approximate NN on the host (``nwhead/utils.py:195-216``);
+this leg builds the first-party C++ HNSW (same M/efC) over an
+``--hnsw_s``-row slice, measures build time / query rate / recall@k vs a
+host brute force, and contrasts with the exact full-mode head's on-chip
+rate over the FULL bank.
 """
 
 import argparse
@@ -102,6 +109,53 @@ def _gen_bank(S, D, C, seed=0):
     return build(sy), sy, cents
 
 
+def _hnsw_leg(bank_np, sy_np, q_np, k):
+    """The reference's big-bank strategy, measured: host-side approximate
+    NN (``nwhead/utils.py:195-216`` — hnswlib; here the first-party C++
+    index with the same M=16/efC=100 parameters) vs this framework's
+    exact full-mode head. Returns (queries/sec, recall@k)."""
+    import time
+
+    from nwhead_tpu.native.hnsw import HNSWIndex
+
+    Sh = bank_np.shape[0]
+    print(f"[hnsw] building C++ HNSW over S={Sh} (M=16, efC=100, one host "
+          f"core)...", flush=True)
+    t0 = time.perf_counter()
+    idx = HNSWIndex(bank_np, sy_np, n_neighbors=k)
+    build_s = time.perf_counter() - t0
+    print(f"[hnsw] build {build_s:.1f} s ({Sh / build_s:.0f} rows/s)",
+          flush=True)
+
+    idx.knn_query(q_np)  # warm
+    reps, t0 = 5, time.perf_counter()
+    for _ in range(reps):
+        ids = idx.knn_query(q_np)
+    qdt = (time.perf_counter() - t0) / reps
+    qps = q_np.shape[0] / qdt
+
+    # Exact ground truth: chunked host brute force (blockwise so the
+    # (B, chunk) distance matrix stays small).
+    qn = (q_np.astype(np.float64) ** 2).sum(1)[:, None]
+    ids_parts, d_parts = [], []
+    for i in range(0, Sh, 65536):
+        blk = bank_np[i:i + 65536].astype(np.float64)
+        d = qn - 2.0 * q_np.astype(np.float64) @ blk.T + (blk ** 2).sum(1)[None]
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        ids_parts.append(part + i)
+        d_parts.append(np.take_along_axis(d, part, 1))
+    ids_all = np.concatenate(ids_parts, 1)
+    sel = np.argpartition(np.concatenate(d_parts, 1), k - 1, 1)[:, :k]
+    true_ids = np.take_along_axis(ids_all, sel, 1)
+    recall = float(np.mean([
+        len(set(ids[b].tolist()) & set(true_ids[b].tolist())) / k
+        for b in range(q_np.shape[0])
+    ]))
+    print(f"[hnsw] query rate {qps:.0f} q/s (B={q_np.shape[0]}, k={k}, one "
+          f"host core)  recall@{k} {recall:.3f}", flush=True)
+    return qps, recall
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--S", type=int, default=1_000_000)
@@ -111,6 +165,16 @@ def main(argv=None):
     p.add_argument("--C", type=int, default=1000)
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke: S=4096/S_check=2048, C=300, B=8")
+    p.add_argument("--hnsw", action="store_true",
+                   help="host-ANN leg: build the first-party C++ HNSW over "
+                        "an --hnsw_s-row slice of the bank (the reference's "
+                        "big-bank strategy, nwhead/utils.py:195-216), "
+                        "measure build time / query rate / recall@k vs "
+                        "exact, against the exact full-mode head")
+    p.add_argument("--hnsw_s", type=int, default=131_072,
+                   help="HNSW leg bank size (single-core build is ~250 "
+                        "rows/s at D=512 — 1e6 rows would take ~1 h)")
+    p.add_argument("--hnsw_k", type=int, default=10)
     args = p.parse_args(argv)
 
     import jax
@@ -176,6 +240,11 @@ def main(argv=None):
     print(f"bank: S={S} D={D} C={C}  raw f32 {gb:.2f} GB", flush=True)
     preps = {prec: prepare_support(bank, sy, C, precision=prec)
              for prec in ("f32", "bf16", "int8")}
+    bank_np = sy_np = None
+    if args.hnsw:
+        Sh = min(args.hnsw_s, S)
+        bank_np = np.asarray(bank[:Sh])
+        sy_np = np.asarray(sy[:Sh])
     del bank  # keep only the prepared banks resident
 
     # Queries from THIS bank's cluster distribution (seed=3 centroids, not
@@ -191,6 +260,12 @@ def main(argv=None):
         agree = float((out.argmax(1) == out32.argmax(1)).mean())
         print(f"  at-scale f32-vs-{prec}: top1 agreement {agree:.3f}",
               flush=True)
+
+    hnsw_qps = None
+    if args.hnsw:
+        # Host leg runs BEFORE the device timing loop so its numpy brute
+        # force doesn't contend with the interleaved harness's host side.
+        hnsw_qps, _ = _hnsw_leg(bank_np, sy_np, np.asarray(q), args.hnsw_k)
 
     if not on_tpu and not args.tiny:
         print("not on TPU: skipping timing leg")
@@ -217,15 +292,35 @@ def main(argv=None):
     t_stream = res.pop("stream 25.2MB")
     bw = s_big.size * 4 / t_stream / 1e9
     print(f"stream: {t_stream * 1e6:7.1f} us  {bw:6.1f} GB/s", flush=True)
+    from nwhead_tpu.ops.pallas_nw import _default_block_b
+
     bytes_per = {"f32": S * D * 4, "bf16": S * D * 2, "int8": S * D}
+    int8_qps = None
     for name, t in res.items():
         prec = name.split()[-1]
         nq = 256 if "B=256" in name else B
-        byt = bytes_per[prec] * (2 if nq == 256 else 1)  # 128-row q tiles
+        # One bank stream per query tile: since the whole-batch-tile
+        # default, B<=512 is ONE pass (the old hardcoded 2-passes-at-B=256
+        # overstated the B=256 roofline fraction 2x).
+        blk = _default_block_b(nq, C, preps[prec].lane.shape[1] * 128)
+        byt = bytes_per[prec] * (-(-nq // blk))
+        if name == "head B=256 int8":
+            int8_qps = nq / t
         print(
             f"{name}: {t * 1e3:8.3f} ms/batch  {nq / t:9.0f} q/s "
             f"frac_vs_stream={(byt / (bw * 1e9)) / t:5.3f} "
             f"frac_vs_819={byt / 819e9 / t:5.3f}",
+            flush=True,
+        )
+    if hnsw_qps and int8_qps:
+        print(
+            f"[hnsw] exact int8 full-mode head over S={S} answers "
+            f"{int8_qps:.0f} q/s on-chip vs {hnsw_qps:.0f} q/s for the "
+            f"host HNSW over S={bank_np.shape[0]} "
+            f"({int8_qps / hnsw_qps:.0f}x, and exact — approximate NN is "
+            f"the reference's big-bank strategy; a many-core host scales "
+            f"the ANN side linearly but starts ~{int8_qps / hnsw_qps:.0f}x "
+            f"behind on one core)",
             flush=True,
         )
 

@@ -553,11 +553,14 @@ def test_bigbank_lab_smoke(capsys):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main(["--tiny"])
+    mod.main(["--tiny", "--hnsw", "--hnsw_s", "1024"])
     out = capsys.readouterr().out
     assert "FAIL" not in out
     assert out.count("OK ") == 3
     assert "tiny smoke OK" in out
+    # --hnsw leg: the C++ index must come up over the bank slice and its
+    # recall@k against the host brute force must print.
+    assert "recall@10" in out
 
 
 def test_windowed_prepared_aggregation():
