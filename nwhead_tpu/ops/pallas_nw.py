@@ -533,6 +533,7 @@ def _nw_prepared_kernel(
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
+    agg_bf16: bool = False,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -683,16 +684,24 @@ def _nw_prepared_kernel(
 
         if win_w:
             wbase = (win_ref[j, 0] * 128).astype(jnp.float32)
+        # agg_bf16: the aggregation matmul runs with bf16 inputs (f32 MXU
+        # accumulate). The one-hot is EXACT in bf16 (0/1); the only rounding
+        # is p's f32->bf16 cast (~2^-9 relative on each prob mass term). At
+        # whole-batch tiles (block_b >= 256) this matmul is the kernel's
+        # dominant MXU term and bf16 runs it in fewer passes; at block_b=64
+        # the cast overhead loses (measured — see CLAUDE.md bf16-agg note).
+        oh_dtype = jnp.bfloat16 if agg_bf16 else jnp.float32
         for t in range(nchunk):
             col = sub_ref[pl.ds(j, 1), :, t:t + 1].reshape(128, 1)
             if win_w:
                 col = col - wbase  # labels exact in f32; -1 stays invalid
             oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
-                jnp.float32
+                oh_dtype
             )
 
         pv = jax.lax.dot_general(
-            p, oh_ref[:], (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16) if agg_bf16 else p, oh_ref[:],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if win_w:
@@ -720,7 +729,7 @@ def _nw_prepared_kernel(
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
-                   fold2=True):
+                   fold2=True, agg_precision="f32"):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -798,12 +807,13 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         out_specs = (out_specs, stat_spec, stat_spec)
         out_shape = (out_shape, stat_shape, stat_shape)
 
+    agg_bf16 = agg_precision == "bf16"
     out = pl.pallas_call(
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
-            fold2=fold2,
+            fold2=fold2, agg_bf16=agg_bf16,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -814,7 +824,8 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, c_pad), jnp.float32),
-            pltpu.VMEM((block_s, win_w if win_w else c_pad), jnp.float32),
+            pltpu.VMEM((block_s, win_w if win_w else c_pad),
+                       jnp.bfloat16 if agg_bf16 else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -841,6 +852,7 @@ def nw_fused_from_prepared(
     partials: bool = False,
     softmax_impl: str = "exp",
     _fold2: bool = True,
+    agg_precision: str = "f32",
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -852,7 +864,13 @@ def nw_fused_from_prepared(
     ``(m (B, 1), l (B, 1), acc (B, C))`` instead of finalizing — the
     support-sharded serving path (``parallel.ShardedSupportBank``) runs this
     per shard and merges with one tiny collective. Works for f32/bf16/int8
-    banks (the same double-buffered kernel, finalization skipped)."""
+    banks (the same double-buffered kernel, finalization skipped).
+
+    ``agg_precision='bf16'`` runs the label-aggregation matmul with bf16
+    inputs (f32 accumulate): the one-hot stays exact, p picks up ~2^-9
+    relative rounding. At whole-batch tiles (B >= 256) that matmul is the
+    dominant MXU term, so this trades ~1e-3-level prob error for
+    throughput on reduced-precision banks."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -867,6 +885,7 @@ def nw_fused_from_prepared(
         qn, prepared, scale,
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
         partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
+        agg_precision=agg_precision,
     )
 
 

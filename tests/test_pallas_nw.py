@@ -563,6 +563,50 @@ def test_bigbank_lab_smoke(capsys):
     assert "recall@10" in out
 
 
+def test_prepared_agg_precision_bf16():
+    """agg_precision='bf16' runs the label-aggregation matmul with bf16
+    inputs (exact one-hot, p rounded at 2^-9): probabilities must stay
+    within ~1e-3 of the f32-agg chain with full top-1 agreement, at every
+    bank precision, windowed (C > 128) and not, and for the partials
+    variant the sharded path uses."""
+    from nwhead_tpu.ops.pallas_nw import (
+        nw_fused_from_prepared, prepare_support)
+
+    rng = np.random.default_rng(23)
+    B, S, D = 40, 700, 64
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    for C in (90, 300):  # un-windowed and windowed aggregation
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        for prec in ("f32", "bf16", "int8"):
+            prep = prepare_support(s, sy, C, precision=prec)
+            ref = np.asarray(nw_fused_from_prepared(
+                q, prep, C, agg_precision="f32"))
+            got = np.asarray(nw_fused_from_prepared(
+                q, prep, C, agg_precision="bf16"))
+            perr = np.abs(np.exp(got) - np.exp(ref)).max()
+            assert perr < 3e-3, (C, prec, perr)
+            # argmax must agree except on genuine near-ties (random banks
+            # put many classes within the bf16 rounding band): require
+            # agreement wherever the f32 top-2 prob gap exceeds it.
+            pr = np.exp(ref)
+            top2 = np.sort(pr, axis=1)[:, -2:]
+            decisive = (top2[:, 1] - top2[:, 0]) > 3e-3
+            agree = ref.argmax(1) == got.argmax(1)
+            assert agree[decisive].all(), (C, prec)
+
+        prep = prepare_support(s, sy, C)
+        m_f, l_f, acc_f = nw_fused_from_prepared(
+            q, prep, C, partials=True, agg_precision="f32")
+        m_b, l_b, acc_b = nw_fused_from_prepared(
+            q, prep, C, partials=True, agg_precision="bf16")
+        np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_b))
+        np.testing.assert_allclose(
+            np.asarray(acc_b), np.asarray(acc_f), rtol=4e-3, atol=4e-3)
+        np.testing.assert_allclose(
+            np.asarray(l_b), np.asarray(l_f), rtol=4e-3)
+
+
 def test_windowed_prepared_aggregation():
     """Class-windowed prepared banks (C > 128): rows are sorted by class at
     prepare time and the kernel aggregates into a narrow dynamic window —
