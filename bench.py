@@ -197,6 +197,13 @@ def _bigbank_fields(on_tpu):
         )(sy)
         prep_f32 = prepare_support(sfeat, sy, C)
         prep_i8 = prepare_support(sfeat, sy, C, precision="int8")
+        # Host slice for the optional HNSW comparison leg (taken before the
+        # raw bank is dropped; ~32 MB device->host readback).
+        hnsw_slice = 16384
+        bank_np = sy_np = None
+        if os.environ.get("NWHEAD_BENCH_HNSW") != "0":
+            bank_np = np.asarray(sfeat[:hnsw_slice])
+            sy_np = np.asarray(sy[:hnsw_slice])
         del sfeat
         rng = np.random.default_rng(1)
         q64 = jnp.asarray(rng.standard_normal((64, D)), jnp.float32)
@@ -214,13 +221,43 @@ def _bigbank_fields(on_tpu):
              (q256, prep_i8)),
         ]
         t, _ = _measure(cases, 8, 40, cycles=7)
-        return {
+        fields = {
             "bigbank_s": S,
             "bigbank_c": C,
             "bigbank_f32_ms_b64": round(t["big_f32_b64"] * 1e3, 2),
             "bigbank_int8_qps_b64": round(64 / t["big_int8_b64"], 1),
             "bigbank_int8_qps_b256": round(256 / t["big_int8_b256"], 1),
         }
+        if bank_np is not None:
+            # The reference's big-bank strategy, measured in the official
+            # line: host approximate NN (hnswlib-style C++ index, M=16/
+            # efC=100) over a 16k slice vs the exact full-mode head over
+            # the whole 1M rows. Build is ~40 s on this host; skip the
+            # whole leg with NWHEAD_BENCH_HNSW=0. Recall validation lives
+            # in scripts/bigbank_lab.py --hnsw (1.000 @ k=10 there).
+            try:
+                from nwhead_tpu.native.hnsw import HNSWIndex
+
+                t0 = time.perf_counter()
+                idx = HNSWIndex(bank_np, sy_np, n_neighbors=10)
+                build_s = time.perf_counter() - t0
+                q_np = np.asarray(q64)
+                idx.knn_query(q_np)  # warm
+                reps = 5
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    idx.knn_query(q_np)
+                hqps = q_np.shape[0] * reps / (time.perf_counter() - t0)
+                fields.update({
+                    "hnsw_host_slice_s": hnsw_slice,
+                    "hnsw_host_build_s": round(build_s, 1),
+                    "hnsw_host_qps": round(hqps, 1),
+                    "exact_1m_vs_host_hnsw_x": round(
+                        (256 / t["big_int8_b256"]) / hqps, 1),
+                })
+            except Exception as e:  # noqa: BLE001
+                fields["hnsw_error"] = f"{type(e).__name__}: {e}"[:200]
+        return fields
     except Exception as e:  # noqa: BLE001 — never kill the official line
         return {"bigbank_error": f"{type(e).__name__}: {e}"[:200]}
 

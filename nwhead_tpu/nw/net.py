@@ -476,16 +476,27 @@ class NWNet:
         )
         self._build_serving_banks(variables)
 
-    def _build_serving_banks(self, variables: Dict[str, Any]) -> None:
+    def _build_serving_banks(
+        self, variables: Dict[str, Any], new_rows=None
+    ) -> None:
         """(Re)build the device bank views + prepared/sharded serving banks
         from the eval engine's cached features. Shared by ``precompute()``
-        and the incremental ``add_support``/``remove_support`` paths."""
+        and the incremental ``add_support``/``remove_support`` paths.
+
+        ``new_rows=(feats, labels)`` (``add_support`` fast path): when a
+        prepared full-mode bank already exists, only the new rows are
+        prepared (padded to the bank's tile size) and concatenated onto it
+        — O(new) prep + one device copy instead of re-padding/re-sorting/
+        re-quantizing the whole bank. Falls back to a full rebuild when the
+        concat would drop the class-window optimization (C > 128 banks
+        whose new rows span too many classes)."""
         # NWNet's bank views alias the eval engine's arrays (one copy of
         # the bank, not two) — device-resident meshless, HOST numpy under
         # a mesh (only the shards live in HBM then).
         self.full_feat = self.support_eval.full_feat
         self.full_y = self.support_eval.full_y
         full_y_np = np.asarray(self.full_y)
+        prev_prep = self._prepared_full
         # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
         # predict streams exactly the bank bytes (the raw path re-pads per
         # call). Skipped when a mesh is attached — the sharded branch always
@@ -505,13 +516,30 @@ class NWNet:
                 "dotproduct", "clip",
             )
         ):
-            from nwhead_tpu.ops.pallas_nw import prepare_support
-
-            self._prepared_full = prepare_support(
-                self.full_feat, self.full_y, self.n_classes,
-                kernel=self.kernel_type,
-                precision=self.model.head_precision,
+            from nwhead_tpu.ops.pallas_nw import (
+                concat_prepared, prepare_for_concat, prepare_support,
             )
+
+            if prev_prep is not None and new_rows is not None:
+                nf, nl = new_rows
+                inc = prepare_for_concat(
+                    jnp.asarray(nf), jnp.asarray(nl), self.n_classes,
+                    prev_prep, kernel=self.kernel_type,
+                    precision=self.model.head_precision,
+                )
+                cand = concat_prepared([prev_prep, inc], self.n_classes)
+                # Keep the incremental result unless it lost the class
+                # windows the old bank had (full-width aggregation would
+                # slow EVERY tile at C > 128 — a one-off O(S) rebuild
+                # re-sorts the grown bank and restores them).
+                if prev_prep.win is None or cand.win is not None:
+                    self._prepared_full = cand
+            if self._prepared_full is None:
+                self._prepared_full = prepare_support(
+                    self.full_feat, self.full_y, self.n_classes,
+                    kernel=self.kernel_type,
+                    precision=self.model.head_precision,
+                )
         if self.mesh is not None:
             from nwhead_tpu.parallel import ShardedSupportBank
 
@@ -560,7 +588,7 @@ class NWNet:
             )
         feats = self._featurize_array(variables, np.asarray(images))
         self.support_eval.extend_bank(feats, labels, env_id=env_id)
-        self._build_serving_banks(variables)
+        self._build_serving_banks(variables, new_rows=(feats, labels))
 
     def remove_support(self, variables: Dict[str, Any], indices) -> None:
         """Drop support items (indices into the current full-bank row

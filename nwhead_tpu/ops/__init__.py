@@ -4,8 +4,10 @@ from nwhead_tpu.ops.calibrate import apply_temperature, fit_temperature
 from nwhead_tpu.ops.influence import support_influence
 from nwhead_tpu.ops.pallas_nw import (
     PreparedSupport,
+    concat_prepared,
     nw_fused_log_probs,
     nw_fused_from_prepared,
+    prepare_for_concat,
     prepare_support,
 )
 from nwhead_tpu.ops.pallas_attn import (
@@ -29,6 +31,8 @@ __all__ = [
     "nw_fused_log_probs",
     "nw_fused_from_prepared",
     "prepare_support",
+    "prepare_for_concat",
+    "concat_prepared",
     "PreparedSupport",
     "apply_temperature",
     "fit_temperature",

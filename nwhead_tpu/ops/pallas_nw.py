@@ -282,6 +282,127 @@ def prepare_support(
     )
 
 
+def prepare_for_concat(
+    sfeat: jnp.ndarray,
+    sy: jnp.ndarray,
+    n_classes: int,
+    like: PreparedSupport,
+    *,
+    kernel: str = "euclidean",
+    precision: str = "f32",
+    support_mask: Optional[jnp.ndarray] = None,
+) -> PreparedSupport:
+    """Prepare rows tile-compatible with an existing prepared bank.
+
+    ``prepare_support`` shrinks the tile size to the (rounded) row count
+    for small inputs, which would make the result un-concatenable with a
+    bank built at a larger tile; this pads the new rows (masked, so they
+    are invisible to the head) up to a multiple of ``like``'s tile size
+    first. Callers pass the same ``kernel``/``precision`` the existing
+    bank was built with — ``concat_prepared`` validates what it can
+    (dtype, widths), the kernel name it cannot."""
+    block_s = like.lane.shape[1] * 128
+    n = int(sfeat.shape[0])
+    if n == 0:
+        raise ValueError("prepare_for_concat needs at least one row")
+    if support_mask is None:
+        support_mask = jnp.ones(n, dtype=jnp.float32)
+    pad = _round_up(n, block_s) - n
+    if pad:
+        sfeat = jnp.pad(jnp.asarray(sfeat), ((0, pad), (0, 0)))
+        sy = jnp.pad(jnp.asarray(sy), (0, pad))
+        support_mask = jnp.pad(jnp.asarray(support_mask), (0, pad))
+    return prepare_support(
+        sfeat, sy, n_classes, kernel=kernel,
+        support_mask=support_mask, precision=precision, block_s=block_s,
+    )
+
+
+def concat_prepared(
+    preps: Tuple[PreparedSupport, ...], n_classes: int
+) -> PreparedSupport:
+    """Concatenate prepared banks into one larger prepared bank, O(bytes).
+
+    Every per-tile field (self-norms, compact labels, quant scales, class
+    windows) is tile-local, so banks prepared with the same kernel,
+    precision, feature width, and tile size concatenate by stacking tiles —
+    no re-sort, re-quantize, or host round trip. Row order inside a
+    prepared bank is opaque (the head is order-independent), and padding
+    rows in the middle are already masked by the -1 label sentinel /
+    folded self-norms. Uses:
+
+      * incremental serving-bank growth (``NWNet.add_support``): prepare
+        only the new rows (padded to one tile) and concat — O(new) work +
+        one device copy, instead of re-preparing the whole bank;
+      * banks larger than host/f32 memory: prepare in chunks, concat the
+        reduced-precision results (``scripts/bigbank_lab.py --giant``).
+
+    Class windows (C > 128): per-tile window starts concatenate directly,
+    but the STATIC window width rides in ``win``'s shape and must agree
+    across tiles — narrower banks are widened to the max width with starts
+    clamped down (spans stay covered; same scheme as the sharded bank's
+    per-shard merge). If any input is un-windowed, or widening would reach
+    full width, windows are dropped everywhere (slower aggregation for
+    C > 128, never incorrect).
+
+    Callers must pass banks built with the same ``kernel=`` (feature
+    normalization is baked into ``s`` and cannot be checked here).
+    """
+    preps = list(preps)
+    if not preps:
+        raise ValueError("concat_prepared needs at least one bank")
+    if len(preps) == 1:
+        return preps[0]
+    ref = preps[0]
+    for p in preps[1:]:
+        if p.s.dtype != ref.s.dtype:
+            raise ValueError(
+                f"precision mismatch: {p.s.dtype} vs {ref.s.dtype}"
+            )
+        if p.s.shape[1] != ref.s.shape[1]:
+            raise ValueError(
+                f"feature width mismatch: {p.s.shape[1]} vs {ref.s.shape[1]}"
+            )
+        if p.lane.shape[1] != ref.lane.shape[1]:
+            raise ValueError(
+                "tile size (block_s) mismatch: "
+                f"{p.lane.shape[1] * 128} vs {ref.lane.shape[1] * 128}"
+            )
+        for name in ("s2c", "sscale"):
+            if (getattr(p, name) is None) != (getattr(ref, name) is None):
+                raise ValueError(
+                    f"{name} presence mismatch (different kernel mode or "
+                    "precision)"
+                )
+
+    wins = [p.win for p in preps]
+    if all(w is not None for w in wins):
+        c_pad = _round_up(n_classes, 128)
+        wb = max(w.shape[1] for w in wins)  # width in 128-lane blocks
+        if wb * 128 >= c_pad:
+            preps = [p._replace(win=None) for p in preps]
+        else:
+            uni = []
+            for w in wins:
+                starts = np.minimum(
+                    np.asarray(w)[:, 0], c_pad // 128 - wb
+                ).astype(np.int32)
+                uni.append(jnp.asarray(np.broadcast_to(
+                    starts[:, None], (w.shape[0], wb)).copy()))
+            preps = [p._replace(win=w) for p, w in zip(preps, uni)]
+    elif any(w is not None for w in wins):
+        preps = [p._replace(win=None) for p in preps]
+
+    def cat(field):
+        vals = [getattr(p, field) for p in preps]
+        return None if vals[0] is None else jnp.concatenate(vals, axis=0)
+
+    return PreparedSupport(
+        s=cat("s"), s2c=cat("s2c"), lane=cat("lane"),
+        sub=cat("sub"), sscale=cat("sscale"), win=cat("win"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------

@@ -340,41 +340,19 @@ class ShardedSupportBank:
 
             # Class-windowed aggregation across shards: the shard_mapped
             # predict runs ONE program, so the window's STATIC width (it
-            # rides in win.shape) must agree on every shard — widen each
-            # shard's window to the max width, clamping starts so the
-            # window stays inside c_pad (starts only move DOWN, so each
-            # tile's original [c_lo, c_hi] span stays covered). If any
-            # shard came back un-windowed (its span is full-width), drop
-            # windows everywhere — rows stay class-sorted, which the
-            # full-width kernel is indifferent to.
-            wins = [p.win for p in preps]
-            if all(w is not None for w in wins):
-                c_pad = _round_up(n_classes, 128)
-                wb = max(w.shape[1] for w in wins)  # width in 128-blocks
-                # prepare_support only windows when W < c_pad (both
-                # 128-multiples), so the widened wb stays < c_pad too.
-                assert wb * 128 < c_pad
-                uni = []
-                for w in wins:
-                    starts = np.minimum(
-                        np.asarray(w)[:, 0], c_pad // 128 - wb
-                    ).astype(np.int32)
-                    uni.append(jnp.asarray(np.broadcast_to(
-                        starts[:, None], (w.shape[0], wb)).copy()))
-                preps = [p._replace(win=w) for p, w in zip(preps, uni)]
-            elif any(w is not None for w in wins):
-                preps = [p._replace(win=None) for p in preps]
+            # rides in win.shape) must agree on every shard —
+            # concat_prepared widens each shard's window to the max width
+            # with starts clamped down (spans stay covered), or drops
+            # windows everywhere if any shard came back un-windowed (rows
+            # stay class-sorted, which the full-width kernel is
+            # indifferent to).
+            from nwhead_tpu.ops.pallas_nw import concat_prepared
 
-            def cat(field):
-                vals = [getattr(p, field) for p in preps]
-                if vals[0] is None:
-                    return None
-                return jax.device_put(jnp.concatenate(vals, axis=0), shard)
-
-            prepared = PreparedSupport(
-                s=cat("s"), s2c=cat("s2c"), lane=cat("lane"),
-                sub=cat("sub"), sscale=cat("sscale"), win=cat("win"),
-            )
+            merged = concat_prepared(preps, n_classes)
+            prepared = PreparedSupport(*(
+                None if v is None else jax.device_put(v, shard)
+                for v in merged
+            ))
             return ShardedSupportBank(
                 feat=None, labels=None, mask=None, mesh=mesh,
                 n_classes=n_classes, kernel=kernel, prepared=prepared,

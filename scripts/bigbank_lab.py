@@ -156,6 +156,92 @@ def _hnsw_leg(bank_np, sy_np, q_np, k):
     return qps, recall
 
 
+def _giant_leg(S, D, C, B, on_tpu, tiny=False):
+    """Beyond-f32-memory banks: chunked int8 prepare + concat_prepared.
+
+    The standard scale leg materializes the f32 bank (4·S·D bytes) before
+    quantizing, capping S at ~1-2M rows on a 16 GB chip. Here each chunk is
+    generated, prepared at int8, and merged tile-wise (``concat_prepared``
+    — per-chunk class sort keeps the C > 128 aggregation windows), so the
+    resident bank is S·D bytes: S = 8M rows of D=512 is a 4 GB bank, 8x the
+    reference-style f32 ceiling and ~1300x the reference's actual CUB bank.
+    Functional gate: queries drawn at each cluster centroid must classify
+    to their generating class (the bank is cluster-separated by
+    construction; int8 rounding does not move a 2-sigma margin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timing import interleaved_time
+
+    from nwhead_tpu.ops.pallas_nw import (
+        _default_block_b, concat_prepared, nw_fused_log_probs,
+        prepare_support,
+    )
+
+    chunk = 4096 if tiny else 1 << 20
+    kc, key = jax.random.split(jax.random.PRNGKey(5))
+    cents = 0.1 * jax.random.normal(kc, (C, D), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def gen(k, n):
+        ky, kn = jax.random.split(k)
+        sy = jax.random.randint(ky, (n,), 0, C, dtype=jnp.int32)
+        return cents[sy] + 0.05 * jax.random.normal(kn, (n, D), jnp.float32), sy
+
+    parts = []
+    for i in range(0, S, chunk):
+        n = min(chunk, S - i)
+        feats, sy = gen(jax.random.fold_in(key, i), n)
+        parts.append(
+            prepare_support(feats, sy, C, precision="int8", block_s=1024)
+        )
+        del feats, sy
+    prep = concat_prepared(parts, C)
+    del parts
+    jax.block_until_ready(prep.s)
+    win_w = 0 if prep.win is None else prep.win.shape[1] * 128
+    print(f"[giant] int8 bank S={S} D={D} C={C}: {S * D / 1e9:.2f} GB "
+          f"resident ({len(range(0, S, chunk))} chunks, window W={win_w})",
+          flush=True)
+
+    # Functional gate: one query per class AT its centroid.
+    rng = np.random.default_rng(2)
+    q_cls = rng.permutation(C)[: max(B, 64)].astype(np.int32)
+    q = jnp.asarray(cents)[jnp.asarray(q_cls)]
+    out = np.asarray(nw_fused_log_probs(q, prep, None, C))
+    agree = float((out.argmax(1) == q_cls).mean())
+    status = "OK " if agree == 1.0 else "FAIL"
+    print(f"  {status} centroid-query top-1 = generating class: "
+          f"{agree:.3f}", flush=True)
+
+    if not on_tpu:
+        print("not on TPU: skipping giant timing leg")
+        return
+
+    def head_fn(qq, pp, carry):
+        qq = jax.lax.optimization_barrier(qq + carry.astype(qq.dtype) * 1e-30)
+        return nw_fused_log_probs(qq, pp, None, C).mean() * 1e-20
+
+    stream, s_big = _stream_case(D)
+    q256 = jnp.asarray(rng.standard_normal((256, D)).astype(np.float32))
+    cases = [
+        ("stream 25.2MB", stream, (s_big,)),
+        ("giant B=64 int8", head_fn, (q[:64], prep)),
+        ("giant B=256 int8", head_fn, (q256, prep)),
+    ]
+    res = interleaved_time(cases, cycles=7, target_s=0.5)
+    t_stream = res.pop("stream 25.2MB")
+    bw = s_big.size * 4 / t_stream / 1e9
+    print(f"stream: {t_stream * 1e6:7.1f} us  {bw:6.1f} GB/s", flush=True)
+    for name, t in res.items():
+        nq = 256 if "B=256" in name else 64
+        blk = _default_block_b(nq, C, prep.lane.shape[1] * 128)
+        byt = S * D * (-(-nq // blk))
+        print(f"{name}: {t * 1e3:8.3f} ms/batch  {nq / t:9.0f} q/s "
+              f"frac_vs_stream={(byt / (bw * 1e9)) / t:5.3f} "
+              f"frac_vs_819={byt / 819e9 / t:5.3f}", flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--S", type=int, default=1_000_000)
@@ -175,6 +261,12 @@ def main(argv=None):
                    help="HNSW leg bank size (single-core build is ~250 "
                         "rows/s at D=512 — 1e6 rows would take ~1 h)")
     p.add_argument("--hnsw_k", type=int, default=10)
+    p.add_argument("--giant", type=int, default=0,
+                   help="rows for the chunked-build int8 giant-bank leg "
+                        "(e.g. 8000000): the f32 bank never materializes — "
+                        "1M-row chunks are generated, int8-prepared, and "
+                        "merged via concat_prepared, so S is bounded by the "
+                        "INT8 bank bytes (S/4 GB at D=512), not 4S. 0 = off")
     args = p.parse_args(argv)
 
     import jax
@@ -188,10 +280,16 @@ def main(argv=None):
 
     if args.tiny:
         args.S, args.S_check, args.C = 4096, 2048, 300
+        if args.giant:
+            args.giant = min(args.giant, 8192)
     S, D, C = args.S, args.D, args.C
     B = 8 if args.tiny else 64
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(1)
+
+    if args.giant:
+        _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny)
+        return
 
     # ---- validation leg: prepared heads vs the exact streaming oracle ----
     Sv = args.S_check
