@@ -223,6 +223,9 @@ class NWNet:
         # recompiles, no per-call host->device bank uploads.
         self._ensemble_from_feats = jax.jit(self._ensemble_from_feats_impl)
         self._prepared_full = None  # set by precompute() for large banks
+        # full-bank row -> prepared-row position (tombstone removals)
+        self._prepared_pos = None
+        self._prepared_dead = 0  # tombstoned rows since last compaction
         self._head_from_prepared = jax.jit(
             lambda variables, qf, prep: self.model.apply(
                 variables, qf, prep, method=NWModel.predict_from_prepared
@@ -256,6 +259,7 @@ class NWNet:
         )
         # Everything bank-derived is stale until the next precompute().
         self._prepared_full = None
+        self._prepared_pos = None
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
@@ -341,6 +345,7 @@ class NWNet:
             )
             self._featurize_eval = feat
             self._prepared_full = None
+            self._prepared_pos = None
             self.sharded_bank = None
             self._sharded_predict = None
             self._sharded_knn_cache = None
@@ -364,6 +369,7 @@ class NWNet:
         self._featurize_eval = jax.jit(feat)
         # Bank features must come from the same featurizer as queries.
         self._prepared_full = None
+        self._prepared_pos = None
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
@@ -405,6 +411,7 @@ class NWNet:
         self._quantized_variables_fp = self._variables_fingerprint(variables)
         self._featurize_eval = feat
         self._prepared_full = None
+        self._prepared_pos = None
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
@@ -477,19 +484,26 @@ class NWNet:
         self._build_serving_banks(variables)
 
     def _build_serving_banks(
-        self, variables: Dict[str, Any], new_rows=None
+        self, variables: Dict[str, Any], new_rows=None, keep_prepared=None
     ) -> None:
         """(Re)build the device bank views + prepared/sharded serving banks
         from the eval engine's cached features. Shared by ``precompute()``
         and the incremental ``add_support``/``remove_support`` paths.
 
-        ``new_rows=(feats, labels)`` (``add_support`` fast path): when a
-        prepared full-mode bank already exists, only the new rows are
-        prepared (padded to the bank's tile size) and concatenated onto it
-        — O(new) prep + one device copy instead of re-padding/re-sorting/
-        re-quantizing the whole bank. Falls back to a full rebuild when the
-        concat would drop the class-window optimization (C > 128 banks
-        whose new rows span too many classes)."""
+        ``new_rows=(feats, labels, rows_idx)`` (``add_support`` fast path):
+        when a prepared full-mode bank already exists, only the new rows
+        are prepared (padded to the bank's tile size) and concatenated onto
+        it — O(new) prep + one device copy instead of re-padding/
+        re-sorting/re-quantizing the whole bank. ``rows_idx`` gives the new
+        rows' positions in the NEW full-bank order (env insertion may be
+        mid-bank), so the row->prepared-position map stays consistent.
+        Falls back to a full rebuild when the concat would drop the
+        class-window optimization (C > 128 banks whose new rows span too
+        many classes).
+
+        ``keep_prepared=(prep, pos, dead)`` (``remove_support`` fast path):
+        install an already-tombstoned prepared bank + its updated row map
+        instead of re-preparing — O(removed) device work."""
         # NWNet's bank views alias the eval engine's arrays (one copy of
         # the bank, not two) — device-resident meshless, HOST numpy under
         # a mesh (only the shards live in HBM then).
@@ -497,12 +511,14 @@ class NWNet:
         self.full_y = self.support_eval.full_y
         full_y_np = np.asarray(self.full_y)
         prev_prep = self._prepared_full
+        prev_pos = self._prepared_pos
         # Prepared serving bank: pad/normalize/pack ONCE, so every full-mode
         # predict streams exactly the bank bytes (the raw path re-pads per
         # call). Skipped when a mesh is attached — the sharded branch always
         # shadows it and the extra bank-sized copy would defeat sharding's
         # memory purpose.
         self._prepared_full = None
+        self._prepared_pos = None
         # Drop the mode caches NOW — they pin whole retired banks in HBM
         # until their mode happens to be called again otherwise.
         self._sharded_knn_cache = None
@@ -520,12 +536,19 @@ class NWNet:
                 concat_prepared, prepare_for_concat, prepare_support,
             )
 
-            if prev_prep is not None and new_rows is not None:
-                nf, nl = new_rows
-                inc = prepare_for_concat(
+            if keep_prepared is not None:
+                (
+                    self._prepared_full,
+                    self._prepared_pos,
+                    self._prepared_dead,
+                ) = keep_prepared
+            elif prev_prep is not None and new_rows is not None:
+                nf, nl, rows_idx = new_rows
+                inc, inc_order = prepare_for_concat(
                     jnp.asarray(nf), jnp.asarray(nl), self.n_classes,
                     prev_prep, kernel=self.kernel_type,
                     precision=self.model.head_precision,
+                    return_order=True,
                 )
                 cand = concat_prepared([prev_prep, inc], self.n_classes)
                 # Keep the incremental result unless it lost the class
@@ -534,12 +557,41 @@ class NWNet:
                 # re-sorts the grown bank and restores them).
                 if prev_prep.win is None or cand.win is not None:
                     self._prepared_full = cand
+                    if prev_pos is not None:
+                        n_new = len(np.asarray(nl))
+                        base = prev_prep.lane.shape[0] * \
+                            prev_prep.lane.shape[1] * 128
+                        if inc_order is None:
+                            inv_new = np.arange(n_new, dtype=np.int64)
+                        else:
+                            inv = np.empty(len(inc_order), np.int64)
+                            inv[inc_order] = np.arange(len(inc_order))
+                            inv_new = inv[:n_new]
+                        pos = np.empty(len(full_y_np), np.int64)
+                        newmask = np.zeros(len(full_y_np), bool)
+                        newmask[np.asarray(rows_idx, np.int64)] = True
+                        # Old rows keep their relative order (env segments
+                        # stay in first-appearance order) AND their
+                        # prepared positions; the k-th new row sits at the
+                        # k-th new slot (extend appends in input order).
+                        pos[~newmask] = prev_pos
+                        pos[newmask] = base + inv_new
+                        self._prepared_pos = pos
             if self._prepared_full is None:
-                self._prepared_full = prepare_support(
+                self._prepared_full, order = prepare_support(
                     self.full_feat, self.full_y, self.n_classes,
                     kernel=self.kernel_type,
                     precision=self.model.head_precision,
+                    return_order=True,
                 )
+                S = len(full_y_np)
+                if order is None:
+                    self._prepared_pos = np.arange(S, dtype=np.int64)
+                else:
+                    inv = np.empty(S, np.int64)
+                    inv[order] = np.arange(S, dtype=np.int64)
+                    self._prepared_pos = inv
+                self._prepared_dead = 0
         if self.mesh is not None:
             from nwhead_tpu.parallel import ShardedSupportBank
 
@@ -588,16 +640,58 @@ class NWNet:
             )
         feats = self._featurize_array(variables, np.asarray(images))
         self.support_eval.extend_bank(feats, labels, env_id=env_id)
-        self._build_serving_banks(variables, new_rows=(feats, labels))
+        # New rows land at the END of their env's segment — mid-bank when
+        # other envs follow. Recover their positions from the refreshed
+        # meta (extend appends in input order, so the tail of the env's
+        # index set IS the new rows, in order).
+        rows_idx = np.where(
+            np.asarray(self.support_eval.full_meta) == env_id
+        )[0][-len(labels):]
+        self._build_serving_banks(
+            variables, new_rows=(feats, labels, rows_idx)
+        )
+
+    # Tombstoned fraction of the prepared bank that triggers compaction (a
+    # full re-prepare): dead rows still stream through the serving DMA, so
+    # past this point the O(S) rebuild pays for itself.
+    _COMPACT_DEAD_FRAC = 0.25
 
     def remove_support(self, variables: Dict[str, Any], indices) -> None:
         """Drop support items (indices into the current full-bank row
         order, e.g. from ``get_neighbors``/``support_influence``) and
         refresh the serving artifacts from the remaining cached features —
         nothing is re-featurized. HNSW is rebuilt (the graph has no
-        deletion)."""
+        deletion).
+
+        Prepared-bank fast path: removed rows are TOMBSTONED in the live
+        prepared bank (compact label -> -1 sentinel, l2 self-norm -> the
+        mask sentinel) — O(removed) device work, numerically identical to
+        a rebuild (masked rows contribute exact 0 weight). Dead rows still
+        stream through the serving DMA, so once they exceed 25% of the
+        bank the removal compacts (one full re-prepare) instead."""
         self._check_quantized_variables(variables)
-        self.support_eval.remove_bank_items(indices)
+        idx = np.unique(np.asarray(indices, dtype=np.int64))
+        prep, pos = self._prepared_full, self._prepared_pos
+        n_before = (
+            len(self.support_eval._full_y_np)
+            if hasattr(self.support_eval, "_full_y_np") else 0
+        )
+        # Validates + compacts the eval-engine artifacts first (raises on
+        # bad indices before we touch the prepared bank).
+        self.support_eval.remove_bank_items(idx)
+        if prep is not None and pos is not None and len(pos) == n_before:
+            from nwhead_tpu.ops.pallas_nw import mask_prepared_rows
+
+            dead = self._prepared_dead + int(idx.size)
+            s_rows = prep.lane.shape[0] * prep.lane.shape[1] * 128
+            if dead <= self._COMPACT_DEAD_FRAC * s_rows:
+                masked = mask_prepared_rows(prep, pos[idx])
+                keep = np.ones(n_before, dtype=bool)
+                keep[idx] = False
+                self._build_serving_banks(
+                    variables, keep_prepared=(masked, pos[keep], dead)
+                )
+                return
         self._build_serving_banks(variables)
 
     def restore_bank(

@@ -5,6 +5,7 @@ from nwhead_tpu.ops.influence import support_influence
 from nwhead_tpu.ops.pallas_nw import (
     PreparedSupport,
     concat_prepared,
+    mask_prepared_rows,
     nw_fused_log_probs,
     nw_fused_from_prepared,
     prepare_for_concat,
@@ -33,6 +34,7 @@ __all__ = [
     "prepare_support",
     "prepare_for_concat",
     "concat_prepared",
+    "mask_prepared_rows",
     "PreparedSupport",
     "apply_temperature",
     "fit_temperature",

@@ -160,6 +160,7 @@ def prepare_support(
     precision: str = "f32",
     block_s: Optional[int] = None,
     window: bool = True,
+    return_order: bool = False,
 ) -> PreparedSupport:
     """Pad + normalize + pack a support bank for the fused serving path.
 
@@ -170,10 +171,16 @@ def prepare_support(
     (the head's output is order-independent); pass ``window=False`` where
     callers slice prepared fields positionally across shards (the sharded
     bank concatenates per-shard preps, whose static widths could differ).
+
+    ``return_order=True``: also return the host-side row permutation as an
+    int64 numpy array (``order[j]`` = input row index stored at prepared
+    row ``j``), or ``None`` when rows kept input order — callers that
+    tombstone rows later (``mask_prepared_rows``) need input-row ->
+    prepared-row positions.
     """
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
-    sy_np = mask_np = None
+    sy_np = mask_np = order = None
     windowed = (
         window
         and n_classes > 128
@@ -277,9 +284,12 @@ def prepare_support(
                     (n_tiles, W // 128),
                 ).copy()
             )
-    return PreparedSupport(
+    prep = PreparedSupport(
         s=s_p, s2c=s2c, lane=lane, sub=sub, sscale=sscale, win=win
     )
+    if return_order:
+        return prep, (None if order is None else order.astype(np.int64))
+    return prep
 
 
 def prepare_for_concat(
@@ -291,6 +301,7 @@ def prepare_for_concat(
     kernel: str = "euclidean",
     precision: str = "f32",
     support_mask: Optional[jnp.ndarray] = None,
+    return_order: bool = False,
 ) -> PreparedSupport:
     """Prepare rows tile-compatible with an existing prepared bank.
 
@@ -315,6 +326,7 @@ def prepare_for_concat(
     return prepare_support(
         sfeat, sy, n_classes, kernel=kernel,
         support_mask=support_mask, precision=precision, block_s=block_s,
+        return_order=return_order,
     )
 
 
@@ -401,6 +413,44 @@ def concat_prepared(
         s=cat("s"), s2c=cat("s2c"), lane=cat("lane"),
         sub=cat("sub"), sscale=cat("sscale"), win=cat("win"),
     )
+
+
+def mask_prepared_rows(
+    prep: PreparedSupport, rows: np.ndarray
+) -> PreparedSupport:
+    """Tombstone prepared-bank rows: O(removed) device work, no rebuild.
+
+    ``rows`` are PREPARED-row positions (track them via ``prepare_support
+    (..., return_order=True)``; identity when the bank was not
+    class-sorted). Masking uses exactly the machinery padding rows already
+    ride: the compact label turns into the -1 sentinel in BOTH layout
+    copies (non-l2 kernels mask on ``lane >= 0``; the one-hot column match
+    drops the row from aggregation in every mode), and l2-mode self-norms
+    become ``_MASK_S2`` (score ~-1e15, exp underflows to exact 0 — the l2
+    serving kernel has no per-tile mask compare by design). Features/
+    scales stay: a tombstoned row still streams through the DMA, so
+    callers should compact (full re-prepare) once dead rows are a
+    meaningful fraction of the bank (``NWNet.remove_support`` does at
+    25%). Class windows stay valid — a narrower live span is still
+    covered. The reference has no analog: any support edit is a full
+    ``precompute()`` (``/root/reference/nwhead/nw.py:118-125``)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    if rows.size == 0:
+        return prep
+    block_s = prep.lane.shape[1] * 128
+    s_pad = prep.lane.shape[0] * block_s
+    if rows.min() < 0 or rows.max() >= s_pad:
+        raise IndexError(f"prepared-row index out of range for {s_pad} rows")
+    tile = jnp.asarray(rows // block_s, jnp.int32)
+    off = rows % block_s
+    chunk = jnp.asarray(off // 128, jnp.int32)
+    lanep = jnp.asarray(off % 128, jnp.int32)
+    lane = prep.lane.at[tile, chunk, lanep].set(-1.0)
+    sub = prep.sub.at[tile, lanep, chunk].set(-1.0)
+    s2c = prep.s2c
+    if s2c is not None:
+        s2c = s2c.at[tile, chunk, lanep].set(_MASK_S2)
+    return prep._replace(lane=lane, sub=sub, s2c=s2c)
 
 
 # ---------------------------------------------------------------------------
