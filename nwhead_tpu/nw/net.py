@@ -484,7 +484,8 @@ class NWNet:
         self._build_serving_banks(variables)
 
     def _build_serving_banks(
-        self, variables: Dict[str, Any], new_rows=None, keep_prepared=None
+        self, variables: Dict[str, Any], new_rows=None, keep_prepared=None,
+        keep_sharded=None,
     ) -> None:
         """(Re)build the device bank views + prepared/sharded serving banks
         from the eval engine's cached features. Shared by ``precompute()``
@@ -503,7 +504,12 @@ class NWNet:
 
         ``keep_prepared=(prep, pos, dead)`` (``remove_support`` fast path):
         install an already-tombstoned prepared bank + its updated row map
-        instead of re-preparing — O(removed) device work."""
+        instead of re-preparing — O(removed) device work.
+
+        ``keep_sharded`` (mesh ``remove_support`` fast path): install an
+        already-tombstoned ShardedSupportBank instead of rebuilding the
+        per-shard banks; the shard_mapped predict re-closes over the new
+        arrays (same shapes — no recompile)."""
         # NWNet's bank views alias the eval engine's arrays (one copy of
         # the bank, not two) — device-resident meshless, HOST numpy under
         # a mesh (only the shards live in HBM then).
@@ -602,12 +608,15 @@ class NWNet:
                 "euclidean", "hypersphere_euclidean", "cosine",
                 "dotproduct", "clip",
             )
-            self.sharded_bank = ShardedSupportBank.build(
-                np.asarray(self.full_feat), full_y_np, self.mesh, self.n_classes,
-                kernel=self.kernel_type,
-                precision=self.model.head_precision if fused_ok else "f32",
-                use_prepared=None if fused_ok else False,
-            )
+            self.sharded_bank = keep_sharded if keep_sharded is not None \
+                else ShardedSupportBank.build(
+                    np.asarray(self.full_feat), full_y_np, self.mesh,
+                    self.n_classes,
+                    kernel=self.kernel_type,
+                    precision=self.model.head_precision if fused_ok
+                    else "f32",
+                    use_prepared=None if fused_ok else False,
+                )
             # Trained kernel params (clip's logit_scale) ride along.
             self._sharded_predict = self.sharded_bank.predict_fn(
                 kernel_params=self._head_kernel_params(variables)
@@ -672,6 +681,7 @@ class NWNet:
         self._check_quantized_variables(variables)
         idx = np.unique(np.asarray(indices, dtype=np.int64))
         prep, pos = self._prepared_full, self._prepared_pos
+        bank = self.sharded_bank
         n_before = (
             len(self.support_eval._full_y_np)
             if hasattr(self.support_eval, "_full_y_np") else 0
@@ -679,6 +689,18 @@ class NWNet:
         # Validates + compacts the eval-engine artifacts first (raises on
         # bad indices before we touch the prepared bank).
         self.support_eval.remove_bank_items(idx)
+        if (
+            self.mesh is not None
+            and bank is not None
+            and bank.rowmap is not None
+            and len(bank.rowmap) == n_before
+        ):
+            dead = bank.dead + int(idx.size)
+            if dead <= self._COMPACT_DEAD_FRAC * bank.capacity:
+                self._build_serving_banks(
+                    variables, keep_sharded=bank.remove_rows(idx)
+                )
+                return
         if prep is not None and pos is not None and len(pos) == n_before:
             from nwhead_tpu.ops.pallas_nw import mask_prepared_rows
 

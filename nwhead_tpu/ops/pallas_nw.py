@@ -69,6 +69,19 @@ _SINGLE_TILE_BUDGET = 14_000_000  # bytes of (bank tile + one-hot scratch)
 # chain allocates O(block_b * block_s) stack copies, and block_b=512 at
 # block_s=1024 measured 66.5 MB scoped — over the old 64 MiB limit.
 _VMEM_LIMIT = 100 * 1024 * 1024
+# Prepared serving kernel: row metadata (self-norms/scales/labels) rides
+# whole-array in VMEM while it fits (one leading-dim slice per tile, zero
+# DMA-issue overhead), but its footprint scales with S — the sublane-major
+# label copy lane-pads nchunk -> 128 in VMEM (16x at block_s=1024; the 4M
+# probe's compile error shows the f32[n_tiles,128,8] input window
+# allocated as n_tiles*128*128*4 bytes), so ~76 MB of metadata parks in
+# VMEM at 1M rows. Measured on chip: resident COMPILES at 1M (and is
+# 5-13% faster than streaming — meta_lab), FAILS at 2M (scoped 123 MB >
+# the 100 MB limit). Past this threshold the kernel streams metadata
+# tiles HBM->VMEM through the same double buffer as the bank rows
+# (sub lane-padded in HBM: +64 KB/tile of traffic, 3-4 extra tiny DMA
+# issues per tile) — mandatory for multi-million-row banks.
+_META_STREAM_BYTES = 80 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -704,20 +717,21 @@ def _nw_prepared_kernel(
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
-    agg_bf16: bool = False,
+    agg_bf16: bool = False, meta_stream: bool = False,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
     s_hbm = refs[i]; i += 1       # (S_pad, D) ANY/HBM — manually DMA'd
     s2_ref = None
     if s2_input:
-        s2_ref = refs[i]; i += 1  # (n_tiles, 1, TS) VMEM (l2 only)
+        s2_ref = refs[i]; i += 1  # (n_tiles, 1, TS); VMEM, or ANY/HBM when
+        #                           meta_stream (manually DMA'd per tile)
     qscale_ref = sscale_ref = None
     if quant:
         qscale_ref = refs[i]; i += 1  # (TB, 128) f32 per-query scales
         sscale_ref = refs[i]; i += 1  # (n_tiles, 1, TS) f32 row scales
-    lane_ref = refs[i]; i += 1    # (n_tiles, 1, TS) VMEM labels (flat)
-    sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk) VMEM
+    lane_ref = refs[i]; i += 1    # (n_tiles, 1, TS) labels (flat)
+    sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk)
     win_ref = None
     if win_w:
         win_ref = refs[i]; i += 1  # SMEM (n_tiles, win_w/128) int32 blocks
@@ -732,6 +746,23 @@ def _nw_prepared_kernel(
     acc_ref = refs[i]; i += 1
     oh_ref = refs[i]; i += 1      # (TS, C_pad) scratch
     sem = refs[i]; i += 1         # DMA semaphores (2,)
+    s2buf = ssbuf = lanebuf = subbuf = winbuf = msem = None
+    if meta_stream:
+        # Metadata double buffers (+ their DMA semaphore lanes): the flat
+        # f32 per-row arrays come in as (1, 1, TS) tile slices, the
+        # sublane-major label copy as (1, 128, nchunk). The class-window
+        # block array streams too — whole-array SMEM residency pads each
+        # (2,) s32 row to 512 B, so n_tiles > ~2048 blows the 1 MB SMEM
+        # budget (the 8M-row compile failure).
+        if s2_input:
+            s2buf = refs[i]; i += 1   # (2, 1, TS) VMEM
+        if quant:
+            ssbuf = refs[i]; i += 1   # (2, 1, TS) VMEM
+        lanebuf = refs[i]; i += 1     # (2, 1, TS) VMEM
+        subbuf = refs[i]; i += 1      # (2, 128, nchunk_pad128) VMEM
+        if win_w:
+            winbuf = refs[i]; i += 1  # (2, 1, win_cols) SMEM
+        msem = refs[i]; i += 1        # DMA semaphores (2, 5)
 
     q = q_ref[:]
 
@@ -757,11 +788,29 @@ def _nw_prepared_kernel(
             sem.at[slot],
         )
 
+    def meta_dmas(slot, idx):
+        if not meta_stream:
+            return []
+        cps = []
+        for k, (src, dst) in enumerate((
+            (s2_ref, s2buf), (sscale_ref, ssbuf),
+            (lane_ref, lanebuf), (sub_ref, subbuf),
+            (win_ref if winbuf is not None else None, winbuf),
+        )):
+            if src is not None:
+                cps.append(pltpu.make_async_copy(
+                    src.at[pl.ds(idx, 1)], dst.at[pl.ds(slot, 1)],
+                    msem.at[slot, k],
+                ))
+        return cps
+
     m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     get_dma(0, 0).start()
+    for cp in meta_dmas(0, 0):
+        cp.start()
 
     # Windowed aggregation: the one-hot/label-matmul width is the class
     # window W instead of the full c_pad (rows are class-sorted at
@@ -777,8 +826,12 @@ def _nw_prepared_kernel(
         @pl.when(j + 1 < n_tiles)
         def _():
             get_dma((j + 1) % 2, j + 1).start()
+            for cp in meta_dmas((j + 1) % 2, j + 1):
+                cp.start()
 
         get_dma(slot, j).wait()
+        for cp in meta_dmas(slot, j):
+            cp.wait()
         s = sbuf[slot]
 
         if quant:
@@ -791,7 +844,10 @@ def _nw_prepared_kernel(
             # Flat (n_tiles, 1, TS) layout: one leading-dim slice per tile
             # (the old (n_tiles, nchunk, 128) layout cost nchunk slices +
             # a lane concat on the VPU every tile).
-            ssrow = sscale_ref[pl.ds(j, 1)].reshape(1, block_s)
+            ssrow = (
+                ssbuf[slot] if meta_stream
+                else sscale_ref[pl.ds(j, 1)]
+            ).reshape(1, block_s)
             dot = dot_i.astype(jnp.float32) * qcol * ssrow
         else:
             dot = jax.lax.dot_general(
@@ -800,7 +856,10 @@ def _nw_prepared_kernel(
             )
         if mode == "l2":
             if s2_input:
-                s2row = s2_ref[pl.ds(j, 1)].reshape(1, block_s)
+                s2row = (
+                    s2buf[slot] if meta_stream
+                    else s2_ref[pl.ds(j, 1)]
+                ).reshape(1, block_s)
             else:
                 sf = s.astype(jnp.float32)
                 s2row = jnp.sum(sf * sf, axis=1, keepdims=True).T
@@ -826,7 +885,10 @@ def _nw_prepared_kernel(
             # validity into the self-norms (_MASK_S2 -> score ~-1e15 ->
             # exp underflows to exactly 0 against any valid row's max, and
             # an all-invalid support still lands on the log-floor).
-            valid_row = lane_ref[pl.ds(j, 1)].reshape(1, block_s) >= 0.0
+            valid_row = (
+                lanebuf[slot] if meta_stream
+                else lane_ref[pl.ds(j, 1)]
+            ).reshape(1, block_s) >= 0.0
             score = jnp.where(valid_row, score, _NEG_INF)
 
         m_prev = m_ref[:, :1]
@@ -854,7 +916,10 @@ def _nw_prepared_kernel(
         )
 
         if win_w:
-            wbase = (win_ref[j, 0] * 128).astype(jnp.float32)
+            wstart = (
+                winbuf[slot, 0, 0] if meta_stream else win_ref[j, 0]
+            ) * 128
+            wbase = wstart.astype(jnp.float32)
         # agg_bf16: the aggregation matmul runs with bf16 inputs (f32 MXU
         # accumulate). The one-hot is EXACT in bf16 (0/1); the only rounding
         # is p's f32->bf16 cast (~2^-9 relative on each prob mass term). At
@@ -863,7 +928,10 @@ def _nw_prepared_kernel(
         # the cast overhead loses (measured — see CLAUDE.md bf16-agg note).
         oh_dtype = jnp.bfloat16 if agg_bf16 else jnp.float32
         for t in range(nchunk):
-            col = sub_ref[pl.ds(j, 1), :, t:t + 1].reshape(128, 1)
+            col = (
+                subbuf[slot, :, t:t + 1] if meta_stream
+                else sub_ref[pl.ds(j, 1), :, t:t + 1]
+            ).reshape(128, 1)
             if win_w:
                 col = col - wbase  # labels exact in f32; -1 stays invalid
             oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
@@ -878,7 +946,7 @@ def _nw_prepared_kernel(
         if win_w:
             acc_ref[:] = acc_ref[:] * alpha
             # block-idx * 128: Mosaic statically proves lane alignment.
-            sl = pl.ds(win_ref[j, 0] * 128, win_w)
+            sl = pl.ds(wstart, win_w)
             acc_ref[:, sl] = acc_ref[:, sl] + pv
         else:
             acc_ref[:] = acc_ref[:] * alpha + pv
@@ -900,7 +968,7 @@ def _nw_prepared_kernel(
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
-                   fold2=True, agg_precision="f32"):
+                   fold2=True, agg_precision="f32", meta_stream=None):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -938,10 +1006,27 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
 
     s2_input = s2c is not None
 
+    if meta_stream is None:
+        # Resident VMEM cost of the whole-array metadata layout: one flat
+        # f32 row per present array, plus the sublane-major label copy
+        # whose nchunk lane dim pads to 128 (16x at block_s=1024). Past
+        # the threshold, stream metadata tiles through the double buffer
+        # instead — mandatory for multi-million-row banks (an 8M-row sub
+        # alone would want 512 MB of VMEM).
+        n_flat = 1 + int(s2_input) + int(quant)
+        resident = n_tiles * (
+            n_flat * block_s * 4 + 128 * _round_up(nchunk, 128) * 4
+        )
+        meta_stream = resident > _META_STREAM_BYTES
+
     # Per-row metadata rides in the flat (n_tiles, 1, block_s) layout so
     # the kernel loads each tile's row with ONE leading-dim slice (the
     # rows are contiguous either way — this is a free reshape).
     flat = (n_tiles, 1, block_s)
+    meta_spec = (
+        pl.BlockSpec(memory_space=pl.ANY) if meta_stream
+        else pl.BlockSpec(flat, lambda i: (0, 0, 0))
+    )
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((block_b, D), lambda i: (i, 0)),
@@ -949,26 +1034,49 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     ]
     inputs = [scale.reshape(1, 1), q_p, s_p]
     if s2_input:
-        in_specs.append(pl.BlockSpec(flat, lambda i: (0, 0, 0)))
+        in_specs.append(meta_spec)
         inputs.append(s2c.reshape(flat))
     if quant:
         in_specs += [
             pl.BlockSpec((block_b, 128), lambda i: (i, 0)),
-            pl.BlockSpec(flat, lambda i: (0, 0, 0)),
+            meta_spec,
         ]
         inputs += [qscale_b, prepared.sscale.reshape(flat)]
+    if meta_stream:
+        # DMA slices must be 128-aligned along the lane dim — pad the
+        # sublane-major label copy's nchunk lanes up to a tile (the
+        # resident layout pays the same padding implicitly in VMEM; here
+        # it becomes real HBM bytes: 64 KB/tile at block_s=1024, small
+        # next to the bank rows).
+        sub = jnp.pad(
+            sub, ((0, 0), (0, 0), (0, _round_up(nchunk, 128) - nchunk)),
+            constant_values=-1.0,
+        )
     in_specs += [
-        pl.BlockSpec(flat, lambda i: (0, 0, 0)),
-        pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
+        meta_spec,
+        pl.BlockSpec(memory_space=pl.ANY) if meta_stream
+        else pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
     ]
     inputs += [lane.reshape(flat), sub]
     win = prepared.win
     win_w = win.shape[1] * 128 if win is not None else 0
     if win_w:
-        in_specs.append(
-            pl.BlockSpec(win.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
-        )
-        inputs.append(win)
+        if meta_stream:
+            # Whole-array SMEM residency pads each (wcols,) s32 row to
+            # 512 B (n_tiles > ~2048 blows the 1 MB SMEM budget) — stream
+            # one row per tile into an SMEM slot instead. DMA slices must
+            # be 128-aligned along the lane dim, so pad wcols up to 128
+            # (512 B/tile of extra traffic — noise).
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            inputs.append(jnp.pad(
+                win.reshape(win.shape[0], 1, win.shape[1]),
+                ((0, 0), (0, 0), (0, 128 - win.shape[1])),
+            ))
+        else:
+            in_specs.append(pl.BlockSpec(
+                win.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ))
+            inputs.append(win)
 
     out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32)
@@ -979,26 +1087,39 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         out_shape = (out_shape, stat_shape, stat_shape)
 
     agg_bf16 = agg_precision == "bf16"
+    scratch_shapes = [
+        pltpu.VMEM((2, block_s, D), s_p.dtype),
+        pltpu.VMEM((block_b, 128), jnp.float32),
+        pltpu.VMEM((block_b, 128), jnp.float32),
+        pltpu.VMEM((block_b, c_pad), jnp.float32),
+        pltpu.VMEM((block_s, win_w if win_w else c_pad),
+                   jnp.bfloat16 if agg_bf16 else jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if meta_stream:
+        if s2_input:
+            scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
+        if quant:
+            scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
+        scratch_shapes += [
+            pltpu.VMEM((2, 1, block_s), jnp.float32),
+            pltpu.VMEM((2, 128, _round_up(nchunk, 128)), jnp.float32),
+        ]
+        if win_w:
+            scratch_shapes.append(pltpu.SMEM((2, 1, 128), jnp.int32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, 5)))
     out = pl.pallas_call(
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
-            fold2=fold2, agg_bf16=agg_bf16,
+            fold2=fold2, agg_bf16=agg_bf16, meta_stream=meta_stream,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, block_s, D), s_p.dtype),
-            pltpu.VMEM((block_b, 128), jnp.float32),
-            pltpu.VMEM((block_b, 128), jnp.float32),
-            pltpu.VMEM((block_b, c_pad), jnp.float32),
-            pltpu.VMEM((block_s, win_w if win_w else c_pad),
-                       jnp.bfloat16 if agg_bf16 else jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -1024,6 +1145,7 @@ def nw_fused_from_prepared(
     softmax_impl: str = "exp",
     _fold2: bool = True,
     agg_precision: str = "f32",
+    meta_stream: Optional[bool] = None,
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -1056,7 +1178,7 @@ def nw_fused_from_prepared(
         qn, prepared, scale,
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
         partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
-        agg_precision=agg_precision,
+        agg_precision=agg_precision, meta_stream=meta_stream,
     )
 
 

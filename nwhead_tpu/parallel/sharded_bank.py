@@ -21,7 +21,8 @@ streaming loop ``legacy/model/net.py:53-72``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import dataclasses
+from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -280,6 +281,11 @@ class ShardedSupportBank:
     kernel: str = "euclidean"
     prepared: Optional[Any] = None  # PreparedSupport of shard-concatenated arrays
     precision: str = "f32"
+    # live input row -> global array position (host-side; supports
+    # O(removed) tombstone removals — see remove_rows). None when the bank
+    # was constructed without build() (e.g. dataclass literal in tests).
+    rowmap: Optional[np.ndarray] = field(default=None, repr=False)
+    dead: int = 0  # tombstoned rows since the bank was built
 
     @staticmethod
     def build(
@@ -327,16 +333,31 @@ class ShardedSupportBank:
             mask_p = np.zeros((local * n_shards,), np.float32)
             mask_p[:S] = 1.0
             preps = []
+            rowmap = np.empty(S, np.int64)
             for k in range(n_shards):
                 sl = slice(k * local, (k + 1) * local)
-                preps.append(
-                    prepare_support(
-                        jnp.asarray(feat_p[sl]), jnp.asarray(lab_p[sl]),
-                        n_classes, kernel=kernel,
-                        support_mask=jnp.asarray(mask_p[sl]),
-                        precision=precision,
-                    )
+                pk, order = prepare_support(
+                    jnp.asarray(feat_p[sl]), jnp.asarray(lab_p[sl]),
+                    n_classes, kernel=kernel,
+                    support_mask=jnp.asarray(mask_p[sl]),
+                    precision=precision, return_order=True,
                 )
+                preps.append(pk)
+                # Input row i = k*local + r lands at global prepared
+                # position k*shard_rows + inv[r] (shard_rows is uniform:
+                # every shard preps the same `local` row count).
+                shard_rows = pk.lane.shape[0] * pk.lane.shape[1] * 128
+                n_live = max(0, min(S - k * local, local))
+                if n_live:
+                    if order is None:
+                        inv_live = np.arange(n_live, dtype=np.int64)
+                    else:
+                        inv = np.empty(len(order), np.int64)
+                        inv[order] = np.arange(len(order))
+                        inv_live = inv[:n_live]
+                    rowmap[k * local:k * local + n_live] = (
+                        k * shard_rows + inv_live
+                    )
 
             # Class-windowed aggregation across shards: the shard_mapped
             # predict runs ONE program, so the window's STATIC width (it
@@ -356,7 +377,7 @@ class ShardedSupportBank:
             return ShardedSupportBank(
                 feat=None, labels=None, mask=None, mesh=mesh,
                 n_classes=n_classes, kernel=kernel, prepared=prepared,
-                precision=precision,
+                precision=precision, rowmap=rowmap,
             )
 
         # Raw mode: pad so each LOCAL shard is already a multiple of the
@@ -378,6 +399,71 @@ class ShardedSupportBank:
             mesh=mesh,
             n_classes=n_classes,
             kernel=kernel,
+            # Raw layout keeps input order (padding at the end).
+            rowmap=np.arange(S, dtype=np.int64),
+        )
+
+    @property
+    def capacity(self) -> int:
+        """Total array rows (live + tombstoned + padding)."""
+        if self.prepared is not None:
+            return (
+                self.prepared.lane.shape[0]
+                * self.prepared.lane.shape[1] * 128
+            )
+        return int(self.mask.shape[0])
+
+    def remove_rows(self, live_idx) -> "ShardedSupportBank":
+        """Tombstone live rows: O(removed) device work, shapes unchanged —
+        the sharded predict needs no recompile, only a re-close over the
+        new arrays (``predict_fn``). ``live_idx`` indexes the bank's LIVE
+        row order (the order ``build`` received). Raw mode scatters the
+        validity mask; prepared mode reuses ``mask_prepared_rows`` on the
+        shard-concatenated arrays (label sentinel + l2 self-norm
+        sentinel). Tombstoned rows still stream through the per-shard
+        serving kernels — callers should compact (rebuild) past a dead
+        fraction (``NWNet.remove_support`` does at 25%). Returns a new
+        bank sharing every untouched array."""
+        if self.rowmap is None:
+            raise ValueError(
+                "this bank carries no row map (not built via build())"
+            )
+        live_idx = np.unique(np.asarray(live_idx, dtype=np.int64))
+        if live_idx.size == 0:
+            return self
+        if live_idx.min() < 0 or live_idx.max() >= len(self.rowmap):
+            raise IndexError(
+                f"row index out of range for bank of {len(self.rowmap)}"
+            )
+        pos = self.rowmap[live_idx]
+        keep = np.ones(len(self.rowmap), dtype=bool)
+        keep[live_idx] = False
+        shard = NamedSharding(self.mesh, P("support"))
+        if self.prepared is not None:
+            from nwhead_tpu.ops.pallas_nw import mask_prepared_rows
+
+            masked = mask_prepared_rows(self.prepared, pos)
+            # The scatter's output sharding is XLA's choice — re-pin the
+            # touched fields to the support axis (untouched fields keep
+            # their placement).
+            prepared = masked._replace(
+                lane=jax.device_put(masked.lane, shard),
+                sub=jax.device_put(masked.sub, shard),
+                s2c=(
+                    None if masked.s2c is None
+                    else jax.device_put(masked.s2c, shard)
+                ),
+            )
+            return dataclasses.replace(
+                self, prepared=prepared, rowmap=self.rowmap[keep],
+                dead=self.dead + int(live_idx.size),
+            )
+        mask = jax.device_put(
+            self.mask.at[jnp.asarray(pos)].set(0.0), shard
+        )
+        return dataclasses.replace(
+            self, mask=mask, rowmap=self.rowmap[keep],
+            dead=self.dead + int(live_idx.size),
         )
 
     def mapped_prepared(self, kernel_params: Optional[Dict[str, Any]] = None):
