@@ -718,6 +718,7 @@ def _nw_prepared_kernel(
     s2_input: bool, quant: bool = False, partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
     agg_bf16: bool = False, meta_stream: bool = False,
+    oh_lane: bool = False,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -731,7 +732,9 @@ def _nw_prepared_kernel(
         qscale_ref = refs[i]; i += 1  # (TB, 128) f32 per-query scales
         sscale_ref = refs[i]; i += 1  # (n_tiles, 1, TS) f32 row scales
     lane_ref = refs[i]; i += 1    # (n_tiles, 1, TS) labels (flat)
-    sub_ref = refs[i]; i += 1     # (n_tiles, 128, nchunk)
+    sub_ref = None
+    if not oh_lane:
+        sub_ref = refs[i]; i += 1  # (n_tiles, 128, nchunk)
     win_ref = None
     if win_w:
         win_ref = refs[i]; i += 1  # SMEM (n_tiles, win_w/128) int32 blocks
@@ -759,7 +762,8 @@ def _nw_prepared_kernel(
         if quant:
             ssbuf = refs[i]; i += 1   # (2, 1, TS) VMEM
         lanebuf = refs[i]; i += 1     # (2, 1, TS) VMEM
-        subbuf = refs[i]; i += 1      # (2, 128, nchunk_pad128) VMEM
+        if not oh_lane:
+            subbuf = refs[i]; i += 1  # (2, 128, nchunk_pad128) VMEM
         if win_w:
             winbuf = refs[i]; i += 1  # (2, 1, win_cols) SMEM
         msem = refs[i]; i += 1        # DMA semaphores (2, 5)
@@ -816,9 +820,16 @@ def _nw_prepared_kernel(
     # window W instead of the full c_pad (rows are class-sorted at
     # prepare time; each tile's labels fit [w, w + W)).
     cw = win_w if win_w else c_pad
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, cw), 1).astype(
-        jnp.float32
-    )
+    if oh_lane:
+        # Class ids in the SUBLANE dim: the one-hot is built transposed
+        # (cw, block_s) from the lane-major labels.
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0).astype(
+            jnp.float32
+        )
+    else:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (128, cw), 1).astype(
+            jnp.float32
+        )
 
     def body(j, _):
         slot = j % 2
@@ -927,22 +938,43 @@ def _nw_prepared_kernel(
         # dominant MXU term and bf16 runs it in fewer passes; at block_b=64
         # the cast overhead loses (measured — see CLAUDE.md bf16-agg note).
         oh_dtype = jnp.bfloat16 if agg_bf16 else jnp.float32
-        for t in range(nchunk):
-            col = (
-                subbuf[slot, :, t:t + 1] if meta_stream
-                else sub_ref[pl.ds(j, 1), :, t:t + 1]
-            ).reshape(128, 1)
+        if oh_lane:
+            # Transposed one-hot straight from the LANE-major labels: one
+            # (cw, 1) sublane-iota compare against the (1, TS) label row
+            # builds the whole (cw, TS) one-hot — no sublane-major label
+            # copy (the sub array and its stream disappear), no per-chunk
+            # strided writes. The aggregation contracts BOTH lane dims
+            # (p (TB, TS) x ohT (cw, TS) -> (TB, cw)); Mosaic lowers the
+            # rhs-transposed matmul natively (probed bit-exact vs the
+            # (TS, cw) orientation on v5e).
+            lrow = (
+                lanebuf[slot] if meta_stream else lane_ref[pl.ds(j, 1)]
+            ).reshape(1, block_s)
             if win_w:
-                col = col - wbase  # labels exact in f32; -1 stays invalid
-            oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
-                oh_dtype
+                lrow = lrow - wbase  # labels exact in f32; -1 stays invalid
+            oh_ref[:] = (col_ids == lrow).astype(oh_dtype)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16) if agg_bf16 else p, oh_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+        else:
+            for t in range(nchunk):
+                col = (
+                    subbuf[slot, :, t:t + 1] if meta_stream
+                    else sub_ref[pl.ds(j, 1), :, t:t + 1]
+                ).reshape(128, 1)
+                if win_w:
+                    col = col - wbase  # labels exact in f32; -1 invalid
+                oh_ref[t * 128:(t + 1) * 128, :] = (col == col_ids).astype(
+                    oh_dtype
+                )
 
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16) if agg_bf16 else p, oh_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16) if agg_bf16 else p, oh_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if win_w:
             acc_ref[:] = acc_ref[:] * alpha
             # block-idx * 128: Mosaic statically proves lane alignment.
@@ -968,7 +1000,8 @@ def _nw_prepared_kernel(
 
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
-                   fold2=True, agg_precision="f32", meta_stream=None):
+                   fold2=True, agg_precision="f32", meta_stream=None,
+                   oh_impl="sub"):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -1006,18 +1039,26 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
 
     s2_input = s2c is not None
 
+    win = prepared.win
+    win_w = win.shape[1] * 128 if win is not None else 0
+    oh_lane = oh_impl == "lane"
     if meta_stream is None:
         # Resident VMEM cost of the whole-array metadata layout: one flat
-        # f32 row per present array, plus the sublane-major label copy
-        # whose nchunk lane dim pads to 128 (16x at block_s=1024). Past
-        # the threshold, stream metadata tiles through the double buffer
-        # instead — mandatory for multi-million-row banks (an 8M-row sub
-        # alone would want 512 MB of VMEM).
+        # f32 row per present array, plus (oh_impl='sub') the sublane-major
+        # label copy whose nchunk lane dim pads to 128 in VMEM (16x at
+        # block_s=1024 — confirmed by the 4M compile error's input-window
+        # allocation). Past the threshold, stream metadata tiles through
+        # the double buffer instead — mandatory for multi-million-row
+        # banks. The class-window array independently forces streaming
+        # past ~2048 tiles: whole-array SMEM residency pads each (wcols,)
+        # s32 row to 512 B against the 1 MB SMEM budget.
         n_flat = 1 + int(s2_input) + int(quant)
-        resident = n_tiles * (
-            n_flat * block_s * 4 + 128 * _round_up(nchunk, 128) * 4
+        resident = n_tiles * n_flat * block_s * 4
+        if not oh_lane:
+            resident += n_tiles * 128 * _round_up(nchunk, 128) * 4
+        meta_stream = resident > _META_STREAM_BYTES or (
+            win_w > 0 and n_tiles > 1800
         )
-        meta_stream = resident > _META_STREAM_BYTES
 
     # Per-row metadata rides in the flat (n_tiles, 1, block_s) layout so
     # the kernel loads each tile's row with ONE leading-dim slice (the
@@ -1042,24 +1083,24 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             meta_spec,
         ]
         inputs += [qscale_b, prepared.sscale.reshape(flat)]
-    if meta_stream:
-        # DMA slices must be 128-aligned along the lane dim — pad the
-        # sublane-major label copy's nchunk lanes up to a tile (the
-        # resident layout pays the same padding implicitly in VMEM; here
-        # it becomes real HBM bytes: 64 KB/tile at block_s=1024, small
-        # next to the bank rows).
-        sub = jnp.pad(
-            sub, ((0, 0), (0, 0), (0, _round_up(nchunk, 128) - nchunk)),
-            constant_values=-1.0,
+    in_specs.append(meta_spec)
+    inputs.append(lane.reshape(flat))
+    if not oh_lane:
+        if meta_stream:
+            # DMA slices must be 128-aligned along the lane dim — pad the
+            # sublane-major label copy's nchunk lanes up to a tile (the
+            # resident layout pays the same padding implicitly in VMEM;
+            # here it becomes real HBM bytes: 64 KB/tile at block_s=1024,
+            # small next to the bank rows).
+            sub = jnp.pad(
+                sub, ((0, 0), (0, 0), (0, _round_up(nchunk, 128) - nchunk)),
+                constant_values=-1.0,
+            )
+        in_specs.append(
+            pl.BlockSpec(memory_space=pl.ANY) if meta_stream
+            else pl.BlockSpec(sub.shape, lambda i: (0, 0, 0))
         )
-    in_specs += [
-        meta_spec,
-        pl.BlockSpec(memory_space=pl.ANY) if meta_stream
-        else pl.BlockSpec(sub.shape, lambda i: (0, 0, 0)),
-    ]
-    inputs += [lane.reshape(flat), sub]
-    win = prepared.win
-    win_w = win.shape[1] * 128 if win is not None else 0
+        inputs.append(sub)
     if win_w:
         if meta_stream:
             # Whole-array SMEM residency pads each (wcols,) s32 row to
@@ -1092,8 +1133,13 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         pltpu.VMEM((block_b, 128), jnp.float32),
         pltpu.VMEM((block_b, 128), jnp.float32),
         pltpu.VMEM((block_b, c_pad), jnp.float32),
-        pltpu.VMEM((block_s, win_w if win_w else c_pad),
-                   jnp.bfloat16 if agg_bf16 else jnp.float32),
+        pltpu.VMEM(
+            # oh_impl='lane' builds the one-hot transposed (classes in
+            # sublanes) straight from the lane-major labels.
+            (win_w if win_w else c_pad, block_s) if oh_lane
+            else (block_s, win_w if win_w else c_pad),
+            jnp.bfloat16 if agg_bf16 else jnp.float32,
+        ),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if meta_stream:
@@ -1101,10 +1147,11 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
         if quant:
             scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
-        scratch_shapes += [
-            pltpu.VMEM((2, 1, block_s), jnp.float32),
-            pltpu.VMEM((2, 128, _round_up(nchunk, 128)), jnp.float32),
-        ]
+        scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
+        if not oh_lane:
+            scratch_shapes.append(
+                pltpu.VMEM((2, 128, _round_up(nchunk, 128)), jnp.float32)
+            )
         if win_w:
             scratch_shapes.append(pltpu.SMEM((2, 1, 128), jnp.int32))
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2, 5)))
@@ -1114,6 +1161,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
             fold2=fold2, agg_bf16=agg_bf16, meta_stream=meta_stream,
+            oh_lane=oh_lane,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -1146,6 +1194,7 @@ def nw_fused_from_prepared(
     _fold2: bool = True,
     agg_precision: str = "f32",
     meta_stream: Optional[bool] = None,
+    oh_impl: str = "sub",
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -1163,7 +1212,15 @@ def nw_fused_from_prepared(
     inputs (f32 accumulate): the one-hot stays exact, p picks up ~2^-9
     relative rounding. At whole-batch tiles (B >= 256) that matmul is the
     dominant MXU term, so this trades ~1e-3-level prob error for
-    throughput on reduced-precision banks."""
+    throughput on reduced-precision banks.
+
+    ``oh_impl='lane'`` builds the per-tile one-hot TRANSPOSED (classes in
+    sublanes) straight from the lane-major labels and contracts both lane
+    dims in the aggregation matmul — the sublane-major label copy (and,
+    when streaming, its 64 KB/tile DMA) disappears, and resident metadata
+    shrinks 6x so much larger banks keep the faster resident layout.
+    Values may differ from 'sub' in the last MXU ulp (different rhs
+    orientation)."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1179,6 +1236,7 @@ def nw_fused_from_prepared(
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
         partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
         agg_precision=agg_precision, meta_stream=meta_stream,
+        oh_impl=oh_impl,
     )
 
 
@@ -1547,6 +1605,7 @@ def nw_fused_log_probs(
     interpret: Optional[bool] = None,
     precision: Optional[str] = None,
     softmax_impl: str = "exp",
+    oh_impl: str = "sub",
 ) -> jnp.ndarray:
     """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
 
@@ -1583,12 +1642,17 @@ def nw_fused_log_probs(
             qfeat, sfeat, n_classes,
             kernel=kernel, kernel_params=kernel_params,
             block_b=block_b, interpret=interpret,
-            softmax_impl=softmax_impl,
+            softmax_impl=softmax_impl, oh_impl=oh_impl,
         )
     if softmax_impl != "exp":
         raise ValueError(
             "softmax_impl is a prepared-bank serving option; the raw-array "
             "(differentiable) path always uses the guarded exp"
+        )
+    if oh_impl != "sub":
+        raise ValueError(
+            "oh_impl is a prepared-bank serving option; the raw-array "
+            "path builds its one-hot from the compact label pair"
         )
     kernel_params = kernel_params or {}
     if support_mask is None:

@@ -527,11 +527,13 @@ def test_fused_randomized_property_sweep():
                 q, s, sy, C, kernel=kernel, kernel_params=kparams
             ))
             # The prepared serving path must agree on the same sample
-            # (clip's logit_scale rides at call time, not prepare time).
+            # (clip's logit_scale rides at call time, not prepare time);
+            # both one-hot orientations ride the sweep.
             prepared = prepare_support(s, sy, C, kernel=kernel)
+            oh_impl = str(sweep_rng.choice(["sub", "lane"]))
             got_prep = np.asarray(nw_fused_log_probs(
                 q, prepared, None, C, kernel=kernel,
-                kernel_params=kparams or None,
+                kernel_params=kparams or None, oh_impl=oh_impl,
             ))
             np.testing.assert_allclose(got_prep, want, rtol=2e-3, atol=2e-3,
                                        err_msg="prepared " + ctx)
@@ -605,6 +607,53 @@ def test_prepared_agg_precision_bf16():
             np.asarray(acc_b), np.asarray(acc_f), rtol=4e-3, atol=4e-3)
         np.testing.assert_allclose(
             np.asarray(l_b), np.asarray(l_f), rtol=4e-3)
+
+
+def test_prepared_oh_impl_lane():
+    """oh_impl='lane' builds the per-tile one-hot transposed (classes in
+    sublanes) straight from the lane-major labels — same data, same
+    arithmetic up to MXU contraction orientation. Probabilities must match
+    'sub' tightly at every precision, windowed (C > 128) and not, with
+    masked rows, under forced metadata streaming, and for the partials
+    variant the sharded path uses."""
+    from nwhead_tpu.ops.pallas_nw import (
+        nw_fused_from_prepared, prepare_support)
+
+    rng = np.random.default_rng(31)
+    B, S, D = 24, 700, 64
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    for C in (90, 300):  # un-windowed and windowed aggregation
+        sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+        mask = jnp.asarray((np.arange(S) < S - 37).astype(np.float32))
+        for prec in ("f32", "bf16", "int8"):
+            prep = prepare_support(
+                s, sy, C, precision=prec, support_mask=mask, block_s=256)
+            for stream in (False, True):
+                ref = np.asarray(nw_fused_from_prepared(
+                    q, prep, C, oh_impl="sub", meta_stream=stream))
+                got = np.asarray(nw_fused_from_prepared(
+                    q, prep, C, oh_impl="lane", meta_stream=stream))
+                perr = np.abs(np.exp(got) - np.exp(ref)).max()
+                assert perr < 1e-5, (C, prec, stream, perr)
+                assert (ref.argmax(1) == got.argmax(1)).all(), (
+                    C, prec, stream)
+
+        prep = prepare_support(s, sy, C, block_s=256)
+        m_s, l_s, acc_s = nw_fused_from_prepared(
+            q, prep, C, partials=True, oh_impl="sub")
+        m_l, l_l, acc_l = nw_fused_from_prepared(
+            q, prep, C, partials=True, oh_impl="lane")
+        np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_l))
+        np.testing.assert_allclose(
+            np.asarray(acc_l), np.asarray(acc_s), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(l_l), np.asarray(l_s), rtol=1e-5)
+
+    # Raw-array path: prepared-only option must be rejected loudly.
+    sy = jnp.asarray(rng.integers(0, 90, size=S).astype(np.int32))
+    with pytest.raises(ValueError, match="oh_impl"):
+        nw_fused_log_probs(q, s, sy, 90, oh_impl="lane")
 
 
 def test_windowed_prepared_aggregation():
