@@ -1001,7 +1001,7 @@ def _nw_prepared_kernel(
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
                    fold2=True, agg_precision="f32", meta_stream=None,
-                   oh_impl="sub"):
+                   oh_impl="lane"):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -1194,7 +1194,7 @@ def nw_fused_from_prepared(
     _fold2: bool = True,
     agg_precision: str = "f32",
     meta_stream: Optional[bool] = None,
-    oh_impl: str = "sub",
+    oh_impl: str = "lane",
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -1214,13 +1214,15 @@ def nw_fused_from_prepared(
     dominant MXU term, so this trades ~1e-3-level prob error for
     throughput on reduced-precision banks.
 
-    ``oh_impl='lane'`` builds the per-tile one-hot TRANSPOSED (classes in
-    sublanes) straight from the lane-major labels and contracts both lane
-    dims in the aggregation matmul — the sublane-major label copy (and,
-    when streaming, its 64 KB/tile DMA) disappears, and resident metadata
-    shrinks 6x so much larger banks keep the faster resident layout.
-    Values may differ from 'sub' in the last MXU ulp (different rhs
-    orientation)."""
+    ``oh_impl='lane'`` (default) builds the per-tile one-hot TRANSPOSED
+    (classes in sublanes) straight from the lane-major labels and contracts
+    both lane dims in the aggregation matmul — the sublane-major label copy
+    (and, when streaming, its 64 KB/tile DMA) disappears, and resident
+    metadata shrinks 6x so much larger banks keep the faster resident
+    layout. Measured on v5e: bit-identical to 'sub' (compiled parity probe,
+    scripts/ohlane_lab.py) and 2-8% faster at 1M-row scale (int8 B=64
+    +8.2%), flat at CUB scale. 'sub' keeps the nchunk-loop orientation for
+    re-measurement."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1605,7 +1607,7 @@ def nw_fused_log_probs(
     interpret: Optional[bool] = None,
     precision: Optional[str] = None,
     softmax_impl: str = "exp",
-    oh_impl: str = "sub",
+    oh_impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fused NW head: ``log(softmax(kernel(q, s)) @ onehot(sy) + 1e-12)``.
 
@@ -1638,18 +1640,19 @@ def nw_fused_log_probs(
                 f"precision={precision!r} but the prepared bank is "
                 f"{bank_precision} — pass precision= to prepare_support instead"
             )
+        kwargs = {} if oh_impl is None else {"oh_impl": oh_impl}
         return nw_fused_from_prepared(
             qfeat, sfeat, n_classes,
             kernel=kernel, kernel_params=kernel_params,
             block_b=block_b, interpret=interpret,
-            softmax_impl=softmax_impl, oh_impl=oh_impl,
+            softmax_impl=softmax_impl, **kwargs,
         )
     if softmax_impl != "exp":
         raise ValueError(
             "softmax_impl is a prepared-bank serving option; the raw-array "
             "(differentiable) path always uses the guarded exp"
         )
-    if oh_impl != "sub":
+    if oh_impl is not None:
         raise ValueError(
             "oh_impl is a prepared-bank serving option; the raw-array "
             "path builds its one-hot from the compact label pair"

@@ -1,8 +1,9 @@
 #!/bin/bash
 # Pending on-chip measurements, run sequentially (the axon tunnel is
 # single-client). Fire once when the tunnel is back; outputs land in
-# /tmp/chip_queue/. Successor to round3_chip_runs.sh (whose runs all
-# completed — see BASELINE.md); this queue holds the late-round-3 items.
+# /tmp/chip_queue/. The previous queue's items (bigbank, digits on-chip
+# training, jpeg serve, bench) all completed — see BASELINE.md; this
+# queue holds the oh_impl='lane' decision runs.
 set -u
 OUT=/tmp/chip_queue
 mkdir -p $OUT
@@ -24,24 +25,18 @@ run() {
   name=$1; shift
   echo "== $name =="
   timeout 3000 "$@" > $OUT/$name.log 2>&1
-  tail -8 $OUT/$name.log
+  tail -12 $OUT/$name.log
 }
 
-# 1. Million-item single-chip support bank (validation + roofline timing).
-run bigbank python scripts/bigbank_lab.py
+# 1. oh_impl='lane' vs 'sub' A/B: compiled parity + timing, CUB scale.
+run ohlane_cub python scripts/ohlane_lab.py --scale cub
 
-# 2. First on-chip END-TO-END TRAINING run: the digits protocol (identical
-#    recipe as the recorded CPU run) on the TPU stack only, plus the int8
-#    and bf16 serving-bank evals on the trained weights.
-run digits_tpu python scripts/parity_run.py --dataset digits --arch resnet10 \
-  --epochs 8 --steps_per_epoch 40 --milestones 5 7 --n_way 8 \
-  --modes random full cluster knn hnsw --stacks tpu \
-  --int8_eval --bf16_eval --fc_baseline --out $OUT/digits_tpu.json
+# 2. Same at the 1M-row bank scale (the resident-vs-streamed region the
+#    lane layout is built for).
+run ohlane_big python scripts/ohlane_lab.py --scale big
 
-# 3. JPEG-bytes serving now decoding REAL photographs.
-run jpeg_serve python serve.py --dataset synthetic --arch resnet18 \
-  --featurizer_precision int8 --head_precision int8 --jpeg_bench \
-  --bench_batches 10 --batch_size 64
+# 3. Library fused-kernel numerics + grads + timing (pallas_nw touched).
+run libkernel python scripts/libkernel_check.py
 
 # 4. Fresh official bench line (skip bench's own outage probe — the
 #    probe above just initialized the tunnel successfully).
