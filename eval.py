@@ -52,7 +52,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--head_precision", type=str, default="f32",
-                   choices=["f32", "bf16", "int8"],
+                   choices=["f32", "bf16", "int8", "int4"],
                    help="serving-bank precision for the fused full-mode path")
     p.add_argument("--featurizer_precision", type=str, default="f32",
                    choices=["f32", "int8", "bf16_fused"],

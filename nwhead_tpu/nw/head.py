@@ -27,9 +27,11 @@ class NWHead(nn.Module):
     fused_min_support: int = 1024
     # 'f32' (exact), 'bf16' (cast features before the distance computation —
     # half the bank traffic, single-pass MXU dots; training-quality parity
-    # validated in tests/test_bf16_training.py), or 'int8' (per-row
+    # validated in tests/test_bf16_training.py), 'int8' or 'int4' (per-row
     # quantized SERVING banks only: applies to the prepared full-mode path
-    # built by NWNet.precompute; episodic training stays f32).
+    # built by NWNet.precompute; episodic training stays f32. int4 packs
+    # two codes per byte — 8x less bank DMA than f32, 2x the rows per chip
+    # vs int8).
     precision: str = "f32"
 
     def setup(self):

@@ -145,9 +145,21 @@ class PreparedSupport(NamedTuple):
     ``precision='int8'`` quantizes the bank symmetrically per row
     (s ≈ s_int8 * sscale_row): 4x less bank traffic than f32; the kernel
     runs the distance dot on the int8 MXU path and dequantizes scores with
-    the per-row scales (``sscale``, stored lane-major compact like s2c)."""
+    the per-row scales (``sscale``, stored lane-major compact like s2c).
 
-    s: jnp.ndarray  # (S_pad, D_pad) f32/bf16/int8, normalized per kernel
+    ``precision='int4'`` halves that again: two 4-bit codes per byte
+    (feature pairs ``(j, j + D_pad/2)`` share a byte so the in-kernel
+    unpack is two static lane-half writes), stored as **uint8** — the
+    dtype is the int4 marker. 8x less bank DMA than f32 and 2x the rows
+    per chip vs int8; the kernel unpacks each streamed tile to int8 on
+    the VPU and runs the same int8 MXU dot/dequant chain. Accuracy note:
+    int4 suits the normalized-geometry kernels (euclidean/cosine/clip —
+    bounded per-element error); raw ``dotproduct`` amplifies 4-bit
+    feature noise through unbounded score magnitudes — prefer int8
+    there (tests/test_pallas_nw.py TestInt4Bank)."""
+
+    s: jnp.ndarray  # (S_pad, D_pad) f32/bf16/int8, or (S_pad, D_pad/2)
+    #                 uint8 nibble-packed int4; normalized per kernel
     s2c: Optional[jnp.ndarray]  # (n_tiles, nchunk, 128) f32, l2 modes only
     lane: jnp.ndarray  # (n_tiles, nchunk, 128) f32 labels, -1 = invalid
     sub: jnp.ndarray  # (n_tiles, 128, nchunk) f32
@@ -191,6 +203,8 @@ def prepare_support(
     tombstone rows later (``mask_prepared_rows``) need input-row ->
     prepared-row positions.
     """
+    if precision not in ("f32", "bf16", "int8", "int4"):
+        raise ValueError(f"unknown precision {precision!r}")
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
     sy_np = mask_np = order = None
@@ -229,7 +243,9 @@ def prepare_support(
     # valid (it would make _pack_labels' chunk count zero); round it up.
     block_s = min(_round_up(block_s, 128), _round_up(S, 128))
     s_pad = _round_up(S, block_s)
-    d_pad = _round_up(D, 128)
+    # int4 packs feature pairs (j, j + d_pad/2) into one byte, so each
+    # unpacked half must stay 128-lane aligned: pad D to 256 there.
+    d_pad = _round_up(D, 256 if precision == "int4" else 128)
     s_p = jnp.pad(sn, ((0, s_pad - S), (0, d_pad - D)))
     nchunk = block_s // 128
 
@@ -245,19 +261,37 @@ def prepare_support(
     s_p = jnp.where(mrow[:, None] > 0, s_p, jnp.zeros((), s_p.dtype))
 
     sscale = None
-    if precision == "int8":
-        # Symmetric per-row quantization; the bank is stored int8, scores
-        # dequantize inside the kernel: s_row ≈ s_q * sscale_row.
+    s_q = None  # integer code values (quant precisions), pre-packing
+    if precision in ("int8", "int4"):
+        # Symmetric per-row quantization; the bank is stored int8 (or two
+        # int4 nibbles per byte), scores dequantize inside the kernel:
+        # s_row ≈ s_q * sscale_row.
+        qmax = 127.0 if precision == "int8" else 7.0
         sf = s_p.astype(jnp.float32)
         amax = jnp.max(jnp.abs(sf), axis=1)  # (s_pad,)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        s_p = jnp.clip(jnp.round(sf / scale[:, None]), -127, 127).astype(jnp.int8)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        s_q = jnp.clip(jnp.round(sf / scale[:, None]), -qmax, qmax)
+        if precision == "int8":
+            s_p = s_q.astype(jnp.int8)
+        else:
+            # Nibble packing: byte[i, j] = (code[i, j + half] << 4) |
+            # (code[i, j] & 15) — feature PAIRS (j, j + d_pad/2), so the
+            # in-kernel unpack is two static lane-half writes (no
+            # interleave, which Mosaic relayouts would make expensive).
+            # The dot is permutation-invariant in the feature dim, and the
+            # query is padded/quantized to the same d_pad order. Stored as
+            # uint8 — the dtype IS the int4 marker (int8 = plain int8
+            # banks); the serving path bitcasts to int8 before the kernel.
+            vi = s_q.astype(jnp.int32)
+            half = d_pad // 2
+            packed = (vi[:, :half] & 15) | ((vi[:, half:] & 15) << 4)
+            s_p = packed.astype(jnp.uint8)
         sscale = scale.reshape(s_pad // block_s, nchunk, 128)
 
     s2c = None
     if mode == "l2":
-        if precision == "int8":  # self-norms of the DEQUANTIZED bank
-            s_deq = s_p.astype(jnp.float32) * sscale.reshape(-1)[:, None]
+        if s_q is not None:  # self-norms of the DEQUANTIZED bank
+            s_deq = s_q * scale[:, None]
             s2 = jnp.sum(s_deq * s_deq, axis=1)
         else:
             s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
@@ -715,7 +749,8 @@ def _nw_prepared_kernel(
     scale_ref,   # SMEM (1,1)
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
-    s2_input: bool, quant: bool = False, partials: bool = False,
+    s2_input: bool, quant: bool = False, quant4: bool = False,
+    partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
     agg_bf16: bool = False, meta_stream: bool = False,
     oh_lane: bool = False,
@@ -749,6 +784,9 @@ def _nw_prepared_kernel(
     acc_ref = refs[i]; i += 1
     oh_ref = refs[i]; i += 1      # (TS, C_pad) scratch
     sem = refs[i]; i += 1         # DMA semaphores (2,)
+    ubuf = None
+    if quant4:
+        ubuf = refs[i]; i += 1    # (TS, D) int8 — nibble-unpacked tile
     s2buf = ssbuf = lanebuf = subbuf = winbuf = msem = None
     if meta_stream:
         # Metadata double buffers (+ their DMA semaphore lanes): the flat
@@ -844,6 +882,21 @@ def _nw_prepared_kernel(
         for cp in meta_dmas(slot, j):
             cp.wait()
         s = sbuf[slot]
+        if quant4:
+            # Nibble-unpack the packed (TS, D/2) byte tile into the
+            # (TS, D) int8 scratch: the hi nibble is the byte's top 4 bits
+            # (sign-extended int8 >> 4 IS the signed code), the lo nibble
+            # needs the 16-offset fixup. Feature pairs were packed as
+            # (j, j + D/2), so the two halves land in static lane windows
+            # — no interleave/relayout on the VPU.
+            half = s.shape[-1]
+            xi = s.astype(jnp.int32)
+            lo_u = jnp.bitwise_and(xi, 15)
+            ubuf[:, :half] = (
+                lo_u - jnp.where(lo_u > 7, 16, 0)
+            ).astype(jnp.int8)
+            ubuf[:, half:] = (xi >> 4).astype(jnp.int8)
+            s = ubuf[:]
 
         if quant:
             # int8 x int8 MXU dot, dequantized by the per-row scales:
@@ -1005,6 +1058,12 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
+    quant4 = s_p.dtype == jnp.uint8  # nibble-packed int4 bank
+    if quant4:
+        D = 2 * D  # logical feature width; the bank stores D/2 bytes/row
+        # Mosaic-side safety: the kernel only ever sees int8 (bitcast is
+        # free — same width), sign-extends to int32 and nibble-splits.
+        s_p = jax.lax.bitcast_convert_type(s_p, jnp.int8)
     n_tiles = lane.shape[0]
     nchunk = lane.shape[1]
     block_s = nchunk * 128
@@ -1129,7 +1188,9 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
 
     agg_bf16 = agg_precision == "bf16"
     scratch_shapes = [
-        pltpu.VMEM((2, block_s, D), s_p.dtype),
+        # int4 banks stream PACKED (block_s, D/2) byte tiles; the kernel
+        # unpacks into the dedicated (block_s, D) int8 scratch below.
+        pltpu.VMEM((2, block_s, D // 2 if quant4 else D), s_p.dtype),
         pltpu.VMEM((block_b, 128), jnp.float32),
         pltpu.VMEM((block_b, 128), jnp.float32),
         pltpu.VMEM((block_b, c_pad), jnp.float32),
@@ -1142,6 +1203,8 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         ),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if quant4:
+        scratch_shapes.append(pltpu.VMEM((block_s, D), jnp.int8))
     if meta_stream:
         if s2_input:
             scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
@@ -1159,6 +1222,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
+            quant4=quant4,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
             fold2=fold2, agg_bf16=agg_bf16, meta_stream=meta_stream,
             oh_lane=oh_lane,
@@ -1634,6 +1698,7 @@ def nw_fused_log_probs(
             jnp.dtype(jnp.float32): "f32",
             jnp.dtype(jnp.bfloat16): "bf16",
             jnp.dtype(jnp.int8): "int8",
+            jnp.dtype(jnp.uint8): "int4",  # nibble-packed marker dtype
         }[jnp.dtype(sfeat.s.dtype)]
         if precision is not None and precision != bank_precision:
             raise ValueError(

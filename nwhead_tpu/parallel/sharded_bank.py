@@ -268,7 +268,7 @@ class ShardedSupportBank:
         concatenated along the shard axis): each device streams its local
         bank through the hand-rolled double-buffered DMA serving kernel and
         emits online-softmax partials — per-call HBM traffic is exactly the
-        local bank bytes, at f32/bf16/int8 bank precision. Raw arrays are
+        local bank bytes, at f32/bf16/int8/int4 bank precision. Raw arrays are
         dropped in this mode (the prepared bank IS the bank; keeping both
         would halve pod HBM capacity).
     """

@@ -95,9 +95,9 @@ class Parser(argparse.ArgumentParser):
         self.add_argument("--n_way", type=int, default=None)
         self.add_argument("--train_type", type=str, default="random", choices=["random", "irm"])
         # Serving-bank precision for fused full-mode predict (f32 exact;
-        # bf16/int8 cut bank traffic 2x/4x — training math stays f32).
+        # bf16/int8/int4 cut bank traffic 2x/4x/8x — training math stays f32).
         self.add_argument("--head_precision", type=str, default="f32",
-                          choices=["f32", "bf16", "int8"])
+                          choices=["f32", "bf16", "int8", "int4"])
 
         # Weights & Biases
         self.add_bool_arg("use_wandb", False)

@@ -619,7 +619,7 @@ def main(argv=None):
     p.add_argument("--n_shot_full", type=int, default=100)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--head_precision", default="f32",
-                   choices=["f32", "bf16", "int8"])
+                   choices=["f32", "bf16", "int8", "int4"])
     p.add_argument("--featurizer_precision", default="f32",
                    choices=["f32", "int8", "bf16_fused"])
     p.add_argument("--calib_images", type=int, default=256)

@@ -420,10 +420,13 @@ def test_process_support_eval_invalidates_bank_state():
         net.support_eval.get_support("full")
 
 
-def test_int8_serving_through_nwnet():
-    """head_precision='int8' flows into the prepared serving bank: predict
-    full-mode runs on the quantized bank and stays argmax-consistent with
-    the f32 head on separable data (episodic training stays f32)."""
+@pytest.mark.parametrize("precision,bank_dtype", [
+    ("int8", jnp.int8), ("int4", jnp.uint8),
+])
+def test_quantized_serving_through_nwnet(precision, bank_dtype):
+    """head_precision='int8'/'int4' flows into the prepared serving bank:
+    predict full-mode runs on the quantized bank and stays argmax-consistent
+    with the f32 head on separable data (episodic training stays f32)."""
     train_ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=11)
 
     def build(precision):
@@ -436,15 +439,15 @@ def test_int8_serving_through_nwnet():
         net.precompute(v)
         return net, v
 
-    net8, v8 = build("int8")
-    assert net8._prepared_full.s.dtype == jnp.int8
+    netq, vq = build(precision)
+    assert netq._prepared_full.s.dtype == bank_dtype
     net32, v32 = build("f32")
 
     x = jnp.asarray(train_ds.gather(np.arange(8)))
-    out8 = np.asarray(net8.predict(v8, x, "full"))
+    outq = np.asarray(netq.predict(vq, x, "full"))
     out32 = np.asarray(net32.predict(v32, x, "full"))
-    np.testing.assert_array_equal(out8.argmax(-1), out32.argmax(-1))
-    assert np.max(np.abs(np.exp(out8) - np.exp(out32))) < 0.08
+    np.testing.assert_array_equal(outq.argmax(-1), out32.argmax(-1))
+    assert np.max(np.abs(np.exp(outq) - np.exp(out32))) < 0.08
 
 
 def test_checkpoint_partial_target_restore(tmp_path, nw_setup):

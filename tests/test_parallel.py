@@ -145,11 +145,12 @@ def test_sharded_prepared_bank_precisions(rng):
     sy = rng.integers(0, C, size=S).astype(np.int32)
 
     want_f32 = np.asarray(nw_log_probs(jnp.asarray(q), jnp.asarray(s), jnp.asarray(sy), C))
-    for precision, tol in [("bf16", 0.1), ("int8", 0.1)]:
+    for precision, tol in [("bf16", 0.1), ("int8", 0.1), ("int4", 0.25)]:
         bank = ShardedSupportBank.build(s, sy, mesh, C, precision=precision,
                                         use_prepared=True)
         assert jnp.dtype(bank.prepared.s.dtype) == jnp.dtype(
-            {"bf16": jnp.bfloat16, "int8": jnp.int8}[precision])
+            {"bf16": jnp.bfloat16, "int8": jnp.int8,
+             "int4": jnp.uint8}[precision])
         got = np.asarray(bank.predict_fn()(jnp.asarray(q)))
         # Coarse agreement with f32 (quantization), exact probability mass.
         np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
