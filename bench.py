@@ -197,6 +197,7 @@ def _bigbank_fields(on_tpu):
         )(sy)
         prep_f32 = prepare_support(sfeat, sy, C)
         prep_i8 = prepare_support(sfeat, sy, C, precision="int8")
+        prep_i4 = prepare_support(sfeat, sy, C, precision="int4")
         # Host slice for the optional HNSW comparison leg (taken before the
         # raw bank is dropped; ~32 MB device->host readback).
         hnsw_slice = 16384
@@ -219,6 +220,12 @@ def _bigbank_fields(on_tpu):
             ("big_int8_b256",
              lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
              (q256, prep_i8)),
+            ("big_int4_b64",
+             lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+             (q64, prep_i4)),
+            ("big_int4_b256",
+             lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+             (q256, prep_i4)),
         ]
         t, _ = _measure(cases, 8, 40, cycles=7)
         fields = {
@@ -227,6 +234,8 @@ def _bigbank_fields(on_tpu):
             "bigbank_f32_ms_b64": round(t["big_f32_b64"] * 1e3, 2),
             "bigbank_int8_qps_b64": round(64 / t["big_int8_b64"], 1),
             "bigbank_int8_qps_b256": round(256 / t["big_int8_b256"], 1),
+            "bigbank_int4_qps_b64": round(64 / t["big_int4_b64"], 1),
+            "bigbank_int4_qps_b256": round(256 / t["big_int4_b256"], 1),
         }
         if bank_np is not None:
             # The reference's big-bank strategy, measured in the official

@@ -156,7 +156,7 @@ def _hnsw_leg(bank_np, sy_np, q_np, k):
     return qps, recall
 
 
-def _giant_leg(S, D, C, B, on_tpu, tiny=False):
+def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8"):
     """Beyond-f32-memory banks: chunked int8 prepare + concat_prepared.
 
     The standard scale leg materializes the f32 bank (4·S·D bytes) before
@@ -193,14 +193,15 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False):
         n = min(chunk, S - i)
         feats, sy = gen(jax.random.fold_in(key, i), n)
         parts.append(
-            prepare_support(feats, sy, C, precision="int8", block_s=1024)
+            prepare_support(feats, sy, C, precision=precision, block_s=1024)
         )
         del feats, sy
     prep = concat_prepared(parts, C)
     del parts
     jax.block_until_ready(prep.s)
     win_w = 0 if prep.win is None else prep.win.shape[1] * 128
-    print(f"[giant] int8 bank S={S} D={D} C={C}: {S * D / 1e9:.2f} GB "
+    gbytes = S * D * (0.5 if precision == "int4" else 1) / 1e9
+    print(f"[giant] {precision} bank S={S} D={D} C={C}: {gbytes:.2f} GB "
           f"resident ({len(range(0, S, chunk))} chunks, window W={win_w})",
           flush=True)
 
@@ -226,8 +227,8 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False):
     q256 = jnp.asarray(rng.standard_normal((256, D)).astype(np.float32))
     cases = [
         ("stream 25.2MB", stream, (s_big,)),
-        ("giant B=64 int8", head_fn, (q[:64], prep)),
-        ("giant B=256 int8", head_fn, (q256, prep)),
+        (f"giant B=64 {precision}", head_fn, (q[:64], prep)),
+        (f"giant B=256 {precision}", head_fn, (q256, prep)),
     ]
     res = interleaved_time(cases, cycles=7, target_s=0.5)
     t_stream = res.pop("stream 25.2MB")
@@ -236,7 +237,8 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False):
     for name, t in res.items():
         nq = 256 if "B=256" in name else 64
         blk = _default_block_b(nq, C, prep.lane.shape[1] * 128)
-        byt = S * D * (-(-nq // blk))
+        byt = int(S * D * (0.5 if precision == "int4" else 1)) * (
+            -(-nq // blk))
         print(f"{name}: {t * 1e3:8.3f} ms/batch  {nq / t:9.0f} q/s "
               f"frac_vs_stream={(byt / (bw * 1e9)) / t:5.3f} "
               f"frac_vs_819={byt / 819e9 / t:5.3f}", flush=True)
@@ -261,6 +263,10 @@ def main(argv=None):
                    help="HNSW leg bank size (single-core build is ~250 "
                         "rows/s at D=512 — 1e6 rows would take ~1 h)")
     p.add_argument("--hnsw_k", type=int, default=10)
+    p.add_argument("--giant_precision", default="int8",
+                   choices=["int8", "int4"],
+                   help="giant-leg bank precision: int4 fits 2x the rows "
+                        "in the same HBM (16M x 512 = 4.1 GB)")
     p.add_argument("--giant", type=int, default=0,
                    help="rows for the chunked-build int8 giant-bank leg "
                         "(e.g. 8000000): the f32 bank never materializes — "
@@ -288,7 +294,8 @@ def main(argv=None):
     rng = np.random.default_rng(1)
 
     if args.giant:
-        _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny)
+        _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny,
+                   precision=args.giant_precision)
         return
 
     # ---- validation leg: prepared heads vs the exact streaming oracle ----
@@ -317,7 +324,7 @@ def main(argv=None):
     # 1.000 top-1 agreement). f32's gate absorbs MXU DEFAULT-precision
     # rounding (~3e-4 relative on scores; interpret-mode CPU runs read
     # ~1e-6); the lossy gates absorb expected bank-rounding shifts.
-    tols = {"f32": 2e-2, "bf16": 5e-2, "int8": 1e-1}
+    tols = {"f32": 2e-2, "bf16": 5e-2, "int8": 1e-1, "int4": 2e-1}
     for prec, tol in tols.items():
         prep = prepare_support(bank_v, sy_v, C, precision=prec)
         out = np.asarray(nw_fused_log_probs(q, prep, None, C))
@@ -337,7 +344,7 @@ def main(argv=None):
     gb = S * D * 4 / 1e9
     print(f"bank: S={S} D={D} C={C}  raw f32 {gb:.2f} GB", flush=True)
     preps = {prec: prepare_support(bank, sy, C, precision=prec)
-             for prec in ("f32", "bf16", "int8")}
+             for prec in ("f32", "bf16", "int8", "int4")}
     bank_np = sy_np = None
     if args.hnsw:
         Sh = min(args.hnsw_s, S)
@@ -353,7 +360,7 @@ def main(argv=None):
     )
 
     out32 = np.asarray(nw_fused_log_probs(q, preps["f32"], None, C))
-    for prec in ("bf16", "int8"):
+    for prec in ("bf16", "int8", "int4"):
         out = np.asarray(nw_fused_log_probs(q, preps[prec], None, C))
         agree = float((out.argmax(1) == out32.argmax(1)).mean())
         print(f"  at-scale f32-vs-{prec}: top1 agreement {agree:.3f}",
@@ -385,6 +392,7 @@ def main(argv=None):
     for prec, prep in preps.items():
         cases.append((f"head B=64 {prec}", head_fn, (q, prep)))
     cases.append(("head B=256 int8", head_fn, (q256, preps["int8"])))
+    cases.append(("head B=256 int4", head_fn, (q256, preps["int4"])))
 
     res = interleaved_time(cases, cycles=7, target_s=0.3)
     t_stream = res.pop("stream 25.2MB")
@@ -392,7 +400,8 @@ def main(argv=None):
     print(f"stream: {t_stream * 1e6:7.1f} us  {bw:6.1f} GB/s", flush=True)
     from nwhead_tpu.ops.pallas_nw import _default_block_b
 
-    bytes_per = {"f32": S * D * 4, "bf16": S * D * 2, "int8": S * D}
+    bytes_per = {"f32": S * D * 4, "bf16": S * D * 2, "int8": S * D,
+                 "int4": S * D // 2}
     int8_qps = None
     for name, t in res.items():
         prec = name.split()[-1]

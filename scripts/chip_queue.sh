@@ -1,9 +1,9 @@
 #!/bin/bash
 # Pending on-chip measurements, run sequentially (the axon tunnel is
 # single-client). Fire once when the tunnel is back; outputs land in
-# /tmp/chip_queue/. The previous queue's items (bigbank, digits on-chip
-# training, jpeg serve, bench) all completed — see BASELINE.md; this
-# queue holds the oh_impl='lane' decision runs.
+# /tmp/chip_queue/. The previous queue's items (oh_impl='lane' decision
+# runs + bench) all completed — see BASELINE.md; this queue holds the
+# int4 serving-bank decision runs.
 set -u
 OUT=/tmp/chip_queue
 mkdir -p $OUT
@@ -28,17 +28,26 @@ run() {
   tail -12 $OUT/$name.log
 }
 
-# 1. oh_impl='lane' vs 'sub' A/B: compiled parity + timing, CUB scale.
-run ohlane_cub python scripts/ohlane_lab.py --scale cub
+# 1. int4 at the 1M-row bank scale: oracle gates + interleaved timing vs
+#    f32/bf16/int8 (first run already completed 2026-08-19 — re-run is
+#    cheap and reconfirms).
+run bigbank python scripts/bigbank_lab.py
 
-# 2. Same at the 1M-row bank scale (the resident-vs-streamed region the
-#    lane layout is built for).
-run ohlane_big python scripts/ohlane_lab.py --scale big
+# 2. Giant-bank int4: 16M rows x 512 dims = 4.1 GB packed bank (2x the
+#    int8 row ceiling), chunked build + centroid gate + timing.
+run giant16m python scripts/bigbank_lab.py --giant 16000000 \
+  --giant_precision int4
 
-# 3. Library fused-kernel numerics + grads + timing (pallas_nw touched).
-run libkernel python scripts/libkernel_check.py
+# 3. digits protocol with the int4 serving bank on trained weights
+#    (accuracy cost of the 8x-traffic-reduction bank on real data).
+run digits_int4 python scripts/parity_run.py --dataset digits \
+  --arch resnet10 --epochs 8 --steps_per_epoch 40 --milestones 5 7 \
+  --n_way 8 --modes full --stacks tpu --int4_eval --bf16_eval \
+  --int8_eval --out $OUT/digits_int4.json
 
-# 4. Fresh official bench line (skip bench's own outage probe — the
-#    probe above just initialized the tunnel successfully).
+# 4. RUN_TPU suite (now includes the int4 compiled randomized sweep).
+run tpu_suite env RUN_TPU=1 python -m pytest tests/test_tpu_integration.py -x -q
+
+# 5. Fresh official bench line (now carries bigbank_int4_qps fields).
 run bench env NWHEAD_ASSUME_TPU=1 python bench.py
 echo "done $(date)" | tee -a $OUT/status

@@ -303,17 +303,22 @@ def run_tpu_stack(train_ds, val_ds, args) -> dict:
             "ece": trainer.val_metrics[f"ece:val:{mode}"].result(),
         }
 
-    if getattr(args, "bf16_eval", False):
-        # bf16 serving-bank accuracy on the TRAINED weights: rebuild the
-        # prepared bank at bf16 (featurizer stays float) and re-evaluate
-        # full mode — the accuracy cost of the half-traffic bank option.
+    bank_evals = [p for p, on in (
+        ("bf16", getattr(args, "bf16_eval", False)),
+        ("int4", getattr(args, "int4_eval", False)),
+    ) if on]
+    for bank_prec in bank_evals:
+        # Reduced-precision serving-BANK accuracy on the TRAINED weights:
+        # rebuild the prepared bank at bf16/int4 (featurizer stays float)
+        # and re-evaluate full mode — the accuracy cost of the 2x/8x
+        # bank-traffic options.
         from nwhead_tpu.nw.net import NWNet as _NWNet
 
         variables = trainer.state.variables()
         net_b = _NWNet(
             net.model.featurizer, net.n_classes, support_dataset=train_ds,
             feat_dim=args.feat_dim, proj_dim=args.proj_dim,
-            kernel_type=args.kernel_type, head_precision="bf16",
+            kernel_type=args.kernel_type, head_precision=bank_prec,
             fused_min_support=1, seed=args.seed,
         )
         net_b.precompute(variables)
@@ -322,7 +327,7 @@ def run_tpu_stack(train_ds, val_ds, args) -> dict:
             idx = np.arange(s, min(s + args.batch_size, len(val_ds)))
             out = net_b.predict(variables, val_ds.gather(idx), "full")
             outs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
-        results["full_bf16"] = _metrics_from_logprobs(
+        results[f"full_{bank_prec}"] = _metrics_from_logprobs(
             np.concatenate(outs), labels_all
         )
 
@@ -384,6 +389,10 @@ def main(argv=None):
     p.add_argument("--bf16_eval", action="store_true",
                    help="also evaluate full mode through a bf16 prepared "
                         "serving bank (tpu stack only; 'full_bf16')")
+    p.add_argument("--int4_eval", action="store_true",
+                   help="also evaluate full mode through an int4 nibble-"
+                        "packed prepared serving bank (tpu stack only; "
+                        "'full_int4')")
     p.add_argument("--calib_images", type=int, default=256)
     p.add_argument("--fc_baseline", action="store_true",
                    help="also train/evaluate the FC-head baseline on each "

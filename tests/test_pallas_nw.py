@@ -730,7 +730,7 @@ def test_bigbank_lab_smoke(capsys):
     mod.main(["--tiny", "--hnsw", "--hnsw_s", "1024"])
     out = capsys.readouterr().out
     assert "FAIL" not in out
-    assert out.count("OK ") == 3
+    assert out.count("OK ") == 4  # f32/bf16/int8/int4 oracle gates
     assert "tiny smoke OK" in out
     # --hnsw leg: the C++ index must come up over the bank slice and its
     # recall@k against the host brute force must print.

@@ -30,6 +30,7 @@ def test_parity_runner_fixture_scale(tmp_path):
         "--lr", "0.01", "--milestones", "100",
         "--modes", "random", "full",
         "--int8_eval", "--calib_images", "32", "--bf16_eval",
+        "--int4_eval",
         "--out", str(out),
     ])
 
@@ -50,10 +51,11 @@ def test_parity_runner_fixture_scale(tmp_path):
     assert abs(m8["acc"] - report["tpu"]["full"]["acc"]) <= 10.0, (
         m8, report["tpu"]["full"]
     )
-    # bf16 serving-bank accuracy on the trained weights, same bound.
-    mb = report["tpu"]["full_bf16"]
-    assert np.isfinite([mb["acc"], mb["nll"], mb["ece"]]).all()
-    assert abs(mb["acc"] - report["tpu"]["full"]["acc"]) <= 10.0
+    # bf16/int4 serving-bank accuracy on the trained weights, same bound.
+    for key in ("full_bf16", "full_int4"):
+        mb = report["tpu"][key]
+        assert np.isfinite([mb["acc"], mb["nll"], mb["ece"]]).all()
+        assert abs(mb["acc"] - report["tpu"]["full"]["acc"]) <= 10.0, key
 
 
 def test_parity_runner_fc_baseline(tmp_path):

@@ -293,7 +293,12 @@ def test_randomized_nw_sweep_compiled_on_tpu():
         )
         # Lossy prepared banks: probability-space agreement (quantization
         # shifts log-probs at the floor; semantics = probs + decisions).
-        for prec, tol in (("bf16", 5e-2), ("int8", 1e-1)):
+        # int4 is skipped for raw dotproduct — unbounded score magnitudes
+        # amplify 4-bit feature noise (documented PreparedSupport caveat);
+        # its COMPILED unpack path is still covered by the other kernels.
+        for prec, tol in (("bf16", 5e-2), ("int8", 1e-1), ("int4", 2.5e-1)):
+            if prec == "int4" and kernel == "dotproduct":
+                continue
             prep_l = prepare_support(s, sy, C, kernel=kernel, precision=prec)
             got_l = np.asarray(
                 nw_fused_log_probs(q, prep_l, None, C, kernel=kernel)
