@@ -55,6 +55,41 @@ def test_export_reload_parity_float(small_net, tmp_path):
     assert reloaded.meta["platforms"] == meta["platforms"]
 
 
+def test_export_reload_parity_int4_bank(tmp_path):
+    """An int4 nibble-packed serving bank exports and reloads: the packed
+    uint8 bank rides as a stored operand and the in-module bitcast + VPU
+    unpack reproduce the live path exactly."""
+    from nwhead_tpu.data import ArrayDataset
+    from nwhead_tpu.models import load_model
+    from nwhead_tpu.nw.net import NWNet
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    rng = np.random.default_rng(3)
+    C, N = 4, 48
+    y = np.tile(np.arange(C), N // C)
+    x = rng.normal(0, 0.4, size=(N, 32, 32, 3)).astype(np.float32)
+    x += (y / C)[:, None, None, None].astype(np.float32)
+    ds = ArrayDataset(x, y, num_classes=C)
+    net = NWNet(
+        load_model("resnet10"), C, support_dataset=ds, feat_dim=512,
+        n_shot_full=12, fused_min_support=1, head_precision="int4", seed=0,
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+    net.precompute(variables)
+    assert net._prepared_full.s.dtype == jnp.uint8
+
+    fn = net.make_serving_fn(variables)
+    q = jnp.asarray(x[:6])
+    want = np.asarray(fn(q))
+    export_serving_artifact(fn, q, str(tmp_path / "art4"))
+    reloaded = load_serving_artifact(str(tmp_path / "art4"))
+    got = np.asarray(reloaded(q))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_export_reload_parity_uint8_normalize(small_net, tmp_path):
     """The deployment form: uint8 pixels in, normalization folded into the
     exported module."""
