@@ -368,6 +368,7 @@ def main():
     prep = prepare_support(bank, bank_y, C)
     prep_bf16 = prepare_support(bank, bank_y, C, precision="bf16")
     prep_int8 = prepare_support(bank, bank_y, C, precision="int8")
+    prep_int4 = prepare_support(bank, bank_y, C, precision="int4")
 
     head_cases = []
     if on_tpu:  # the streaming-calibration kernel is compiled-mode only
@@ -383,6 +384,8 @@ def main():
          (qfeat, prep_bf16)),
         ("head_int8", lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
          (qfeat, prep_int8)),
+        ("head_int4", lambda q, p, c: nw_fused_log_probs(q, p, None, C).mean(),
+         (qfeat, prep_int4)),
         ("head_naive", lambda q, s, c: nw_log_probs(q, s, bank_y, C).mean(),
          (qfeat, bank)),
     ]
@@ -485,6 +488,8 @@ def main():
                 "head_bf16_qps": round(B / head_t["head_bf16"], 1),
                 "head_int8_us_per_batch": round(head_t["head_int8"] * 1e6, 1),
                 "head_int8_qps": round(B / head_t["head_int8"], 1),
+                "head_int4_us_per_batch": round(head_t["head_int4"] * 1e6, 1),
+                "head_int4_qps": round(B / head_t["head_int4"], 1),
                 "head_speedup_vs_naive": round(head_t["head_naive"] / t_head, 2),
                 "featurizer_ms_per_batch": round(t_feat * 1e3, 2),
                 "featurizer_int8_ms_per_batch": round(

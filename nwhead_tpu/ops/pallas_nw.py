@@ -175,6 +175,31 @@ class PreparedSupport(NamedTuple):
     win: Optional[jnp.ndarray] = None  # (n_tiles, W//128) int32
 
 
+@jax.jit
+def _int4_pack(sf):
+    """Fused int4 quantize + nibble pack + dequantized self-norms.
+
+    ``sf`` is the (S_pad, d_pad) f32 bank with d_pad % 256 == 0. Nibble
+    packing: byte[i, j] = (code[i, j + half] << 4) | (code[i, j] & 15) —
+    feature PAIRS (j, j + d_pad/2) share a byte, so the in-kernel unpack
+    is two static lane-half writes (no interleave, which Mosaic relayouts
+    would make expensive). The dot is permutation-invariant in the
+    feature dim, and the query is padded/quantized to the same d_pad
+    order. Stored as uint8 — the dtype IS the int4 marker (int8 = plain
+    int8 banks); the serving path bitcasts to int8 before the kernel.
+    All nibble math stays in the int8 domain (1-byte temps; int8 shifts
+    wrap to exactly the intended bit patterns)."""
+    amax = jnp.max(jnp.abs(sf), axis=1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    v = jnp.clip(jnp.round(sf / scale[:, None]), -7, 7).astype(jnp.int8)
+    s2 = jnp.sum(v.astype(jnp.float32) ** 2, axis=1) * scale * scale
+    half = sf.shape[1] // 2
+    packed = jax.lax.bitcast_convert_type(
+        (v[:, :half] & 15) | (v[:, half:] << 4), jnp.uint8
+    )
+    return packed, scale, s2
+
+
 def prepare_support(
     sfeat: jnp.ndarray,
     sy: jnp.ndarray,
@@ -261,38 +286,30 @@ def prepare_support(
     s_p = jnp.where(mrow[:, None] > 0, s_p, jnp.zeros((), s_p.dtype))
 
     sscale = None
-    s_q = None  # integer code values (quant precisions), pre-packing
-    if precision in ("int8", "int4"):
-        # Symmetric per-row quantization; the bank is stored int8 (or two
-        # int4 nibbles per byte), scores dequantize inside the kernel:
-        # s_row ≈ s_q * sscale_row.
-        qmax = 127.0 if precision == "int8" else 7.0
+    s2_quant = None  # self-norms of the dequantized bank (quant precisions)
+    if precision == "int8":
+        # Symmetric per-row quantization; the bank is stored int8, scores
+        # dequantize inside the kernel: s_row ≈ s_q * sscale_row.
         sf = s_p.astype(jnp.float32)
         amax = jnp.max(jnp.abs(sf), axis=1)  # (s_pad,)
-        scale = jnp.where(amax > 0, amax / qmax, 1.0)
-        s_q = jnp.clip(jnp.round(sf / scale[:, None]), -qmax, qmax)
-        if precision == "int8":
-            s_p = s_q.astype(jnp.int8)
-        else:
-            # Nibble packing: byte[i, j] = (code[i, j + half] << 4) |
-            # (code[i, j] & 15) — feature PAIRS (j, j + d_pad/2), so the
-            # in-kernel unpack is two static lane-half writes (no
-            # interleave, which Mosaic relayouts would make expensive).
-            # The dot is permutation-invariant in the feature dim, and the
-            # query is padded/quantized to the same d_pad order. Stored as
-            # uint8 — the dtype IS the int4 marker (int8 = plain int8
-            # banks); the serving path bitcasts to int8 before the kernel.
-            vi = s_q.astype(jnp.int32)
-            half = d_pad // 2
-            packed = (vi[:, :half] & 15) | ((vi[:, half:] & 15) << 4)
-            s_p = packed.astype(jnp.uint8)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        s_q = jnp.clip(jnp.round(sf / scale[:, None]), -127, 127)
+        s_p = s_q.astype(jnp.int8)
+        s2_quant = jnp.sum((s_q * scale[:, None]) ** 2, axis=1)
+        sscale = scale.reshape(s_pad // block_s, nchunk, 128)
+    elif precision == "int4":
+        # One fused jit call: quantize -> nibble-pack -> dequantized
+        # self-norms. The eager-op version materialized several full-bank
+        # f32/int32 temporaries — at S=1e6 (2 GB f32) that OOM'd a chip
+        # already holding the other precisions' banks; fused, the peak is
+        # the f32 input + the packed output.
+        s_p, scale, s2_quant = _int4_pack(s_p.astype(jnp.float32))
         sscale = scale.reshape(s_pad // block_s, nchunk, 128)
 
     s2c = None
     if mode == "l2":
-        if s_q is not None:  # self-norms of the DEQUANTIZED bank
-            s_deq = s_q * scale[:, None]
-            s2 = jnp.sum(s_deq * s_deq, axis=1)
+        if s2_quant is not None:
+            s2 = s2_quant
         else:
             s2 = jnp.sum(s_p.astype(jnp.float32) ** 2, axis=1)
         # Validity folded into the self-norms: masked/padding rows get
