@@ -132,6 +132,50 @@ def test_randomized_edit_sequence_matches_fresh_precompute(base):
                                        err_msg=f"seq={seq_seed} mode={mode}")
 
 
+@pytest.mark.parametrize("precision", ["int8", "int4"])
+def test_edit_sequence_quantized_bank_matches_restore(base, precision):
+    """Incremental edits on a QUANTIZED prepared bank equal a fresh restore
+    over the survivors: per-row symmetric quantization is row-local, so the
+    same rows produce the same codes no matter how the bank was chunked,
+    grown, or tombstoned (windows may widen-or-drop — output-invariant)."""
+    ds, _, queries = base
+    pool = make_synthetic_dataset(n=40, n_classes=4, size=8, seed=11)
+    net, variables = _make_net(ds, head_precision=precision)
+    net.precompute(variables)
+    bank_idx = np.concatenate(net.support_eval.full_bank_indices)
+    ledger_imgs = list(np.asarray(ds.gather(bank_idx)))
+    ledger_y = list(np.asarray(ds.targets)[bank_idx])
+    seq_rng = np.random.default_rng(5)
+    pool_pos = 0
+    for _ in range(4):
+        if seq_rng.integers(2) == 0 and pool_pos + 3 <= len(pool):
+            add = np.arange(pool_pos, pool_pos + 3)
+            pool_pos += 3
+            net.add_support(variables, pool.images[add], pool.targets[add])
+            ledger_imgs += list(pool.images[add])
+            ledger_y += list(pool.targets[add])
+        else:
+            n = len(ledger_y)
+            drop = sorted(seq_rng.choice(
+                n, size=min(2, n - 8), replace=False).tolist())
+            if not drop:
+                continue
+            net.remove_support(variables, np.asarray(drop))
+            ledger_imgs = [im for i, im in enumerate(ledger_imgs)
+                           if i not in drop]
+            ledger_y = [y for i, y in enumerate(ledger_y) if i not in drop]
+
+    fresh, _ = _make_net(ds, head_precision=precision)
+    feats = np.asarray(fresh._featurize_eval(
+        variables, jnp.asarray(np.stack(ledger_imgs))
+    ))
+    fresh.restore_bank(variables, feats, np.asarray(ledger_y))
+    got = np.asarray(net.predict(variables, queries, mode="full"))
+    want = np.asarray(fresh.predict(variables, queries, mode="full"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-5,
+                               err_msg=precision)
+
+
 def test_bank_edits_clear_canonical_order_flag(base):
     """Row -> dataset-index identity (serve.py --explain, bank caches)
     holds only in canonical precompute order; any incremental edit must
