@@ -49,6 +49,7 @@ online-softmax VPU chain — see scripts/kernel_lab.py for the decomposition.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -230,6 +231,17 @@ def prepare_support(
     """
     if precision not in ("f32", "bf16", "int8", "int4"):
         raise ValueError(f"unknown precision {precision!r}")
+    if precision == "int4" and kernel == "dotproduct":
+        # Documented accuracy caveat (tests/test_pallas_nw.py TestInt4Bank):
+        # raw dot scores have unbounded magnitude, so 4-bit feature noise
+        # is amplified straight into the softmax. The normalized-geometry
+        # kernels (euclidean/cosine/clip) bound the per-element error.
+        warnings.warn(
+            "int4 serving banks amplify quantization noise under the raw "
+            "dotproduct kernel; prefer precision='int8' there (euclidean/"
+            "cosine/clip are fine at int4).",
+            stacklevel=2,
+        )
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
     sy_np = mask_np = order = None
