@@ -51,6 +51,10 @@ class MicroBatcher:
         self._lock = threading.Condition()
         self._pending: list = []  # [(item, Future), ...]
         self._closed = False
+        # Occupancy counters (true take sizes, BEFORE zero-padding to the
+        # compiled shape) — the number an operator tunes max_wait_ms by.
+        self.dispatches = 0
+        self.dispatched_items = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -117,6 +121,9 @@ class MicroBatcher:
             take = self._take_batch()
             if not take:
                 return
+            with self._lock:
+                self.dispatches += 1
+                self.dispatched_items += len(take)
             items = [t[0] for t in take]
             futs = [t[1] for t in take]
             try:

@@ -399,6 +399,70 @@ def answer_queries(net, variables, train_ds, args):
     return results
 
 
+def http_serve(net, variables, train_ds, val_ds, args):
+    """``--http PORT``: the JSON-over-HTTP serving daemon
+    (``nwhead_tpu/utils/httpd.py``) — /predict (JSON arrays, base64
+    JPEGs, or a raw image body) through the MicroBatcher into the one
+    compiled batch shape, /add_support and /remove_support editing the
+    live bank incrementally, /healthz and /stats for operations. The
+    reference has no serving layer at all; this is the deployment
+    front end over ``make_serving_fn``'s one-dispatch callable."""
+    from io import BytesIO
+
+    from nwhead_tpu.data import transforms as T
+    from nwhead_tpu.utils.batching import MicroBatcher
+    from nwhead_tpu.utils.httpd import NWHttpServer
+
+    is_cifar = args.dataset in ("cifar10", "cifar100")
+    image_ds = args.dataset in ("bird", "dog", "flower", "aircraft")
+
+    decode_query = decode_support = None
+    if image_ds or is_cifar:
+        from PIL import Image
+
+        # Query images ride the serving fn's input convention (uint8 over
+        # the link for ImageNet-style archs, normalize on device);
+        # add_support images featurize host-side, so they normalize here.
+        t_query = (T.cifar_eval_transform() if is_cifar
+                   else T.imagenet_eval_transform(device_normalize=True))
+        t_support = (T.cifar_eval_transform() if is_cifar
+                     else T.imagenet_eval_transform())
+
+        def _decode(b, t):
+            img = np.asarray(Image.open(BytesIO(b)).convert("RGB"))
+            return t(img)
+
+        decode_query = lambda b: _decode(b, t_query)  # noqa: E731
+        decode_support = lambda b: _decode(b, t_support)  # noqa: E731
+        input_shape = (224, 224, 3) if image_ds else (32, 32, 3)
+    else:
+        # Array datasets (synthetic/digits): JSON "inputs" only, at the
+        # dataset's own item shape.
+        input_shape = tuple(np.asarray(val_ds.gather(np.arange(1))).shape[1:])
+
+    serve = serving_fn(net, variables, uint8_normalize=image_ds)
+    server = NWHttpServer(
+        net, variables, None,
+        input_shape=input_shape, decode_query=decode_query,
+        decode_support=decode_support, topk=args.topk,
+        temperature=args.temperature, host=args.http_host, port=args.http,
+    )
+    server.batcher = MicroBatcher(
+        serve, max_batch=args.batch_size,
+        max_wait_ms=args.microbatch_wait_ms,
+    )
+    print(json.dumps({"serving": f"http://{args.http_host}:{server.port}",
+                      **server.healthz()}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.httpd.server_close()
+        server.batcher.close()
+    return server
+
+
 def export_artifact(net, variables, train_ds, val_ds, args):
     """AOT-export the serving function (``--export_artifact DIR``): one
     jax.export'd StableHLO module + its operand arrays (weights, prepared
@@ -633,6 +697,12 @@ def main(argv=None):
                         "bank (server restarts skip the featurizer pass); "
                         "tagged with arch/ckpt/precision and refused on "
                         "mismatch")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP on PORT (0 = ephemeral): "
+                        "/predict via the MicroBatcher, /add_support + "
+                        "/remove_support live bank edits, /healthz, "
+                        "/stats — stdlib only, see utils/httpd.py")
+    p.add_argument("--http_host", default="127.0.0.1")
     p.add_argument("--latency_bench", action="store_true")
     p.add_argument("--microbatch_bench", action="store_true",
                    help="request-at-a-time serving through the dynamic "
@@ -693,13 +763,17 @@ def main(argv=None):
         return artifact_serve(args)
 
     if not (args.latency_bench or args.jpeg_bench or args.queries
-            or args.microbatch_bench or args.export_artifact):
+            or args.microbatch_bench or args.export_artifact
+            or args.http is not None):
         raise SystemExit("pass --latency_bench, --microbatch_bench, "
-                         "--jpeg_bench, --queries and/or --export_artifact")
+                         "--jpeg_bench, --queries, --http and/or "
+                         "--export_artifact")
 
     net, variables, train_ds, val_ds = build_server(args)
     if args.export_artifact:
         return export_artifact(net, variables, train_ds, val_ds, args)
+    if args.http is not None:
+        return http_serve(net, variables, train_ds, val_ds, args)
     out = {}
     if args.latency_bench:
         out["latency"] = latency_bench(net, variables, val_ds, args)
