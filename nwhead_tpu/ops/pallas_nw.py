@@ -779,6 +779,7 @@ def _nw_prepared_kernel(
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, quant4: bool = False,
+    int4_impl: str = "shift32",
     partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
     agg_bf16: bool = False, meta_stream: bool = False,
@@ -914,17 +915,32 @@ def _nw_prepared_kernel(
         if quant4:
             # Nibble-unpack the packed (TS, D/2) byte tile into the
             # (TS, D) int8 scratch: the hi nibble is the byte's top 4 bits
-            # (sign-extended int8 >> 4 IS the signed code), the lo nibble
-            # needs the 16-offset fixup. Feature pairs were packed as
-            # (j, j + D/2), so the two halves land in static lane windows
-            # — no interleave/relayout on the VPU.
+            # (sign-extended arithmetic >> 4 IS the signed code); the lo
+            # nibble sign-extends by a shift pair. Feature pairs were
+            # packed as (j, j + D/2), so the two halves land in static
+            # lane windows — no interleave/relayout on the VPU. This chain
+            # is the int4 path's VPU wall (at 1M rows it costs more than
+            # the DMA it saves), hence the measured impl variants
+            # (scripts/int4_lab.py):
+            #   'shift8'  — pure int8-domain shifts, no int32 converts
+            #               (wraps are exact: (b<<4)>>4 sign-extends the
+            #               lo nibble in 8-bit arithmetic);
+            #   'shift32' — int8->int32 convert, (x<<28)>>28 for lo;
+            #   'select'  — the original and/cmp/select/sub lo fixup.
             half = s.shape[-1]
-            xi = s.astype(jnp.int32)
-            lo_u = jnp.bitwise_and(xi, 15)
-            ubuf[:, :half] = (
-                lo_u - jnp.where(lo_u > 7, 16, 0)
-            ).astype(jnp.int8)
-            ubuf[:, half:] = (xi >> 4).astype(jnp.int8)
+            if int4_impl == "shift8":
+                ubuf[:, :half] = (s << 4) >> 4
+                ubuf[:, half:] = s >> 4
+            else:
+                xi = s.astype(jnp.int32)
+                if int4_impl == "shift32":
+                    lo = (xi << 28) >> 28
+                else:
+                    assert int4_impl == "select", int4_impl
+                    lo_u = jnp.bitwise_and(xi, 15)
+                    lo = lo_u - jnp.where(lo_u > 7, 16, 0)
+                ubuf[:, :half] = lo.astype(jnp.int8)
+                ubuf[:, half:] = (xi >> 4).astype(jnp.int8)
             s = ubuf[:]
 
         if quant:
@@ -1083,7 +1099,7 @@ def _nw_prepared_kernel(
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
                    fold2=True, agg_precision="f32", meta_stream=None,
-                   oh_impl="lane"):
+                   oh_impl="lane", int4_impl="shift32"):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -1251,7 +1267,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         functools.partial(
             _nw_prepared_kernel, mode=mode, n_tiles=n_tiles, c_pad=c_pad,
             nchunk=nchunk, block_s=block_s, s2_input=s2_input, quant=quant,
-            quant4=quant4,
+            quant4=quant4, int4_impl=int4_impl,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
             fold2=fold2, agg_bf16=agg_bf16, meta_stream=meta_stream,
             oh_lane=oh_lane,
@@ -1288,6 +1304,7 @@ def nw_fused_from_prepared(
     agg_precision: str = "f32",
     meta_stream: Optional[bool] = None,
     oh_impl: str = "lane",
+    int4_impl: str = "shift32",
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -1315,7 +1332,14 @@ def nw_fused_from_prepared(
     layout. Measured on v5e: bit-identical to 'sub' (compiled parity probe,
     scripts/ohlane_lab.py) and 2-8% faster at 1M-row scale (int8 B=64
     +8.2%), flat at CUB scale. 'sub' keeps the nchunk-loop orientation for
-    re-measurement."""
+    re-measurement.
+
+    ``int4_impl`` picks the nibble-unpack chain for int4 banks — the int4
+    path's VPU wall (first on-chip run: B=64 at 1M rows cost 2.08 ms vs
+    int8's 1.01, i.e. the unpack burned more than the DMA it saved):
+    'shift8' (int8-domain shifts, no int32 converts), 'shift32'
+    ((x<<28)>>28 sign-extension), 'select' (the original and/cmp/select
+    fixup). Value-identical; measured in scripts/int4_lab.py."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1331,7 +1355,7 @@ def nw_fused_from_prepared(
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
         partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
         agg_precision=agg_precision, meta_stream=meta_stream,
-        oh_impl=oh_impl,
+        oh_impl=oh_impl, int4_impl=int4_impl,
     )
 
 

@@ -654,6 +654,36 @@ class TestInt4Bank:
         wm = np.asarray(nw_log_probs(q, s[40:], sy[40:], C))
         assert np.max(np.abs(np.exp(gm) - np.exp(wm))) < 0.03
 
+    def test_int4_unpack_impls_identical(self, rng):
+        """The three nibble-unpack chains ('select' and/cmp fixup,
+        'shift32' (x<<28)>>28, 'shift8' pure int8-domain shifts) read the
+        same bytes and must produce bit-identical outputs — the variants
+        exist only because the unpack is the int4 path's VPU wall
+        (scripts/int4_lab.py measures them on chip)."""
+        from nwhead_tpu.ops.pallas_nw import (
+            nw_fused_from_prepared, prepare_support,
+        )
+
+        for kernel, C in (("euclidean", 7), ("cosine", 300)):
+            B, S, D = 9, 500, 80
+            q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+            s = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+            sy = jnp.asarray(rng.integers(0, C, size=S).astype(np.int32))
+            prep = prepare_support(s, sy, C, kernel=kernel,
+                                   precision="int4", block_s=128)
+            outs = {
+                impl: np.asarray(nw_fused_from_prepared(
+                    q, prep, C, kernel=kernel, int4_impl=impl))
+                for impl in ("select", "shift32", "shift8")
+            }
+            np.testing.assert_array_equal(outs["select"], outs["shift32"])
+            np.testing.assert_array_equal(outs["select"], outs["shift8"])
+            # ... and under forced metadata streaming.
+            stm = np.asarray(nw_fused_from_prepared(
+                q, prep, C, int4_impl="shift8", meta_stream=True,
+                kernel=kernel))
+            np.testing.assert_array_equal(stm, outs["shift8"])
+
 
 def test_fused_randomized_property_sweep():
     """Seeded randomized sweep over the fused kernel's whole configuration
