@@ -135,6 +135,8 @@ class NWNet:
         n_shot_cluster: int = 1,
         cluster_impl: str = "device",
         n_neighbors: int = 10,
+        ivf_n_probe: int = 32,
+        ivf_n_clusters: Optional[int] = None,
         env_array: Optional[Sequence[int]] = None,
         debug_mode: bool = False,
         return_mask: bool = False,
@@ -158,7 +160,12 @@ class NWNet:
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
+        self._ivf_cache = None
         self._sharded_ensemble_cache = None
+        # IVF-pruned full mode (mode='ivf'): recall knob + cluster count
+        # (None = one cluster per bank tile; see ops/ivf.py).
+        self.ivf_n_probe = ivf_n_probe
+        self.ivf_n_clusters = ivf_n_clusters
         self.quantized_featurizer = None  # set by quantize_featurizer()
 
         self.model = NWModel(
@@ -263,6 +270,7 @@ class NWNet:
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
+        self._ivf_cache = None
         self._sharded_ensemble_cache = None
 
     def forward(
@@ -349,6 +357,7 @@ class NWNet:
             self.sharded_bank = None
             self._sharded_predict = None
             self._sharded_knn_cache = None
+            self._ivf_cache = None
             self._sharded_ensemble_cache = None
             return
 
@@ -373,6 +382,7 @@ class NWNet:
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
+        self._ivf_cache = None
         self._sharded_ensemble_cache = None
 
     def fuse_featurizer(self, variables: Dict[str, Any]) -> None:
@@ -415,6 +425,7 @@ class NWNet:
         self.sharded_bank = None
         self._sharded_predict = None
         self._sharded_knn_cache = None
+        self._ivf_cache = None
         self._sharded_ensemble_cache = None
 
     @staticmethod
@@ -528,6 +539,7 @@ class NWNet:
         # Drop the mode caches NOW — they pin whole retired banks in HBM
         # until their mode happens to be called again otherwise.
         self._sharded_knn_cache = None
+        self._ivf_cache = None
         self._sharded_ensemble_cache = None
         if (
             self.mesh is None

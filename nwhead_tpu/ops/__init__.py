@@ -11,6 +11,11 @@ from nwhead_tpu.ops.pallas_nw import (
     prepare_for_concat,
     prepare_support,
 )
+from nwhead_tpu.ops.ivf import (
+    IVFPrepared,
+    nw_fused_ivf_log_probs,
+    prepare_support_ivf,
+)
 from nwhead_tpu.ops.pallas_attn import (
     fused_attention,
     fused_attention_block_bf16,
@@ -36,6 +41,9 @@ __all__ = [
     "concat_prepared",
     "mask_prepared_rows",
     "PreparedSupport",
+    "IVFPrepared",
+    "prepare_support_ivf",
+    "nw_fused_ivf_log_probs",
     "apply_temperature",
     "fit_temperature",
     "support_influence",

@@ -783,7 +783,7 @@ def _nw_prepared_kernel(
     partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
     agg_bf16: bool = False, meta_stream: bool = False,
-    oh_lane: bool = False,
+    oh_lane: bool = False, n_sel: int = 0,
 ):
     i = 0
     q_ref = refs[i]; i += 1       # (TB, D) VMEM (int8 when quant)
@@ -803,6 +803,14 @@ def _nw_prepared_kernel(
     win_ref = None
     if win_w:
         win_ref = refs[i]; i += 1  # SMEM (n_tiles, win_w/128) int32 blocks
+    tsel_ref = None
+    if n_sel:
+        # IVF-pruned serving (ops/ivf.py): the loop streams only the bank
+        # tiles named here instead of all n_tiles. One SMEM row (1, n_sel)
+        # of int32 tile ids, -1 = empty slot (duplicates removed by the
+        # router) — empty slots skip the DMA and the whole tile body, so
+        # the per-call cost scales with the UNION of selected tiles.
+        tsel_ref = refs[i]; i += 1  # SMEM (1, n_sel) int32
     out_ref = refs[i]; i += 1     # (TB, C_pad)
     mstat_ref = lstat_ref = None
     if partials:
@@ -880,9 +888,19 @@ def _nw_prepared_kernel(
     l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    get_dma(0, 0).start()
-    for cp in meta_dmas(0, 0):
-        cp.start()
+    def start_tile(slot, idx):
+        get_dma(slot, idx).start()
+        for cp in meta_dmas(slot, idx):
+            cp.start()
+
+    if n_sel:
+        first = tsel_ref[0, 0]
+
+        @pl.when(first >= 0)
+        def _():
+            start_tile(0, first)
+    else:
+        start_tile(0, 0)
 
     # Windowed aggregation: the one-hot/label-matmul width is the class
     # window W instead of the full c_pad (rows are class-sorted at
@@ -899,17 +917,9 @@ def _nw_prepared_kernel(
             jnp.float32
         )
 
-    def body(j, _):
-        slot = j % 2
-
-        @pl.when(j + 1 < n_tiles)
-        def _():
-            get_dma((j + 1) % 2, j + 1).start()
-            for cp in meta_dmas((j + 1) % 2, j + 1):
-                cp.start()
-
-        get_dma(slot, j).wait()
-        for cp in meta_dmas(slot, j):
+    def tile_body(slot, idx):
+        get_dma(slot, idx).wait()
+        for cp in meta_dmas(slot, idx):
             cp.wait()
         s = sbuf[slot]
         if quant4:
@@ -955,7 +965,7 @@ def _nw_prepared_kernel(
             # a lane concat on the VPU every tile).
             ssrow = (
                 ssbuf[slot] if meta_stream
-                else sscale_ref[pl.ds(j, 1)]
+                else sscale_ref[pl.ds(idx, 1)]
             ).reshape(1, block_s)
             dot = dot_i.astype(jnp.float32) * qcol * ssrow
         else:
@@ -967,7 +977,7 @@ def _nw_prepared_kernel(
             if s2_input:
                 s2row = (
                     s2buf[slot] if meta_stream
-                    else s2_ref[pl.ds(j, 1)]
+                    else s2_ref[pl.ds(idx, 1)]
                 ).reshape(1, block_s)
             else:
                 sf = s.astype(jnp.float32)
@@ -996,7 +1006,7 @@ def _nw_prepared_kernel(
             # an all-invalid support still lands on the log-floor).
             valid_row = (
                 lanebuf[slot] if meta_stream
-                else lane_ref[pl.ds(j, 1)]
+                else lane_ref[pl.ds(idx, 1)]
             ).reshape(1, block_s) >= 0.0
             score = jnp.where(valid_row, score, _NEG_INF)
 
@@ -1026,7 +1036,7 @@ def _nw_prepared_kernel(
 
         if win_w:
             wstart = (
-                winbuf[slot, 0, 0] if meta_stream else win_ref[j, 0]
+                winbuf[slot, 0, 0] if meta_stream else win_ref[idx, 0]
             ) * 128
             wbase = wstart.astype(jnp.float32)
         # agg_bf16: the aggregation matmul runs with bf16 inputs (f32 MXU
@@ -1046,7 +1056,7 @@ def _nw_prepared_kernel(
             # rhs-transposed matmul natively (probed bit-exact vs the
             # (TS, cw) orientation on v5e).
             lrow = (
-                lanebuf[slot] if meta_stream else lane_ref[pl.ds(j, 1)]
+                lanebuf[slot] if meta_stream else lane_ref[pl.ds(idx, 1)]
             ).reshape(1, block_s)
             if win_w:
                 lrow = lrow - wbase  # labels exact in f32; -1 stays invalid
@@ -1060,7 +1070,7 @@ def _nw_prepared_kernel(
             for t in range(nchunk):
                 col = (
                     subbuf[slot, :, t:t + 1] if meta_stream
-                    else sub_ref[pl.ds(j, 1), :, t:t + 1]
+                    else sub_ref[pl.ds(idx, 1), :, t:t + 1]
                 ).reshape(128, 1)
                 if win_w:
                     col = col - wbase  # labels exact in f32; -1 invalid
@@ -1081,9 +1091,37 @@ def _nw_prepared_kernel(
         else:
             acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    n_iter = n_sel if n_sel else n_tiles
+
+    def body(j, _):
+        slot = j % 2
+        if n_sel:
+            # Selected-tile stream: slot j holds bank tile tsel[j] (-1 =
+            # empty slot — no DMA was started for it, and the whole tile
+            # body is skipped so the online-softmax state is untouched).
+            idx = tsel_ref[0, j]
+
+            @pl.when(j + 1 < n_iter)
+            def _():
+                nidx = tsel_ref[0, j + 1]
+
+                @pl.when(nidx >= 0)
+                def _():
+                    start_tile((j + 1) % 2, nidx)
+
+            @pl.when(idx >= 0)
+            def _():
+                tile_body(slot, idx)
+        else:
+            @pl.when(j + 1 < n_iter)
+            def _():
+                start_tile((j + 1) % 2, j + 1)
+
+            tile_body(slot, j)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, body, 0)
+    jax.lax.fori_loop(0, n_iter, body, 0)
     if partials:
         # Support-sharded serving: emit raw (acc, m, l) for the cross-device
         # online-softmax merge (parallel.merge_partials) instead of
@@ -1099,7 +1137,7 @@ def _nw_prepared_kernel(
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
                    fold2=True, agg_precision="f32", meta_stream=None,
-                   oh_impl="lane", int4_impl="shift32"):
+                   oh_impl="lane", int4_impl="shift32", tile_sel=None):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -1223,6 +1261,18 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             ))
             inputs.append(win)
 
+    n_sel = 0
+    if tile_sel is not None:
+        # IVF-pruned serving (ops/ivf.py): stream only these tile ids
+        # (-1 = empty slot). One SMEM ROW — an (n_sel, 1) column would
+        # pad every 4-byte row to 512 B against the 1 MB SMEM budget.
+        tsel = tile_sel.astype(jnp.int32).reshape(1, -1)
+        n_sel = tsel.shape[1]
+        in_specs.append(pl.BlockSpec(
+            tsel.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+        ))
+        inputs.append(tsel)
+
     out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
     out_shape = jax.ShapeDtypeStruct((b_pad, c_pad), jnp.float32)
     if partials:
@@ -1270,7 +1320,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
             quant4=quant4, int4_impl=int4_impl,
             partials=partials, win_w=win_w, softmax_impl=softmax_impl,
             fold2=fold2, agg_bf16=agg_bf16, meta_stream=meta_stream,
-            oh_lane=oh_lane,
+            oh_lane=oh_lane, n_sel=n_sel,
         ),
         grid=(b_pad // block_b,),
         in_specs=in_specs,
@@ -1305,6 +1355,7 @@ def nw_fused_from_prepared(
     meta_stream: Optional[bool] = None,
     oh_impl: str = "lane",
     int4_impl: str = "shift32",
+    tile_sel: Optional[jnp.ndarray] = None,
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
     bank. Per-call HBM traffic is one streamed pass over the bank (plus the
@@ -1337,9 +1388,11 @@ def nw_fused_from_prepared(
     ``int4_impl`` picks the nibble-unpack chain for int4 banks — the int4
     path's VPU wall (first on-chip run: B=64 at 1M rows cost 2.08 ms vs
     int8's 1.01, i.e. the unpack burned more than the DMA it saved):
-    'shift8' (int8-domain shifts, no int32 converts), 'shift32'
-    ((x<<28)>>28 sign-extension), 'select' (the original and/cmp/select
-    fixup). Value-identical; measured in scripts/int4_lab.py."""
+    'shift32' ((x<<28)>>28 sign-extension, the default), 'select' (the
+    original and/cmp/select fixup), 'shift8' (int8-domain shifts, no
+    int32 converts — value-correct but NOT compilable on today's Mosaic,
+    which cannot legalize 'arith.shli' on i8 vectors; interpret-mode
+    only). Value-identical; measured in scripts/int4_lab.py."""
     kernel_params = kernel_params or {}
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1355,7 +1408,7 @@ def nw_fused_from_prepared(
         mode=mode, n_classes=n_classes, block_b=block_b, interpret=interpret,
         partials=partials, softmax_impl=softmax_impl, fold2=_fold2,
         agg_precision=agg_precision, meta_stream=meta_stream,
-        oh_impl=oh_impl, int4_impl=int4_impl,
+        oh_impl=oh_impl, int4_impl=int4_impl, tile_sel=tile_sel,
     )
 
 

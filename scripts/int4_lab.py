@@ -14,6 +14,12 @@ All three are value-identical (bit-equal parity is a CPU test,
 tests/test_pallas_nw.py test_int4_unpack_impls_identical, plus the
 compiled probe here). This lab times them interleaved at CUB and 1M
 scales, with int8 as the reference wall.
+
+ANSWERED (first on-chip run, 2026-08-20): Mosaic does NOT support int8
+vector shifts — 'shift8' fails to legalize ('arith.shli' on
+vector<...xi8>), so the pure-int8-domain chain is off the table until
+Mosaic grows i8 shift lowering. Default impls here are therefore
+select,shift32; pass --impls shift8,... to re-probe a future toolchain.
 """
 
 import argparse
@@ -33,7 +39,7 @@ from nwhead_tpu.ops.pallas_nw import (  # noqa: E402
     nw_fused_from_prepared, prepare_support,
 )
 
-IMPLS = ("select", "shift32", "shift8")
+IMPLS = ("select", "shift32")  # shift8: Mosaic can't legalize i8 shifts
 
 
 def device_bank(S, C, D, seed=7):
@@ -68,7 +74,10 @@ def main():
     ap.add_argument("--kernel", default="euclidean")
     ap.add_argument("--batches", default="64,256")
     ap.add_argument("--cycles", type=int, default=5)
+    ap.add_argument("--impls", default=",".join(IMPLS))
     args = ap.parse_args()
+    global IMPLS
+    IMPLS = tuple(args.impls.split(","))
 
     rng = np.random.default_rng(0)
     scales = []
