@@ -33,13 +33,17 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, default=None, help="checkpoint path (optional)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--modes", nargs="+", default=["random", "full", "cluster"],
-                   choices=["random", "full", "cluster", "ensemble", "knn", "hnsw"])
+                   choices=["random", "full", "cluster", "ensemble", "knn",
+                            "hnsw", "ivf"])
     p.add_argument("--kernel_type", type=str, default="euclidean")
     p.add_argument("--proj_dim", type=int, default=0)
     p.add_argument("--n_shot_full", type=int, default=100)
     p.add_argument("--n_shot_random", type=int, default=1)
     p.add_argument("--n_shot_cluster", type=int, default=1)
     p.add_argument("--n_neighbors", type=int, default=10)
+    p.add_argument("--ivf_n_probe", type=int, default=32,
+                   help="mode=ivf: routed bank tiles streamed per batch "
+                        "(recall knob; >= the tile count is exact full mode)")
     p.add_argument("--num_val_steps", type=int, default=10**9)
     p.add_argument("--bank_cache", type=str, default=None,
                    help="directory to save/load the precomputed feature bank")
@@ -118,6 +122,7 @@ def main(argv=None):
         n_shot_cluster=args.n_shot_cluster,
         n_neighbors=args.n_neighbors,
         head_precision=args.head_precision,
+        ivf_n_probe=args.ivf_n_probe,
         seed=args.seed,
         mesh=mesh,
     )

@@ -997,6 +997,16 @@ class NWNet:
                 return output, np.full((len(x),), True)
             return output
 
+        if mode == "ivf":
+            # Device-side pruned full mode (ops/ivf.py): the TPU answer
+            # to the reference's hnsw mode — same union-subset softmax
+            # semantics, but routing is one matmul against tile centroids
+            # and retrieval is pruned bank DMA, no host index.
+            output = self._ivf_predict(variables, qfeat)
+            if self.return_mask:
+                return output, np.full((len(x),), True)
+            return output
+
         sdata = self.support_eval.get_support(mode, x=np.asarray(qfeat))
 
         if mode == "ensemble":
@@ -1019,6 +1029,45 @@ class NWNet:
         (today: clip's logit_scale)."""
         kparams = variables["params"].get("head", {})
         return {k: v for k, v in kparams.items() if k == "logit_scale"} or None
+
+    def _ivf_predict(self, variables, qfeat):
+        """IVF-pruned predict: build (once per bank) the cluster-sorted
+        prepared bank + tile-centroid routing index from the precomputed
+        full-bank features, then serve with pruned bank DMA. Cached
+        against the full-bank feature object (strong ref, identity cannot
+        recycle) and cleared at every bank-invalidation site alongside
+        the sharded caches. The bank rides the jitted call as an ARGUMENT
+        (the 413 lesson — closing over it would inline GBs of HLO
+        constants)."""
+        if getattr(self, "full_feat", None) is None:
+            raise ValueError("mode='ivf' needs precompute() first")
+        cached = self._ivf_cache
+        if cached is not None and cached[0] is self.full_feat:
+            return cached[2](qfeat, cached[1])
+        from nwhead_tpu.ops import nw_fused_ivf_log_probs, prepare_support_ivf
+
+        ivf = prepare_support_ivf(
+            jnp.asarray(self.full_feat),
+            jnp.asarray(self.full_y, dtype=jnp.int32),
+            self.n_classes,
+            kernel=self.kernel_type,
+            precision=self.model.head_precision,
+            n_clusters=self.ivf_n_clusters,
+        )
+        kparams = self._head_kernel_params(variables)
+        n_probe = min(self.ivf_n_probe, ivf.prep.lane.shape[0])
+        n_classes = self.n_classes
+        kernel = self.kernel_type
+
+        @jax.jit
+        def fn(qf, ivf_):
+            return nw_fused_ivf_log_probs(
+                qf, ivf_, n_classes, kernel=kernel, kernel_params=kparams,
+                n_probe=n_probe,
+            )
+
+        self._ivf_cache = (self.full_feat, ivf, fn)
+        return fn(qfeat, ivf)
 
     def _knn_sharded(self, variables, qfeat):
         """Sharded exact-KNN predict, cached against the sharded bank

@@ -1,0 +1,135 @@
+"""On-chip IVF-pruned serving lab: pruned bank DMA vs the exact head.
+
+The exact prepared head streams the WHOLE bank per query tile — at 1M
+rows that is 0.70 ms of int8 DMA per call plus an S-scaled VPU score
+chain. mode='ivf' (ops/ivf.py) streams only the union of each batch's
+top-``n_probe`` routed tiles, so both terms scale with the union size.
+The union is a BATCH property: uniform-random queries over many classes
+route to most of the bank at large B (no win by design — the subset
+softmax needs those tiles), while concentrated batches (real serving
+skew: a handful of active classes per batch) prune deeply. This lab
+measures both regimes, with top-1 agreement vs the exact head as the
+recall gate, at f32 and int8, B=64/256.
+
+Run on the chip (single-client tunnel!): python scripts/ivf_lab.py
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from timing import interleaved_time  # noqa: E402
+from nwhead_tpu.ops import (  # noqa: E402
+    nw_fused_from_prepared,
+    nw_fused_ivf_log_probs,
+    prepare_support_ivf,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--s", type=int, default=1_000_000)
+    ap.add_argument("--c", type=int, default=1000)
+    ap.add_argument("--d", type=int, default=512)
+    ap.add_argument("--kernel", default="euclidean")
+    ap.add_argument("--precisions", default="int8,f32")
+    ap.add_argument("--batches", default="64,256")
+    ap.add_argument("--probes", default="4,8,16,32")
+    ap.add_argument("--active_classes", type=int, default=8,
+                    help="classes per concentrated batch")
+    ap.add_argument("--cycles", type=int, default=5)
+    args = ap.parse_args()
+
+    S, C, D = args.s, args.c, args.d
+    rng = np.random.default_rng(0)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(7), 3)
+    sy = jax.random.randint(k0, (S,), 0, C, dtype=jnp.int32)
+    cents = 0.5 * jax.random.normal(k1, (C, D), jnp.float32)
+
+    @jax.jit
+    def build(sy):
+        return cents[sy] + 0.1 * jax.random.normal(k2, (S, D), jnp.float32)
+
+    sfeat = build(sy)
+    jax.block_until_ready(sfeat)
+    cents_np = np.asarray(cents)
+    print(f"bank on device: S={S} C={C} D={D}", flush=True)
+
+    for prec in args.precisions.split(","):
+        t0 = time.perf_counter()
+        ivf = prepare_support_ivf(
+            sfeat, sy, C, kernel=args.kernel, precision=prec
+        )
+        jax.block_until_ready(jax.tree.leaves(ivf))
+        n_tiles = ivf.prep.lane.shape[0]
+        print(f"[{prec}] ivf build {time.perf_counter() - t0:.1f} s, "
+              f"n_tiles={n_tiles}", flush=True)
+
+        for B in (int(b) for b in args.batches.split(",")):
+            qs = {}
+            qy_u = rng.integers(0, C, B)
+            qs["uniform"] = qy_u
+            qy_c = rng.choice(
+                rng.choice(C, args.active_classes, replace=False), B
+            )
+            qs["concentrated"] = qy_c
+            for tag, qy in qs.items():
+                q = jnp.asarray(
+                    cents_np[qy] + 0.1 * rng.standard_normal((B, D)),
+                    jnp.float32,
+                )
+                exact = np.asarray(nw_fused_from_prepared(
+                    q, ivf.prep, C, kernel=args.kernel))
+
+                def exact_fn(q_, p_, carry):
+                    return nw_fused_from_prepared(
+                        q_, p_, C, kernel=args.kernel).sum() * 1e-6
+
+                cases = [("exact", exact_fn, (q, ivf.prep))]
+                stats = {}
+                for p in (int(x) for x in args.probes.split(",")):
+                    out = np.asarray(nw_fused_ivf_log_probs(
+                        q, ivf, C, kernel=args.kernel, n_probe=p))
+                    agree = (out.argmax(1) == exact.argmax(1)).mean()
+                    pd = np.abs(np.exp(out) - np.exp(exact)).max()
+                    # Union size: rerun routing on host for the report.
+                    from nwhead_tpu.ops.ivf import route_tiles
+                    from nwhead_tpu.ops.pallas_nw import _resolve_mode
+                    mode, _, qn, _ = _resolve_mode(
+                        args.kernel, {"logit_scale": jnp.float32(0.0)},
+                        q, q[:1])
+                    tsel = np.asarray(route_tiles(qn, ivf, p, mode=mode))
+                    stats[p] = (agree, pd, int((tsel >= 0).sum()))
+
+                    def mk(pp):
+                        def fn(q_, ivf_, carry):
+                            return nw_fused_ivf_log_probs(
+                                q_, ivf_, C, kernel=args.kernel,
+                                n_probe=pp).sum() * 1e-6
+                        return fn
+
+                    cases.append((f"p{p}", mk(p), (q, ivf)))
+                res = interleaved_time(cases, cycles=args.cycles)
+                base = res["exact"]
+                line = f"{prec} B={B} {tag}: exact {base * 1e3:.2f} ms"
+                for p, (agree, pd, union) in stats.items():
+                    line += (
+                        f" | p{p} {res[f'p{p}'] * 1e3:.2f} ms "
+                        f"({base / res[f'p{p}']:.2f}x, union {union}/"
+                        f"{n_tiles}, agree {agree:.3f}, pd {pd:.1e})"
+                    )
+                print(line, flush=True)
+        del ivf
+
+
+if __name__ == "__main__":
+    main()

@@ -257,3 +257,81 @@ class TestIVF:
         valid = tsel[tsel >= 0]
         assert len(valid) >= 2
         assert len(np.unique(valid)) == len(valid)
+
+
+class TestNWNetIVF:
+    def _net(self, **kw):
+        import flax.linen as nn
+
+        from nwhead_tpu.data import make_synthetic_dataset
+        from nwhead_tpu.nw.net import NWNet
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                x = nn.Conv(8, (3, 3), padding="SAME")(x)
+                x = nn.relu(x)
+                x = jnp.mean(x, axis=(1, 2))
+                return nn.Dense(16)(x)
+
+        ds = make_synthetic_dataset(n=48, n_classes=4, size=8, seed=0)
+        net = NWNet(
+            Tiny(), n_classes=4, support_dataset=ds, feat_dim=16,
+            n_shot=2, n_way=3, n_shot_full=100, seed=0, **kw,
+        )
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.images[:2]))
+        net.precompute(variables)
+        q = jnp.asarray(
+            make_synthetic_dataset(n=6, n_classes=4, size=8, seed=3).images
+        )
+        return net, variables, q
+
+    def test_mode_ivf_matches_full_at_full_probe(self):
+        # ivf_n_probe far above the tile count -> exact full mode.
+        net, variables, q = self._net(ivf_n_probe=10_000)
+        full = np.asarray(net.predict(variables, q, mode="full"))
+        out = np.asarray(net.predict(variables, q, mode="ivf"))
+        pd = np.abs(np.exp(full) - np.exp(out)).max()
+        assert pd < 1e-5, pd
+
+    def test_cache_invalidation_on_precompute(self):
+        net, variables, q = self._net(ivf_n_probe=10_000)
+        _ = net.predict(variables, q, mode="ivf")
+        assert net._ivf_cache is not None
+        net.precompute(variables)
+        assert net._ivf_cache is None
+        out = np.asarray(net.predict(variables, q, mode="ivf"))
+        full = np.asarray(net.predict(variables, q, mode="full"))
+        assert np.abs(np.exp(full) - np.exp(out)).max() < 1e-5
+
+    def test_requires_precompute(self):
+        import flax.linen as nn
+
+        from nwhead_tpu.data import make_synthetic_dataset
+        from nwhead_tpu.nw.net import NWNet
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                return jnp.mean(x, axis=(1, 2)) @ jnp.ones((3, 8))
+
+        ds = make_synthetic_dataset(n=16, n_classes=4, size=8, seed=0)
+        net = NWNet(Tiny(), n_classes=4, support_dataset=ds, seed=0)
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(ds.images[:2]))
+        with pytest.raises(ValueError, match="precompute"):
+            net.predict(variables, jnp.asarray(ds.images[:2]), mode="ivf")
+
+    def test_eval_cli_mode_ivf(self):
+        """eval.py --modes full ivf: at n_probe >= tile count the pruned
+        path IS full mode, so the CLI metrics must agree."""
+        import eval as eval_cli
+
+        results = eval_cli.main([
+            "--dataset", "synthetic", "--arch", "resnet10",
+            "--modes", "full", "ivf", "--batch_size", "8",
+            "--num_val_steps", "2", "--n_shot_full", "5",
+            "--ivf_n_probe", "100000",
+        ])
+        assert np.isfinite(results["ivf"]["nll"])
+        assert abs(results["ivf"]["nll"] - results["full"]["nll"]) < 1e-4
+        assert results["ivf"]["acc"] == results["full"]["acc"]
