@@ -69,14 +69,41 @@ class IVFPrepared(NamedTuple):
     cvalid: jnp.ndarray  # (n_tiles,) f32 1/0 — tile holds any valid row
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _kmeans_pp_init(key, x, k):
+    """k-means++ seeding: each next center drawn w.p. proportional to its
+    squared distance from the chosen set. Random-row init at k ~ C covers
+    only ~63% of well-separated clusters (coupon collector) and Lloyd
+    cannot split a merged pair — which both hurts routing recall and
+    (because a merged cluster's rows span two arbitrary classes) blows up
+    the dominant-class tile windows. One (n,) distance vector + a k-step
+    scan of matvecs — no (n, k) temp until Lloyd itself."""
+    n = x.shape[0]
+    x2 = jnp.sum(x * x, axis=1)
+    kf, key = jax.random.split(key)
+    first = jax.random.randint(kf, (), 0, n)
+    d2 = jnp.maximum(x2 - 2.0 * (x @ x[first]) + x2[first], 0.0)
+
+    def step(carry, _):
+        d2, key = carry
+        key, ks = jax.random.split(key)
+        idx = jax.random.categorical(ks, jnp.log(jnp.maximum(d2, 1e-30)))
+        c = x[idx]
+        nd = x2 - 2.0 * (x @ c) + jnp.sum(c * c)
+        d2 = jnp.minimum(d2, jnp.maximum(nd, 0.0))
+        return (d2, key), idx
+
+    (_, _), rest = jax.lax.scan(step, (d2, key), None, length=k - 1)
+    return x[jnp.concatenate([first[None], rest])]
+
+
 @partial(jax.jit, static_argnames=("k", "n_iter"))
 def _kmeans_fit(key, x, k, n_iter):
     """Matmul-form Lloyd on a fully-valid sample. x: (n, d) f32 ->
     (k, d) centroids. Peak temp is the (n, k) affinity matrix — never the
     (n, k, d) broadcast the per-class clusterer uses (fine at its
     episodic scale, fatal at bank scale)."""
-    n = x.shape[0]
-    cents = x[jax.random.permutation(key, n)[:k]]
+    cents = _kmeans_pp_init(key, x, k)
 
     def step(_, cents):
         aff = 2.0 * (x @ cents.T) - jnp.sum(cents * cents, axis=1)[None, :]
@@ -125,20 +152,40 @@ def prepare_support_ivf(
     sample: int = 65536,
     seed: int = 0,
     assign_chunk: int = 65536,
+    order: str = "auto",
 ) -> IVFPrepared:
     """Build an IVF-routable prepared bank (host-side build, like
     ``prepare_support``).
 
-    ``n_clusters`` defaults to the bank's tile count — one cluster per
-    1024-row tile is the natural routing granularity (the kernel streams
-    whole tiles either way). The Lloyd fit runs on a ``sample``-row
-    subsample (routing needs coarse structure, not optimal centroids);
-    assignment of all rows is chunked matmuls.
+    ``order`` picks the row layout that makes fixed bank tiles spatially
+    coherent (the whole routing index is per-tile centroids):
 
-    Rows are sorted by cluster, which precludes the class-sorted window
-    layout (``window=False``) — IVF targets huge many-class banks where
-    pruned DMA dominates what windows save on the aggregation matmul.
+    * ``"class"`` — sort rows by label. NW serving banks are
+      class-clustered by construction (features of one class cluster
+      together — that is why the head works), so when classes are at
+      least as numerous as tiles each tile sits inside one class
+      neighborhood: centroids ≈ class means, no k-means fit at all
+      (build = one argsort), and the per-tile class windows that pay for
+      the C-scaled aggregation matmul (~1.7 ms of the 4.3 ms exact
+      B=256 call at S=1e6/C=1000) come out optimal.
+    * ``"cluster"`` — k-means (k-means++ seeded, Lloyd on a ``sample``-row
+      subsample, chunked full-bank assignment) then sort by (cluster's
+      dominant class, cluster id). For banks whose geometry is FINER than
+      the label structure: few classes spread over many tiles, or
+      multi-modal classes. Windows ride ``prepare_support(window="keep")``
+      and survive only where clusters come out class-pure — a single
+      stray row in a merged cluster widens the uniform window to full
+      width and drops them (graceful: the plain path is exact).
+    * ``"auto"`` (default) — ``"class"`` when ``n_classes >= n_tiles``
+      (every tile then maps into one class's neighborhood), else
+      ``"cluster"``.
+
+    ``n_clusters`` (cluster order only) defaults to the bank's tile count
+    — one cluster per 1024-row tile is the natural routing granularity
+    (the kernel streams whole tiles either way).
     """
+    if order not in ("auto", "class", "cluster"):
+        raise ValueError(f"unknown order {order!r}")
     if support_mask is None:
         support_mask = jnp.ones(sfeat.shape[0], dtype=jnp.float32)
     mode, _, _, sn = _resolve_mode(
@@ -152,38 +199,67 @@ def prepare_support_ivf(
     k = n_clusters or max(2, min(n_tiles_est, 65536))
     k = min(k, S)
 
-    key = jax.random.PRNGKey(seed)
-    ksamp, kfit = jax.random.split(key)
-    # Fit on a subsample of the VALID rows (masked rows carry zeros or
-    # untrusted content; they sort last regardless of their assignment).
     mask_np = np.asarray(support_mask) > 0
     valid_idx = np.nonzero(mask_np)[0]
     if valid_idx.size == 0:
         raise ValueError("prepare_support_ivf needs at least one valid row")
-    n_fit = min(sample, valid_idx.size)
-    pick = np.asarray(
-        jax.random.choice(ksamp, valid_idx.size, (n_fit,), replace=False)
-    )
-    fit_x = jnp.asarray(sn[valid_idx[pick]], jnp.float32)
-    k = min(k, n_fit)
-    cents_fit = _kmeans_fit(kfit, fit_x, k, cluster_iters)
+    sy_np = np.asarray(sy).astype(np.int64)
+    if order == "auto":
+        order = "class" if n_classes >= n_tiles_est else "cluster"
 
-    assign = np.empty(S, np.int64)
-    for lo in range(0, S, assign_chunk):
-        hi = min(lo + assign_chunk, S)
-        assign[lo:hi] = np.asarray(
-            _assign_chunk(sn[lo:hi].astype(jnp.float32), cents_fit)
+    if order == "class":
+        # Stable class sort, masked rows last — identical to the order
+        # prepare_support(window=True) would pick itself, so windows are
+        # the standard optimal ones.
+        perm = np.argsort(
+            np.where(mask_np, sy_np, n_classes), kind="stable"
         )
-    # Masked rows last (cluster id k sorts past every real cluster).
-    assign = np.where(mask_np, assign, k)
-    order = np.argsort(assign, kind="stable")
+    else:
+        key = jax.random.PRNGKey(seed)
+        ksamp, kfit = jax.random.split(key)
+        # Fit on a subsample of the VALID rows (masked rows carry zeros or
+        # untrusted content; they sort last regardless of their assignment).
+        n_fit = min(sample, valid_idx.size)
+        pick = np.asarray(
+            jax.random.choice(ksamp, valid_idx.size, (n_fit,), replace=False)
+        )
+        fit_x = jnp.asarray(sn[valid_idx[pick]], jnp.float32)
+        k = min(k, n_fit)
+        cents_fit = _kmeans_fit(kfit, fit_x, k, cluster_iters)
 
-    sfeat_s = jnp.asarray(sfeat)[order]
-    sy_s = jnp.asarray(sy)[order]
-    mask_s = jnp.asarray(support_mask)[order]
+        assign = np.empty(S, np.int64)
+        for lo in range(0, S, assign_chunk):
+            hi = min(lo + assign_chunk, S)
+            assign[lo:hi] = np.asarray(
+                _assign_chunk(sn[lo:hi].astype(jnp.float32), cents_fit)
+            )
+        # Masked rows last (cluster id k sorts past every real cluster).
+        assign = np.where(mask_np, assign, k)
+        # Order clusters by their dominant class (then cluster id): rows
+        # of a cluster stay contiguous (routing unchanged) while tiles'
+        # class spans narrow wherever clusters are class-pure —
+        # window="keep" below turns that into the class-windowed
+        # aggregation path. Memory-safe dominant class: np.unique over
+        # (cluster, class) pair codes + ascending-count stable writes
+        # (the last write per cluster is its argmax class).
+        pairs, cnt = np.unique(
+            assign[mask_np] * np.int64(n_classes) + sy_np[mask_np],
+            return_counts=True,
+        )
+        bycnt = np.argsort(cnt, kind="stable")
+        dom = np.zeros(k + 1, np.int64)
+        dom[pairs[bycnt] // n_classes] = pairs[bycnt] % n_classes
+        dom[k] = n_classes  # the masked-row sentinel cluster sorts last
+        perm = np.argsort(
+            dom[assign] * np.int64(k + 1) + assign, kind="stable"
+        )
+
+    sfeat_s = jnp.asarray(sfeat)[perm]
+    sy_s = jnp.asarray(sy)[perm]
+    mask_s = jnp.asarray(support_mask)[perm]
     prep = prepare_support(
         sfeat_s, sy_s, n_classes, kernel=kernel, precision=precision,
-        support_mask=mask_s, block_s=block_s, window=False,
+        support_mask=mask_s, block_s=block_s, window="keep",
     )
     n_tiles = prep.lane.shape[0]
     block_s_used = prep.lane.shape[1] * 128

@@ -222,6 +222,11 @@ def prepare_support(
     (the head's output is order-independent); pass ``window=False`` where
     callers slice prepared fields positionally across shards (the sharded
     bank concatenates per-shard preps, whose static widths could differ).
+    ``window="keep"`` computes the per-tile windows WITHOUT re-sorting —
+    for callers whose row order already groups classes (the IVF
+    cluster-sort orders clusters by dominant class); if any tile's span
+    reaches full width the windows are dropped automatically (the
+    ``W < c_pad`` check), so a hostile order only costs the plain path.
 
     ``return_order=True``: also return the host-side row permutation as an
     int64 numpy array (``order[j]`` = input row index stored at prepared
@@ -254,15 +259,16 @@ def prepare_support(
     if windowed:
         sy_np = np.asarray(sy)
         mask_np = np.asarray(support_mask)
-        # Stable sort by class, masked rows last (their label is a
-        # sentinel anyway); applied to features/labels/mask together.
-        order = np.argsort(
-            np.where(mask_np > 0, sy_np, n_classes), kind="stable"
-        )
-        sfeat = jnp.asarray(sfeat)[order]
-        sy = jnp.asarray(sy)[order]
-        support_mask = jnp.asarray(support_mask)[order]
-        sy_np, mask_np = sy_np[order], mask_np[order]
+        if window != "keep":
+            # Stable sort by class, masked rows last (their label is a
+            # sentinel anyway); applied to features/labels/mask together.
+            order = np.argsort(
+                np.where(mask_np > 0, sy_np, n_classes), kind="stable"
+            )
+            sfeat = jnp.asarray(sfeat)[order]
+            sy = jnp.asarray(sy)[order]
+            support_mask = jnp.asarray(support_mask)[order]
+            sy_np, mask_np = sy_np[order], mask_np[order]
     if not isinstance(sy, jax.core.Tracer):  # host-side prep: validate labels
         mx = int(jnp.max(sy))
         if mx >= n_classes:

@@ -234,6 +234,90 @@ class TestIVF:
         pd = np.abs(np.exp(np.asarray(eager)) - np.exp(np.asarray(jitted))).max()
         assert pd < 1e-6, pd
 
+    def test_clustered_many_class_bank_windows(self):
+        """order='auto' resolves to the class sort when C >= n_tiles: a
+        many-class bank (C > 128) must build WITH per-tile class windows
+        (the aggregation fast path), stay exact at full probe, and keep
+        perfect pruned top-1 agreement. order='cluster' on the same bank
+        must stay exact whether or not its windows survive."""
+        sf, sy, q = _bank(S=4096, C=500, B=16, seed=12, clustered=True)
+        ivf = prepare_support_ivf(
+            sf, sy, 500, kernel="euclidean", block_s=256, sample=2048
+        )
+        assert ivf.prep.win is not None, (
+            "class-ordered many-class bank must window"
+        )
+        c_pad = 512  # _round_up(500, 128)
+        assert ivf.prep.win.shape[1] * 128 <= c_pad
+        full = nw_fused_from_prepared(q, ivf.prep, 500, kernel="euclidean")
+        out = nw_fused_ivf_log_probs(
+            q, ivf, 500, kernel="euclidean", n_probe=ivf.prep.lane.shape[0]
+        )
+        pd = np.abs(np.exp(np.asarray(full)) - np.exp(np.asarray(out))).max()
+        assert pd < 1e-6, pd
+        # Exactness anchor: the naive op on the ORIGINAL row order.
+        from nwhead_tpu.ops.nw import nw_log_probs
+
+        want = np.asarray(nw_log_probs(q, sf, sy, 500))
+        pd2 = np.abs(np.exp(want) - np.exp(np.asarray(full))).max()
+        assert pd2 < 5e-3, pd2
+        pruned = nw_fused_ivf_log_probs(
+            q, ivf, 500, kernel="euclidean", n_probe=2
+        )
+        agree = (
+            np.argmax(np.asarray(pruned), 1) == np.argmax(want, 1)
+        ).mean()
+        # C >> n_tiles dilutes tile centroids (~31 unrelated classes per
+        # tile) — routing recall is granularity-limited here, not exact.
+        # The matched regime (C ~ n_tiles) is tested below at 1.0.
+        assert agree >= 0.8, agree
+
+        # Explicit cluster order: exact at full probe regardless of
+        # whether the dominant-class sort kept any windows.
+        ivf_c = prepare_support_ivf(
+            sf, sy, 500, kernel="euclidean", block_s=256, sample=2048,
+            order="cluster",
+        )
+        full_c = nw_fused_from_prepared(
+            q, ivf_c.prep, 500, kernel="euclidean"
+        )
+        pd3 = np.abs(np.exp(want) - np.exp(np.asarray(full_c))).max()
+        assert pd3 < 5e-3, pd3
+
+    def test_matched_regime_windows_and_perfect_recall(self):
+        """C ~ n_tiles (the 1M-row/C=1000 headline shape, scaled down):
+        class order gives one tile per class — windows optimal AND pruned
+        routing recalls perfectly at small n_probe."""
+        # 128 rows/class -> one tile per class after the class sort.
+        # C > 256 so the W=256 window (tiles straddling a 128-class
+        # boundary force it) is still narrower than c_pad=384.
+        rng = np.random.default_rng(13)
+        C, D, B = 300, 64, 8
+        cents = rng.standard_normal((C, D)) * 4.0
+        sy = np.repeat(np.arange(C, dtype=np.int32), 128)
+        rng.shuffle(sy)
+        sf = cents[sy] + 0.3 * rng.standard_normal((len(sy), D))
+        qy = rng.integers(0, C, B)
+        q = jnp.asarray(
+            cents[qy] + 0.3 * rng.standard_normal((B, D)), jnp.float32
+        )
+        sf = jnp.asarray(sf, jnp.float32)
+        sy = jnp.asarray(sy)
+        ivf = prepare_support_ivf(
+            sf, sy, C, kernel="euclidean", block_s=128, sample=4096
+        )
+        assert ivf.prep.win is not None
+        from nwhead_tpu.ops.nw import nw_log_probs
+
+        want = np.asarray(nw_log_probs(q, sf, sy, C))
+        pruned = nw_fused_ivf_log_probs(
+            q, ivf, C, kernel="euclidean", n_probe=2
+        )
+        agree = (
+            np.argmax(np.asarray(pruned), 1) == np.argmax(want, 1)
+        ).mean()
+        assert agree == 1.0
+
     def test_routing_recalls_nearest_tile(self):
         """The tile holding a query's nearest neighbors must be in the
         selection (randomized)."""

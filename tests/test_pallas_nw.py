@@ -915,3 +915,60 @@ def test_windowed_prepared_aggregation():
     # No window when it cannot help / is disabled.
     assert prepare_support(s, sy % 100, 100).win is None
     assert prepare_support(s, sy, C, window=False).win is None
+
+
+def test_window_keep_mode():
+    """window='keep': per-tile class windows computed WITHOUT re-sorting.
+
+    A caller-provided class-grouped order (the IVF dominant-class cluster
+    sort) must window and stay exact vs the naive op; a hostile shuffled
+    order must auto-drop to the plain path (win None) and stay exact; and
+    return_order must report identity (None) since no permutation happened.
+    """
+    from nwhead_tpu.ops.pallas_nw import nw_fused_log_probs, prepare_support
+
+    rng = np.random.default_rng(23)
+    B, S, D, C = 5, 700, 64, 500
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    s_np = rng.standard_normal((S, D)).astype(np.float32)
+    sy_np = rng.integers(0, C, size=S).astype(np.int32)
+
+    # Class-grouped order, built by the caller (not by prepare_support).
+    grp = np.argsort(sy_np, kind="stable")
+    s_g = jnp.asarray(s_np[grp])
+    sy_g = jnp.asarray(sy_np[grp])
+    want = np.asarray(nw_log_probs(q, s_g, sy_g, C))
+
+    prep, order = prepare_support(
+        s_g, sy_g, C, block_s=256, window="keep", return_order=True
+    )
+    assert prep.win is not None, "class-grouped order must keep windows"
+    assert prep.win.shape[1] * 128 < 512
+    assert order is None, "keep mode must not permute rows"
+    got = np.asarray(nw_fused_log_probs(q, prep, None, C))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    # Same rows, masked tail: masked labels never widen a kept window.
+    keep = 600
+    mask = jnp.asarray((np.arange(S) < keep).astype(np.float32))
+    sy_p = np.asarray(sy_g).copy()
+    sy_p[keep:] = 0  # poison far from the tail tiles' span
+    prep_m = prepare_support(
+        s_g, jnp.asarray(sy_p), C, block_s=256, window="keep",
+        support_mask=mask,
+    )
+    want_m = np.asarray(
+        nw_log_probs(q, s_g[:keep], jnp.asarray(sy_p[:keep]), C)
+    )
+    got_m = np.asarray(nw_fused_log_probs(q, prep_m, None, C))
+    np.testing.assert_allclose(got_m, want_m, rtol=2e-3, atol=2e-3)
+
+    # Hostile order: a tile spanning the full class range drops windows
+    # everywhere — but the output is still exact (plain path).
+    s_h = jnp.asarray(s_np)
+    sy_h = jnp.asarray(sy_np)
+    prep_h = prepare_support(s_h, sy_h, C, block_s=256, window="keep")
+    assert prep_h.win is None
+    want_h = np.asarray(nw_log_probs(q, s_h, sy_h, C))
+    got_h = np.asarray(nw_fused_log_probs(q, prep_h, None, C))
+    np.testing.assert_allclose(got_h, want_h, rtol=2e-3, atol=2e-3)
