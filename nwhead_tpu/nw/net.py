@@ -628,6 +628,11 @@ class NWNet:
                     precision=self.model.head_precision if fused_ok
                     else "f32",
                     use_prepared=None if fused_ok else False,
+                    # Attach the per-shard tile-routing index whenever the
+                    # prepared path is in play: build cost is one argsort
+                    # + tiny centroid arrays per shard, and mode='ivf'
+                    # then works out of the box under a mesh.
+                    ivf=fused_ok,
                 )
             # Trained kernel params (clip's logit_scale) ride along.
             self._sharded_predict = self.sharded_bank.predict_fn(
@@ -1041,6 +1046,28 @@ class NWNet:
         constants)."""
         if getattr(self, "full_feat", None) is None:
             raise ValueError("mode='ivf' needs precompute() first")
+        if self.mesh is not None:
+            # Pod path: the sharded bank carries its own per-shard routing
+            # index (build(ivf=True)); each device routes against its
+            # LOCAL tiles and streams only the selected ones. No
+            # single-device bank copy is ever materialized.
+            bank = self.sharded_bank
+            if bank is None or bank.ivf_cents is None:
+                raise ValueError(
+                    "mode='ivf' under a mesh needs the prepared sharded "
+                    "bank with its routing index (fused kernel on TPU, or "
+                    "a reduced-precision head); this bank was built "
+                    "without one"
+                )
+            cached = self._ivf_cache
+            if cached is not None and cached[0] is bank:
+                return cached[1](qfeat)
+            fn = bank.predict_fn(
+                kernel_params=self._head_kernel_params(variables),
+                ivf_n_probe=self.ivf_n_probe,
+            )
+            self._ivf_cache = (bank, fn)
+            return fn(qfeat)
         cached = self._ivf_cache
         if cached is not None and cached[0] is self.full_feat:
             return cached[2](qfeat, cached[1])

@@ -131,7 +131,10 @@ def _tile_centroids(sn, mask, n_tiles, block_s, d_pad):
     s_pad = n_tiles * block_s
     x = jnp.pad(sn.astype(jnp.float32), ((0, s_pad - S), (0, d_pad - d)))
     m = jnp.pad(mask.astype(jnp.float32), (0, s_pad - S))
-    x = x * m[:, None]
+    # where, not multiply: masked rows may hold NaN after kernel
+    # normalization (zero rows under cosine-family kernels), and NaN*0
+    # would poison the tile mean.
+    x = jnp.where(m[:, None] > 0, x, 0.0)
     xt = x.reshape(n_tiles, block_s, d_pad)
     counts = m.reshape(n_tiles, block_s).sum(axis=1)
     cents = xt.sum(axis=1) / jnp.maximum(counts, 1.0)[:, None]

@@ -286,6 +286,13 @@ class ShardedSupportBank:
     # was constructed without build() (e.g. dataclass literal in tests).
     rowmap: Optional[np.ndarray] = field(default=None, repr=False)
     dead: int = 0  # tombstoned rows since the bank was built
+    # IVF tile-routing index over the shard-concatenated prepared tiles
+    # (build(ivf=True); see ops/ivf.py): per-tile centroids in normalized
+    # feature space, their self-norms, and a validity flag — all sharded
+    # P('support') so each device routes against its LOCAL tiles only.
+    ivf_cents: Optional[jnp.ndarray] = None  # (n_tiles_total, d_pad) f32
+    ivf_c2: Optional[jnp.ndarray] = None     # (n_tiles_total,) f32
+    ivf_cvalid: Optional[jnp.ndarray] = None  # (n_tiles_total,) f32 1/0
 
     @staticmethod
     def build(
@@ -296,7 +303,17 @@ class ShardedSupportBank:
         kernel: str = "euclidean",
         precision: str = "f32",
         use_prepared: Optional[bool] = None,
+        ivf: bool = False,
     ) -> "ShardedSupportBank":
+        """``ivf=True`` (prepared mode only): class-sort each shard's rows
+        and attach a per-tile centroid routing index, enabling the pruned
+        ``predict_fn(ivf_n_probe=...)`` path (each device routes queries
+        against its LOCAL tiles and streams only the selected ones — the
+        pod-scale version of ``ops.ivf``). Per-shard routing selects each
+        shard's locally-best ``n_probe`` tiles, a superset of the global
+        top-``n_probe`` restricted to that shard, so recall is at least
+        the single-device IVF's at equal ``n_probe``. Ignored in raw
+        mode (no tile structure to route over)."""
         from nwhead_tpu.ops.pallas_nw import (
             PreparedSupport, _auto_block_s, _round_up, prepare_support,
         )
@@ -333,15 +350,55 @@ class ShardedSupportBank:
             mask_p = np.zeros((local * n_shards,), np.float32)
             mask_p[:S] = 1.0
             preps = []
+            cents_l, c2_l, cvalid_l = [], [], []
             rowmap = np.empty(S, np.int64)
             for k in range(n_shards):
                 sl = slice(k * local, (k + 1) * local)
-                pk, order = prepare_support(
-                    jnp.asarray(feat_p[sl]), jnp.asarray(lab_p[sl]),
-                    n_classes, kernel=kernel,
-                    support_mask=jnp.asarray(mask_p[sl]),
-                    precision=precision, return_order=True,
-                )
+                f_loc, l_loc, m_loc = feat_p[sl], lab_p[sl], mask_p[sl]
+                if ivf:
+                    # Class-sort the shard's rows on the host so each
+                    # fixed bank tile sits inside one class neighborhood
+                    # (tile centroids ≈ class means — the single-device
+                    # order='class' layout, per shard). window='keep'
+                    # computes the class windows from this order without
+                    # a second sort.
+                    perm = np.argsort(
+                        np.where(m_loc > 0, l_loc.astype(np.int64),
+                                 n_classes),
+                        kind="stable",
+                    )
+                    f_loc, l_loc, m_loc = f_loc[perm], l_loc[perm], m_loc[perm]
+                    pk, order = prepare_support(
+                        jnp.asarray(f_loc), jnp.asarray(l_loc),
+                        n_classes, kernel=kernel,
+                        support_mask=jnp.asarray(m_loc),
+                        precision=precision, window="keep",
+                        return_order=True,
+                    )
+                    assert order is None  # 'keep' never permutes
+                    order = perm
+                    from nwhead_tpu.ops.ivf import _tile_centroids
+                    from nwhead_tpu.ops.pallas_nw import _resolve_mode
+
+                    fj = jnp.asarray(f_loc, jnp.float32)
+                    _, _, _, sn_k = _resolve_mode(
+                        kernel, {"logit_scale": jnp.float32(0.0)},
+                        fj[:1], fj,
+                    )
+                    ck, c2k, cvk = _tile_centroids(
+                        sn_k, jnp.asarray(m_loc), pk.lane.shape[0],
+                        pk.lane.shape[1] * 128, _round_up(D, 128),
+                    )
+                    cents_l.append(np.asarray(ck))
+                    c2_l.append(np.asarray(c2k))
+                    cvalid_l.append(np.asarray(cvk))
+                else:
+                    pk, order = prepare_support(
+                        jnp.asarray(f_loc), jnp.asarray(l_loc),
+                        n_classes, kernel=kernel,
+                        support_mask=jnp.asarray(m_loc),
+                        precision=precision, return_order=True,
+                    )
                 preps.append(pk)
                 # Input row i = k*local + r lands at global prepared
                 # position k*shard_rows + inv[r] (shard_rows is uniform:
@@ -374,10 +431,22 @@ class ShardedSupportBank:
                 None if v is None else jax.device_put(v, shard)
                 for v in merged
             ))
+            ivf_cents = ivf_c2 = ivf_cvalid = None
+            if ivf:
+                ivf_cents = jax.device_put(
+                    jnp.asarray(np.concatenate(cents_l, axis=0)), shard
+                )
+                ivf_c2 = jax.device_put(
+                    jnp.asarray(np.concatenate(c2_l)), shard
+                )
+                ivf_cvalid = jax.device_put(
+                    jnp.asarray(np.concatenate(cvalid_l)), shard
+                )
             return ShardedSupportBank(
                 feat=None, labels=None, mask=None, mesh=mesh,
                 n_classes=n_classes, kernel=kernel, prepared=prepared,
                 precision=precision, rowmap=rowmap,
+                ivf_cents=ivf_cents, ivf_c2=ivf_c2, ivf_cvalid=ivf_cvalid,
             )
 
         # Raw mode: pad so each LOCAL shard is already a multiple of the
@@ -423,7 +492,11 @@ class ShardedSupportBank:
         sentinel). Tombstoned rows still stream through the per-shard
         serving kernels — callers should compact (rebuild) past a dead
         fraction (``NWNet.remove_support`` does at 25%). Returns a new
-        bank sharing every untouched array."""
+        bank sharing every untouched array. The IVF routing index (if
+        any) is carried over UNCHANGED: tile centroids still reflect the
+        tombstoned rows, which can only add harmless extra probes (dead
+        rows inside a selected tile contribute exact-zero weight); the
+        compaction rebuild refreshes the centroids."""
         if self.rowmap is None:
             raise ValueError(
                 "this bank carries no row map (not built via build())"
@@ -466,15 +539,31 @@ class ShardedSupportBank:
             dead=self.dead + int(live_idx.size),
         )
 
-    def mapped_prepared(self, kernel_params: Optional[Dict[str, Any]] = None):
+    def mapped_prepared(
+        self,
+        kernel_params: Optional[Dict[str, Any]] = None,
+        ivf_n_probe: Optional[int] = None,
+    ):
         """The UNJITTED shard_mapped prepared predict plus its operand
         field names: ``(mapped, names)`` where ``mapped(qfeat, *arrs)``
-        with ``arrs = [getattr(prepared, n) for n in names]`` returns
-        (B, C) log-probs. Shared by ``predict_fn`` (live serving) and the
-        AOT mesh exporter (``utils.aot.export_mesh_serving_artifact``),
-        which needs the traceable fn to compose into one exported jit."""
+        with ``arrs = [getattr(prepared, n) for n in names] +
+        [the ivf index arrays, when routing]`` returns (B, C) log-probs.
+        Shared by ``predict_fn`` (live serving) and the AOT mesh exporter
+        (``utils.aot.export_mesh_serving_artifact``), which needs the
+        traceable fn to compose into one exported jit.
+
+        ``ivf_n_probe``: route each query against the shard's LOCAL tile
+        centroids and stream only the selected tiles (``build(ivf=True)``
+        banks). The per-shard partials merge is unchanged — a shard whose
+        selected tiles hold none of the query's mass contributes ~zero
+        weight exactly like its masked rows would."""
         if self.prepared is None:
             raise ValueError("mapped_prepared needs a prepared sharded bank")
+        if ivf_n_probe is not None and self.ivf_cents is None:
+            raise ValueError(
+                "ivf_n_probe needs a routing index — build the sharded "
+                "bank with ivf=True"
+            )
         from nwhead_tpu.ops.pallas_nw import (
             PreparedSupport, nw_fused_from_prepared,
         )
@@ -488,6 +577,10 @@ class ShardedSupportBank:
             n for n in ("s", "s2c", "lane", "sub", "sscale", "win")
             if getattr(prep, n) is not None
         ]
+        n_extra = 0
+        if ivf_n_probe is not None:
+            names = names + ["ivf_cents", "ivf_c2", "ivf_cvalid"]
+            n_extra = 3
 
         def local_prepared(qfeat, *arrs):
             kw = dict(zip(names, arrs))
@@ -496,11 +589,26 @@ class ShardedSupportBank:
                 sub=kw["sub"], sscale=kw.get("sscale"),
                 win=kw.get("win"),
             )
-            m, l, acc = nw_fused_from_prepared(
-                qfeat, local_prep, n_classes,
-                kernel=kernel, kernel_params=kernel_params,
-                partials=True,
-            )
+            if ivf_n_probe is not None:
+                from nwhead_tpu.ops.ivf import (
+                    IVFPrepared, nw_fused_ivf_log_probs,
+                )
+
+                ivf_local = IVFPrepared(
+                    prep=local_prep, cents=kw["ivf_cents"],
+                    c2=kw["ivf_c2"], cvalid=kw["ivf_cvalid"],
+                )
+                m, l, acc = nw_fused_ivf_log_probs(
+                    qfeat, ivf_local, n_classes,
+                    kernel=kernel, kernel_params=kernel_params,
+                    n_probe=ivf_n_probe, partials=True,
+                )
+            else:
+                m, l, acc = nw_fused_from_prepared(
+                    qfeat, local_prep, n_classes,
+                    kernel=kernel, kernel_params=kernel_params,
+                    partials=True,
+                )
             return merge_partials(m, l, acc, "support")
 
         mapped = jax.shard_map(
@@ -514,23 +622,38 @@ class ShardedSupportBank:
         )
         return mapped, names
 
-    def predict_fn(self, kernel_params: Optional[Dict[str, Any]] = None):
+    def predict_fn(
+        self,
+        kernel_params: Optional[Dict[str, Any]] = None,
+        ivf_n_probe: Optional[int] = None,
+    ):
         """Jitted, shard_mapped full-mode predict: qfeat (B, D) -> (B, C)
         log-probs. Queries are sharded over 'data' and replicated over
-        'support'; the bank stays put; one (B, C+2) psum rides ICI."""
+        'support'; the bank stays put; one (B, C+2) psum rides ICI.
+        ``ivf_n_probe`` switches to the routed (IVF-pruned) prepared path
+        — see ``mapped_prepared``."""
         n_classes = self.n_classes
         kernel = self.kernel
 
         if self.prepared is not None:
             prep = self.prepared
-            mapped, names = self.mapped_prepared(kernel_params)
+            mapped, names = self.mapped_prepared(kernel_params, ivf_n_probe)
 
             jitted = jax.jit(mapped)  # bank as jit args (413-proof)
 
             def predict_prepared(qfeat):
-                return jitted(qfeat, *[getattr(prep, n) for n in names])
+                return jitted(qfeat, *[
+                    getattr(prep, n) if n in prep._fields else
+                    getattr(self, n)
+                    for n in names
+                ])
 
             return predict_prepared
+        if ivf_n_probe is not None:
+            raise ValueError(
+                "ivf_n_probe needs the prepared sharded path (raw-mode "
+                "banks have no tile structure to route over)"
+            )
 
         def local(qfeat, sfeat, sy, mask):
             m, l, acc = nw_partials(

@@ -146,6 +146,33 @@ def main(argv=None):
         # Support sharding splits a FIXED bank: ideal speedup = n.
         report["predict_scaling_efficiency"] = round(qps_n / (qps_1 * n), 3)
 
+    # -- 1a. routed (IVF-pruned) sharded predict: per-shard tile-centroid
+    # routing + pruned tile streaming (build(ivf=True)). Measured at a
+    # small probe count — the serving-skew win — plus a full-probe
+    # correctness gate vs the un-routed path.
+    try:
+        mesh_r = make_mesh(1, n, devices=devices)
+        bank_r = ShardedSupportBank.build(
+            feats, labels, mesh_r, args.classes, precision=args.precision,
+            use_prepared=True, ivf=True,
+        )
+        n_tiles_local = bank_r.prepared.lane.shape[0] // n
+        full_fn = bank_r.predict_fn(ivf_n_probe=n_tiles_local)
+        plain_fn = bank_r.predict_fn()
+        gate = float(np.abs(
+            np.exp(np.asarray(full_fn(q))) - np.exp(np.asarray(plain_fn(q)))
+        ).max())
+        report["ivf_full_probe_gate"] = gate
+        assert gate < 1e-5, gate
+        probe = max(1, min(4, n_tiles_local))
+        routed_fn = bank_r.predict_fn(ivf_n_probe=probe)
+        t_r = _time_calls(routed_fn, (q,), args.iters)
+        report["ivf_routed_qps_ndev"] = round(args.batch / t_r, 1)
+        report["ivf_routed_ms_ndev"] = round(t_r * 1e3, 3)
+        report["ivf_n_probe"] = probe
+    except Exception as e:  # pragma: no cover - diagnostic path
+        report["ivf_error"] = f"{type(e).__name__}: {e}"
+
     # -- 1b. sharded ensemble + exact-KNN predict (the other two bank-
     # holding modes; both ride the same partials merge — measured so the
     # pod table covers every sharded inference path) -----------------------
