@@ -817,10 +817,20 @@ class NWNet:
 
     # -- inference -----------------------------------------------------------
 
-    def make_serving_fn(self, variables: Dict[str, Any], normalize=None):
+    def make_serving_fn(
+        self, variables: Dict[str, Any], normalize=None, mode: str = "full",
+    ):
         """One-dispatch serving callable for the prepared full-mode path:
         a single jitted ``uint8/float batch -> log-probs`` composing
         normalize -> featurize -> prepared head.
+
+        ``mode='ivf'`` serves through the IVF-pruned head instead
+        (``ops/ivf.py``; recall knob = ``self.ivf_n_probe``): the routed
+        bank rides the same single jit, and per-call DMA scales with the
+        batch's routed tile union instead of the bank — measured up to
+        ~16x on concentrated (serving-skew) batches at 1M rows with
+        1.000 top-1 agreement (BASELINE.md). Under a mesh it composes
+        the sharded per-shard-routing predict.
 
         ``predict`` issues separate jit calls for featurize and head (and
         callers who normalize uint8 pixels on device pay a third) — three
@@ -838,6 +848,10 @@ class NWNet:
         ``variables``/the prepared bank ride as arguments of the outer jit
         for the same reason.
         """
+        if mode not in ("full", "ivf"):
+            raise ValueError(
+                f"make_serving_fn serves mode 'full' or 'ivf', got {mode!r}"
+            )
         if self._prepared_full is None and self._sharded_predict is not None:
             # Mesh serving: compose the already-jitted pieces (normalize ->
             # featurize -> shard_mapped full-mode predict). A few dispatches
@@ -870,17 +884,42 @@ class NWNet:
                     )
                 if norm is not None:
                     x = norm(x)
-                return sharded(feat_fn(variables, x))
+                qf = feat_fn(variables, x)
+                if mode == "ivf":
+                    # Per-shard routing over the mesh (cached/rebuilt by
+                    # _ivf_predict against the live sharded bank).
+                    return self._ivf_predict(variables, qf)
+                return sharded(qf)
 
             return serve_sharded
-        if self._prepared_full is None:
+        if mode == "ivf":
+            from nwhead_tpu.ops import nw_fused_ivf_log_probs
+
+            self._ivf_bank()  # build (or reuse) now — loud errors early
+            kparams = self._head_kernel_params(variables)
+            n_classes_ = self.n_classes
+            kernel_ = self.kernel_type
+            n_probe = self.ivf_n_probe
+
+            def head(vv, f, bank):
+                # select_tiles clamps n_probe to the live bank's tile
+                # count, so bank growth/shrink across edits is safe.
+                return nw_fused_ivf_log_probs(
+                    f, bank, n_classes_, kernel=kernel_,
+                    kernel_params=kparams, n_probe=n_probe,
+                )
+
+            live_bank = self._ivf_bank
+        elif self._prepared_full is None:
             raise ValueError(
                 "make_serving_fn needs the prepared full-mode bank — run "
                 "precompute() first (prepared path is TPU-default; force "
                 "with prepare_serving=True)"
             )
+        else:
+            head = self._head_from_prepared
+            live_bank = self._live_prepared
         self._check_quantized_variables(variables)
-        head = self._head_from_prepared
         if normalize is not None:
             mean = jnp.asarray(normalize[0], jnp.float32)
             std = jnp.asarray(normalize[1], jnp.float32)
@@ -914,12 +953,12 @@ class NWNet:
             # The bank is read LIVE from self so add_support/remove_support
             # updates reach existing serving callables (at worst one
             # recompile for the new bank shape).
-            fn = lambda x: serve_q(variables, tree, proj, self._live_prepared(), x)
+            fn = lambda x: serve_q(variables, tree, proj, live_bank(), x)
             # AOT-export hook (utils/aot.py): the jitted composition +
             # a live getter for its non-input operands.
             fn._export_parts = (
                 serve_q,
-                lambda: (variables, tree, proj, self._live_prepared()),
+                lambda: (variables, tree, proj, live_bank()),
             )
             return fn
 
@@ -930,8 +969,8 @@ class NWNet:
             return head(vv, feat(vv, maybe_norm(x)), prep)
 
         # Live bank read — see the serve_q comment above.
-        fn = lambda x: serve(variables, self._live_prepared(), x)
-        fn._export_parts = (serve, lambda: (variables, self._live_prepared()))
+        fn = lambda x: serve(variables, live_bank(), x)
+        fn._export_parts = (serve, lambda: (variables, live_bank()))
         return fn
 
     def _live_prepared(self):
@@ -1069,18 +1108,12 @@ class NWNet:
             self._ivf_cache = (bank, fn)
             return fn(qfeat)
         cached = self._ivf_cache
-        if cached is not None and cached[0] is self.full_feat:
+        if cached is not None and cached[0] is self.full_feat and \
+                cached[2] is not None:
             return cached[2](qfeat, cached[1])
-        from nwhead_tpu.ops import nw_fused_ivf_log_probs, prepare_support_ivf
+        from nwhead_tpu.ops import nw_fused_ivf_log_probs
 
-        ivf = prepare_support_ivf(
-            jnp.asarray(self.full_feat),
-            jnp.asarray(self.full_y, dtype=jnp.int32),
-            self.n_classes,
-            kernel=self.kernel_type,
-            precision=self.model.head_precision,
-            n_clusters=self.ivf_n_clusters,
-        )
+        ivf = self._ivf_bank()
         kparams = self._head_kernel_params(variables)
         n_probe = min(self.ivf_n_probe, ivf.prep.lane.shape[0])
         n_classes = self.n_classes
@@ -1095,6 +1128,29 @@ class NWNet:
 
         self._ivf_cache = (self.full_feat, ivf, fn)
         return fn(qfeat, ivf)
+
+    def _ivf_bank(self):
+        """The IVF-routable prepared bank for the CURRENT support features
+        (meshless path) — built once per bank from the cached full-bank
+        features and cached alongside the jitted predict closure
+        (``_ivf_cache``, cleared at every bank-invalidation site)."""
+        if getattr(self, "full_feat", None) is None:
+            raise ValueError("mode='ivf' needs precompute() first")
+        cached = self._ivf_cache
+        if cached is not None and cached[0] is self.full_feat:
+            return cached[1]
+        from nwhead_tpu.ops import prepare_support_ivf
+
+        ivf = prepare_support_ivf(
+            jnp.asarray(self.full_feat),
+            jnp.asarray(self.full_y, dtype=jnp.int32),
+            self.n_classes,
+            kernel=self.kernel_type,
+            precision=self.model.head_precision,
+            n_clusters=self.ivf_n_clusters,
+        )
+        self._ivf_cache = (self.full_feat, ivf, None)
+        return ivf
 
     def _knn_sharded(self, variables, qfeat):
         """Sharded exact-KNN predict, cached against the sharded bank

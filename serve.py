@@ -62,6 +62,7 @@ def build_server(args):
         feat_dim=featurizer.feat_dim, proj_dim=args.proj_dim,
         kernel_type=args.kernel_type, n_shot_full=args.n_shot_full,
         head_precision=args.head_precision, seed=args.seed,
+        ivf_n_probe=args.ivf_probe,
         # Serving wants the prepared streaming path whatever the bank
         # size (the default 1024-row floor targets training-loop eval,
         # where tiny banks aren't worth the prepare step).
@@ -138,20 +139,27 @@ def build_server(args):
     return net, variables, train_ds, val_ds
 
 
-def serving_fn(net, variables, uint8_normalize=False):
+def serving_fn(net, variables, uint8_normalize=False, mode="full"):
     """The per-request device function: ONE jitted dispatch
     (normalize -> featurize -> prepared head) via ``net.make_serving_fn``
     when the prepared full-mode bank exists; falls back to the
     multi-dispatch ``predict`` path otherwise (small banks / non-fused
     kernels — e.g. CPU smoke runs). Over a high-latency device link every
     extra dispatch is a round trip, so the single-jit path is the one a
-    deployment should serve from."""
+    deployment should serve from.
+
+    ``mode='ivf'`` (``--serve_mode ivf``) serves through the IVF-pruned
+    head: per-call bank DMA scales with the batch's routed tile union —
+    the win for serving skew (few active classes per batch); recall knob
+    is ``--ivf_probe``."""
     from nwhead_tpu.data import transforms as T
 
     stats = (T.IMAGENET_MEAN, T.IMAGENET_STD) if uint8_normalize else None
     try:
-        return net.make_serving_fn(variables, normalize=stats)
+        return net.make_serving_fn(variables, normalize=stats, mode=mode)
     except ValueError:
+        if mode != "full":
+            raise  # pruned serving has no multi-dispatch fallback
         norm = T.device_normalize_fn() if uint8_normalize else None
 
         def f(x):
@@ -169,7 +177,7 @@ def latency_bench(net, variables, val_ds, args):
     bench.py's device-only differential numbers)."""
     bs = args.batch_size
     n = min(args.bench_batches, max(1, len(val_ds) // bs))
-    serve = serving_fn(net, variables)
+    serve = serving_fn(net, variables, mode=args.serve_mode)
     idx0 = np.arange(bs) % len(val_ds)
     imgs = jnp.asarray(val_ds.gather(idx0))
     for _ in range(3):  # warmup/compile
@@ -209,7 +217,7 @@ def microbatch_bench(net, variables, val_ds, args):
     from nwhead_tpu.utils.batching import MicroBatcher
 
     bs = args.batch_size
-    serve = serving_fn(net, variables)
+    serve = serving_fn(net, variables, mode=args.serve_mode)
     imgs = val_ds.gather(np.arange(min(64, len(val_ds))))
     np.asarray(serve(jnp.asarray(
         np.repeat(imgs[:1], bs, axis=0))))  # warm/compile at the batch shape
@@ -311,7 +319,8 @@ def jpeg_bench(net, variables, train_ds, args):
     # as the featurizer — over the tunnel every extra dispatch is a round
     # trip; see serving_fn). The per-stage/pipelined methodology is the
     # shared one in utils.pipeline so bench.py and this CLI cannot drift.
-    serve = serving_fn(net, variables, uint8_normalize=not is_cifar)
+    serve = serving_fn(net, variables, uint8_normalize=not is_cifar,
+                       mode=args.serve_mode)
     rates = jpeg_stage_rates(batch, serve, nb, bs)
 
     report = {
@@ -355,8 +364,8 @@ def answer_queries(net, variables, train_ds, args):
                   f"unexplained paths", flush=True)
         explain_fns = _build_explainer(net, train_ds)
     else:
-        serve = serving_fn(net, variables,
-                           uint8_normalize=not is_cifar)
+        serve = serving_fn(net, variables, uint8_normalize=not is_cifar,
+                           mode=args.serve_mode)
     results = []
     for start in range(0, len(paths), args.batch_size):
         chunk = paths[start:start + args.batch_size]
@@ -440,7 +449,8 @@ def http_serve(net, variables, train_ds, val_ds, args):
         # dataset's own item shape.
         input_shape = tuple(np.asarray(val_ds.gather(np.arange(1))).shape[1:])
 
-    serve = serving_fn(net, variables, uint8_normalize=image_ds)
+    serve = serving_fn(net, variables, uint8_normalize=image_ds,
+                       mode=args.serve_mode)
     server = NWHttpServer(
         net, variables, None,
         input_shape=input_shape, decode_query=decode_query,
@@ -703,6 +713,16 @@ def main(argv=None):
                         "/remove_support live bank edits, /healthz, "
                         "/stats — stdlib only, see utils/httpd.py")
     p.add_argument("--http_host", default="127.0.0.1")
+    p.add_argument("--serve_mode", default="full", choices=["full", "ivf"],
+                   help="head per request: 'full' streams the whole "
+                        "prepared bank (exact); 'ivf' routes each batch to "
+                        "its top tiles and streams only those — bank DMA "
+                        "scales with the batch's class skew (measured up "
+                        "to ~16x at 1M rows, 1.000 top-1 agreement)")
+    p.add_argument("--ivf_probe", type=int, default=32,
+                   help="--serve_mode ivf: routed tiles per query before "
+                        "the batch union (recall knob; >= the bank's tile "
+                        "count reproduces full mode exactly)")
     p.add_argument("--latency_bench", action="store_true")
     p.add_argument("--microbatch_bench", action="store_true",
                    help="request-at-a-time serving through the dynamic "

@@ -276,3 +276,65 @@ def test_serve_bank_cache_refuses_feature_space_changes(tmp_path):
         serve.main(base + ["--bf16"])
     with pytest.raises(SystemExit, match="bank_cache"):
         serve.main(base + ["--seed", "1"])
+
+
+def test_serve_mode_ivf_latency_bench():
+    """--serve_mode ivf: the one-dispatch serving fn routes through the
+    IVF-pruned head. A probe count covering every tile must agree with
+    full-mode serving on the same stack."""
+    import serve
+
+    common = [
+        "--dataset", "synthetic", "--arch", "resnet10",
+        "--batch_size", "8", "--n_shot_full", "5",
+        "--latency_bench", "--bench_batches", "2",
+    ]
+    out_ivf = serve.main(common + ["--serve_mode", "ivf",
+                                   "--ivf_probe", "4096"])
+    assert out_ivf["latency"]["queries_per_sec"] > 0
+
+
+def test_make_serving_fn_ivf_matches_full():
+    """make_serving_fn(mode='ivf') at full probe == the full-mode serving
+    fn; pruned probe stays a valid distribution; bank edits reach the
+    live closure."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from nwhead_tpu.data.datasets import ArrayDataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(32)(x.reshape(x.shape[0], -1))
+
+    rng = np.random.default_rng(11)
+    xs = rng.standard_normal((300, 4, 4, 3)).astype(np.float32)
+    ys = rng.integers(0, 10, 300).astype(np.int32)
+    net = NWNet(
+        Tiny(), n_classes=10, support_dataset=ArrayDataset(xs, ys),
+        feat_dim=32, n_shot_full=30, fused_min_support=1,
+        ivf_n_probe=10_000,  # covers every tile -> exact full mode
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(xs[:2]))
+    net.precompute(variables)
+    full = net.make_serving_fn(variables)
+    ivf = net.make_serving_fn(variables, mode="ivf")
+    q = jnp.asarray(xs[:8])
+    pd = np.abs(
+        np.exp(np.asarray(ivf(q))) - np.exp(np.asarray(full(q)))
+    ).max()
+    assert pd < 1e-6, pd
+
+    # Live bank read: an edit invalidates the cache; the SAME closure
+    # serves the grown bank on its next call.
+    net.add_support(variables, xs[:4], ys[:4])
+    out2 = np.asarray(ivf(q))
+    assert np.isfinite(out2).all()
+    probs = np.exp(out2).sum(-1)
+    np.testing.assert_allclose(probs, 1.0, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="full.*ivf|ivf.*full"):
+        net.make_serving_fn(variables, mode="bogus")
