@@ -183,6 +183,9 @@ def _bigbank_fields(on_tpu):
     if not on_tpu or os.environ.get("NWHEAD_BENCH_BIGBANK") == "0":
         return {}
     try:
+        from nwhead_tpu.ops.ivf import (
+            nw_fused_ivf_log_probs, prepare_support_ivf,
+        )
         from nwhead_tpu.ops.pallas_nw import (
             nw_fused_from_prepared, prepare_support,
         )
@@ -196,7 +199,12 @@ def _bigbank_fields(on_tpu):
             + 0.05 * jax.random.normal(k2, (S, D), jnp.float32)
         )(sy)
         prep_f32 = prepare_support(sfeat, sy, C)
-        prep_i8 = prepare_support(sfeat, sy, C, precision="int8")
+        # The IVF build's class-sorted prepared bank IS a standard int8
+        # prepared bank (same stable class sort) — reuse it for the plain
+        # int8 legs, so the routing index costs no extra HBM (~2 MB of
+        # centroids, not a fourth bank copy).
+        ivf_i8 = prepare_support_ivf(sfeat, sy, C, precision="int8")
+        prep_i8 = ivf_i8.prep
         prep_i4 = prepare_support(sfeat, sy, C, precision="int4")
         # Host slice for the optional HNSW comparison leg (taken before the
         # raw bank is dropped; ~32 MB device->host readback).
@@ -209,6 +217,22 @@ def _bigbank_fields(on_tpu):
         rng = np.random.default_rng(1)
         q64 = jnp.asarray(rng.standard_normal((64, D)), jnp.float32)
         q256 = jnp.asarray(rng.standard_normal((256, D)), jnp.float32)
+        # Concentrated (serving-skew) queries for the IVF leg: every query
+        # lands near one of 8 active class centroids — the regime pruned
+        # serving exists for.
+        cents_np = np.asarray(cents)
+        active = rng.choice(C, 8, replace=False)
+        q64c = jnp.asarray(
+            cents_np[rng.choice(active, 64)]
+            + 0.05 * rng.standard_normal((64, D)), jnp.float32)
+        q256c = jnp.asarray(
+            cents_np[rng.choice(active, 256)]
+            + 0.05 * rng.standard_normal((256, D)), jnp.float32)
+
+        def _ivf4(q, ivf_, c):
+            return nw_fused_ivf_log_probs(
+                q, ivf_, C, n_probe=4).sum() * 1e-6
+
         # Banks ride the timing loops as ARGS (the 413/bigbank lesson).
         cases = [
             ("big_f32_b64",
@@ -226,8 +250,16 @@ def _bigbank_fields(on_tpu):
             ("big_int4_b256",
              lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
              (q256, prep_i4)),
+            ("big_ivf8_b64_skew", _ivf4, (q64c, ivf_i8)),
+            ("big_ivf8_b256_skew", _ivf4, (q256c, ivf_i8)),
         ]
         t, _ = _measure(cases, 8, 40, cycles=7)
+        # One-shot recall gate on the skewed batch (exact vs routed top-1).
+        exact_c = np.asarray(nw_fused_from_prepared(q256c, prep_i8, C))
+        routed_c = np.asarray(nw_fused_ivf_log_probs(
+            q256c, ivf_i8, C, n_probe=4))
+        ivf_agree = float(
+            (exact_c.argmax(1) == routed_c.argmax(1)).mean())
         fields = {
             "bigbank_s": S,
             "bigbank_c": C,
@@ -236,6 +268,16 @@ def _bigbank_fields(on_tpu):
             "bigbank_int8_qps_b256": round(256 / t["big_int8_b256"], 1),
             "bigbank_int4_qps_b64": round(64 / t["big_int4_b64"], 1),
             "bigbank_int4_qps_b256": round(256 / t["big_int4_b256"], 1),
+            # IVF-pruned serving on the skewed batch (8 active classes,
+            # n_probe=4): exact-head time is batch-content-independent,
+            # so the speedup ratio uses the plain int8 legs directly.
+            "bigbank_ivf_qps_b64_skew": round(
+                64 / t["big_ivf8_b64_skew"], 1),
+            "bigbank_ivf_qps_b256_skew": round(
+                256 / t["big_ivf8_b256_skew"], 1),
+            "bigbank_ivf_x_b256_skew": round(
+                t["big_int8_b256"] / t["big_ivf8_b256_skew"], 2),
+            "bigbank_ivf_top1_agree": ivf_agree,
         }
         if bank_np is not None:
             # The reference's big-bank strategy, measured in the official

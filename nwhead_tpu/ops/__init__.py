@@ -13,6 +13,7 @@ from nwhead_tpu.ops.pallas_nw import (
 )
 from nwhead_tpu.ops.ivf import (
     IVFPrepared,
+    concat_ivf,
     nw_fused_ivf_log_probs,
     prepare_support_ivf,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "IVFPrepared",
     "prepare_support_ivf",
     "nw_fused_ivf_log_probs",
+    "concat_ivf",
     "apply_temperature",
     "fit_temperature",
     "support_influence",

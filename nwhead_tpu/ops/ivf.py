@@ -280,6 +280,40 @@ def prepare_support_ivf(
     return IVFPrepared(prep=prep, cents=cents, c2=c2, cvalid=cvalid)
 
 
+def concat_ivf(ivfs, n_classes: int) -> IVFPrepared:
+    """Concatenate IVF banks into one larger routable bank, O(bytes).
+
+    The routing index is per-tile, so banks concatenate exactly like
+    ``concat_prepared`` plus a centroid-array stack — this is how banks
+    beyond the f32-materialization ceiling get routing: build each chunk
+    with ``prepare_support_ivf`` (each chunk is class/cluster-sorted
+    internally, so its tiles are spatially coherent) and concat. A class
+    split across chunks simply owns tiles in several chunks; routing
+    ranks all of them globally, so recall is unaffected — the only cost
+    is up to one extra partially-filled tile per chunk per class.
+    """
+    ivfs = list(ivfs)
+    if not ivfs:
+        raise ValueError("concat_ivf needs at least one bank")
+    if len(ivfs) == 1:
+        return ivfs[0]
+    from .pallas_nw import concat_prepared
+
+    d_pad = ivfs[0].cents.shape[1]
+    for v in ivfs[1:]:
+        if v.cents.shape[1] != d_pad:
+            raise ValueError(
+                f"routing width mismatch: {v.cents.shape[1]} vs {d_pad}"
+            )
+    prep = concat_prepared([v.prep for v in ivfs], n_classes)
+    return IVFPrepared(
+        prep=prep,
+        cents=jnp.concatenate([v.cents for v in ivfs], axis=0),
+        c2=jnp.concatenate([v.c2 for v in ivfs]),
+        cvalid=jnp.concatenate([v.cvalid for v in ivfs]),
+    )
+
+
 def select_tiles(affinity: jnp.ndarray, n_probe: int) -> jnp.ndarray:
     """Per-query top-``n_probe`` tiles -> fixed-size batch union.
 

@@ -156,7 +156,7 @@ def _hnsw_leg(bank_np, sy_np, q_np, k):
     return qps, recall
 
 
-def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8"):
+def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False):
     """Beyond-f32-memory banks: chunked int8 prepare + concat_prepared.
 
     The standard scale leg materializes the f32 bank (4·S·D bytes) before
@@ -188,15 +188,31 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8"):
         sy = jax.random.randint(ky, (n,), 0, C, dtype=jnp.int32)
         return cents[sy] + 0.05 * jax.random.normal(kn, (n, D), jnp.float32), sy
 
+    bank_ivf = None
     parts = []
     for i in range(0, S, chunk):
         n = min(chunk, S - i)
         feats, sy = gen(jax.random.fold_in(key, i), n)
-        parts.append(
-            prepare_support(feats, sy, C, precision=precision, block_s=1024)
-        )
+        if ivf:
+            # Each chunk is class-sorted internally by prepare_support_ivf,
+            # so its tiles are routable; concat_ivf stacks tiles AND
+            # centroids (a class split across chunks just owns tiles in
+            # several chunks — routing ranks them all).
+            from nwhead_tpu.ops.ivf import prepare_support_ivf
+
+            parts.append(prepare_support_ivf(
+                feats, sy, C, precision=precision, block_s=1024))
+        else:
+            parts.append(prepare_support(
+                feats, sy, C, precision=precision, block_s=1024))
         del feats, sy
-    prep = concat_prepared(parts, C)
+    if ivf:
+        from nwhead_tpu.ops.ivf import concat_ivf, nw_fused_ivf_log_probs
+
+        bank_ivf = concat_ivf(parts, C)
+        prep = bank_ivf.prep
+    else:
+        prep = concat_prepared(parts, C)
     del parts
     jax.block_until_ready(prep.s)
     win_w = 0 if prep.win is None else prep.win.shape[1] * 128
@@ -215,6 +231,20 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8"):
     print(f"  {status} centroid-query top-1 = generating class: "
           f"{agree:.3f}", flush=True)
 
+    q_skew = None
+    if bank_ivf is not None:
+        # Routed gate: skewed queries (8 active classes) at n_probe=4 —
+        # same generating-class criterion through the pruned path.
+        active = rng.permutation(C)[:8].astype(np.int32)
+        skew_cls = rng.choice(active, max(B, 256)).astype(np.int32)
+        q_skew = jnp.asarray(np.asarray(jnp.asarray(cents))[skew_cls])
+        out_r = np.asarray(nw_fused_ivf_log_probs(
+            q_skew[:64], bank_ivf, C, n_probe=4))
+        agree_r = float((out_r.argmax(1) == skew_cls[:64]).mean())
+        status_r = "OK " if agree_r == 1.0 else "FAIL"
+        print(f"  {status_r} routed (n_probe=4) skew-query top-1: "
+              f"{agree_r:.3f}", flush=True)
+
     if not on_tpu:
         print("not on TPU: skipping giant timing leg")
         return
@@ -230,12 +260,30 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8"):
         (f"giant B=64 {precision}", head_fn, (q[:64], prep)),
         (f"giant B=256 {precision}", head_fn, (q256, prep)),
     ]
+    if bank_ivf is not None:
+        def ivf_fn(qq, bb, carry):
+            qq = jax.lax.optimization_barrier(
+                qq + carry.astype(qq.dtype) * 1e-30)
+            return nw_fused_ivf_log_probs(
+                qq, bb, C, n_probe=4).mean() * 1e-20
+
+        cases += [
+            (f"giant ivf-p4 B=64 {precision} skew", ivf_fn,
+             (q_skew[:64], bank_ivf)),
+            (f"giant ivf-p4 B=256 {precision} skew", ivf_fn,
+             (q_skew[:256], bank_ivf)),
+        ]
     res = interleaved_time(cases, cycles=7, target_s=0.5)
     t_stream = res.pop("stream 25.2MB")
     bw = s_big.size * 4 / t_stream / 1e9
     print(f"stream: {t_stream * 1e6:7.1f} us  {bw:6.1f} GB/s", flush=True)
     for name, t in res.items():
         nq = 256 if "B=256" in name else 64
+        if "ivf" in name:
+            # Pruned DMA: the full-bank roofline fraction is meaningless.
+            print(f"{name}: {t * 1e3:8.3f} ms/batch  {nq / t:9.0f} q/s",
+                  flush=True)
+            continue
         blk = _default_block_b(nq, C, prep.lane.shape[1] * 128)
         byt = int(S * D * (0.5 if precision == "int4" else 1)) * (
             -(-nq // blk))
@@ -273,6 +321,10 @@ def main(argv=None):
                         "1M-row chunks are generated, int8-prepared, and "
                         "merged via concat_prepared, so S is bounded by the "
                         "INT8 bank bytes (S/4 GB at D=512), not 4S. 0 = off")
+    p.add_argument("--giant_ivf", action="store_true",
+                   help="build the giant bank with per-chunk IVF indexes "
+                        "(prepare_support_ivf + concat_ivf) and add routed "
+                        "skew-batch gates + timing legs")
     args = p.parse_args(argv)
 
     import jax
@@ -295,7 +347,7 @@ def main(argv=None):
 
     if args.giant:
         _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny,
-                   precision=args.giant_precision)
+                   precision=args.giant_precision, ivf=args.giant_ivf)
         return
 
     # ---- validation leg: prepared heads vs the exact streaming oracle ----

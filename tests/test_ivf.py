@@ -419,3 +419,63 @@ class TestNWNetIVF:
         assert np.isfinite(results["ivf"]["nll"])
         assert abs(results["ivf"]["nll"] - results["full"]["nll"]) < 1e-4
         assert results["ivf"]["acc"] == results["full"]["acc"]
+
+
+class TestConcatIVF:
+    def test_concat_matches_monolithic_routing(self):
+        """Chunk-built IVF bank (prepare_support_ivf per chunk +
+        concat_ivf) must stay exact at full probe vs the naive op on the
+        union, and keep perfect pruned recall on separated clusters."""
+        from nwhead_tpu.ops import concat_ivf
+        from nwhead_tpu.ops.nw import nw_log_probs
+
+        rng = np.random.default_rng(31)
+        C, D, B = 40, 32, 8
+        cents = rng.standard_normal((C, D)) * 4.0
+        chunks = []
+        all_f, all_y = [], []
+        for seed in range(3):
+            sy = rng.integers(0, C, 1024).astype(np.int32)
+            sf = (cents[sy] + 0.3 * rng.standard_normal((1024, D))
+                  ).astype(np.float32)
+            all_f.append(sf)
+            all_y.append(sy)
+            chunks.append(prepare_support_ivf(
+                jnp.asarray(sf), jnp.asarray(sy), C, block_s=256))
+        bank = concat_ivf(chunks, C)
+        n_tiles = bank.prep.lane.shape[0]
+        assert n_tiles == sum(c.prep.lane.shape[0] for c in chunks)
+        assert bank.cents.shape[0] == n_tiles
+
+        sf_all = np.concatenate(all_f)
+        sy_all = np.concatenate(all_y)
+        qy = rng.integers(0, C, B)
+        q = jnp.asarray(
+            cents[qy] + 0.3 * rng.standard_normal((B, D)), jnp.float32)
+        want = np.asarray(nw_log_probs(
+            q, jnp.asarray(sf_all), jnp.asarray(sy_all), C))
+
+        full = nw_fused_ivf_log_probs(
+            q, bank, C, n_probe=n_tiles)
+        pd = np.abs(np.exp(np.asarray(full)) - np.exp(want)).max()
+        assert pd < 1e-4, pd
+
+        pruned = nw_fused_ivf_log_probs(q, bank, C, n_probe=3)
+        agree = (np.asarray(pruned).argmax(1) == want.argmax(1)).mean()
+        assert agree == 1.0, agree
+
+    def test_concat_validation(self):
+        from nwhead_tpu.ops import concat_ivf
+
+        sf, sy, _ = _bank(S=512, C=6, seed=7)
+        a = prepare_support_ivf(sf, sy, 6, block_s=128)
+        with pytest.raises(ValueError, match="at least one"):
+            concat_ivf([], 6)
+        assert concat_ivf([a], 6) is a
+        # Genuinely different padded widths (64 -> 128 lanes vs 200 -> 256).
+        rng = np.random.default_rng(8)
+        wide = jnp.asarray(
+            rng.standard_normal((512, 200)).astype(np.float32))
+        b = prepare_support_ivf(wide, sy, 6, block_s=128)
+        with pytest.raises(ValueError, match="width"):
+            concat_ivf([a, b], 6)

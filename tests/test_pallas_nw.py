@@ -972,3 +972,23 @@ def test_window_keep_mode():
     want_h = np.asarray(nw_log_probs(q, s_h, sy_h, C))
     got_h = np.asarray(nw_fused_log_probs(q, prep_h, None, C))
     np.testing.assert_allclose(got_h, want_h, rtol=2e-3, atol=2e-3)
+
+
+def test_bigbank_lab_giant_ivf_smoke(capsys):
+    """--giant --giant_ivf: chunked IVF build (prepare_support_ivf per
+    chunk + concat_ivf) must pass both the centroid-query gate and the
+    routed skew-query gate on the CPU smoke shapes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bigbank_lab_g",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "bigbank_lab.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--tiny", "--giant", "8192", "--giant_ivf"])
+    out = capsys.readouterr().out
+    assert "FAIL" not in out
+    assert "routed (n_probe=4) skew-query top-1: 1.000" in out
