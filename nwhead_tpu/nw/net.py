@@ -539,8 +539,48 @@ class NWNet:
         # Drop the mode caches NOW — they pin whole retired banks in HBM
         # until their mode happens to be called again otherwise.
         self._sharded_knn_cache = None
+        prev_ivf = self._ivf_cache
         self._ivf_cache = None
         self._sharded_ensemble_cache = None
+        if (
+            new_rows is not None and prev_ivf is not None
+            and len(prev_ivf) == 3 and self.mesh is None
+        ):
+            # O(new) IVF growth: prepare ONLY the new rows as one routable
+            # chunk (padded with masked rows to the live bank's tile size
+            # so concat_ivf's block_s check passes) and stack tiles +
+            # centroids. Row order inside an IVF bank is opaque to the
+            # routed head, so env-mid-bank insertion positions don't
+            # matter here. Any incompatibility (kernel/width/precision
+            # drift) falls back to the full rebuild on next ivf use.
+            try:
+                from nwhead_tpu.ops import concat_ivf, prepare_support_ivf
+
+                nf, nl, _ = new_rows
+                old = prev_ivf[1]
+                blk = old.prep.lane.shape[1] * 128
+                nf = np.asarray(nf, np.float32)
+                n_new = nf.shape[0]
+                pad = (-n_new) % blk
+                nf_p = np.zeros((n_new + pad, nf.shape[1]), np.float32)
+                nf_p[:n_new] = nf
+                nl_p = np.zeros((n_new + pad,), np.int32)
+                nl_p[:n_new] = np.asarray(nl)
+                m_p = np.zeros((n_new + pad,), np.float32)
+                m_p[:n_new] = 1.0
+                inc = prepare_support_ivf(
+                    jnp.asarray(nf_p), jnp.asarray(nl_p),
+                    self.n_classes, kernel=self.kernel_type,
+                    precision=self.model.head_precision,
+                    support_mask=jnp.asarray(m_p), block_s=blk,
+                )
+                self._ivf_cache = (
+                    self.full_feat,
+                    concat_ivf([old, inc], self.n_classes),
+                    None,
+                )
+            except ValueError:
+                self._ivf_cache = None
         if (
             self.mesh is None
             and self.model.use_fused

@@ -257,9 +257,18 @@ def prepare_support_ivf(
             dom[assign] * np.int64(k + 1) + assign, kind="stable"
         )
 
-    sfeat_s = jnp.asarray(sfeat)[perm]
-    sy_s = jnp.asarray(sy)[perm]
-    mask_s = jnp.asarray(support_mask)[perm]
+    if np.array_equal(perm, np.arange(S, dtype=perm.dtype)):
+        # Already in the target order (e.g. chunk builders that generate
+        # class-sorted rows): skip the device-side gathers — at bank
+        # scale each one is a full-bank copy (2 GB at 1M x 512 f32),
+        # which is what OOM'd the first 8M giant-ivf build.
+        sfeat_s, sy_s, mask_s = (
+            jnp.asarray(sfeat), jnp.asarray(sy), jnp.asarray(support_mask)
+        )
+    else:
+        sfeat_s = jnp.asarray(sfeat)[perm]
+        sy_s = jnp.asarray(sy)[perm]
+        mask_s = jnp.asarray(support_mask)[perm]
     prep = prepare_support(
         sfeat_s, sy_s, n_classes, kernel=kernel, precision=precision,
         support_mask=mask_s, block_s=block_s, window="keep",

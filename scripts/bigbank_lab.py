@@ -178,7 +178,11 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False):
         prepare_support,
     )
 
-    chunk = 4096 if tiny else 1 << 20
+    # IVF builds halve the chunk: the per-chunk transients (f32 chunk +
+    # prepare temps + the centroid reduction's workspace) sit on top of
+    # the accumulated packed parts, and the first 8M ivf attempt at 1M
+    # chunks hit RESOURCE_EXHAUSTED.
+    chunk = 4096 if tiny else (1 << 19 if ivf else 1 << 20)
     kc, key = jax.random.split(jax.random.PRNGKey(5))
     cents = 0.1 * jax.random.normal(kc, (C, D), jnp.float32)
 
@@ -186,6 +190,11 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False):
     def gen(k, n):
         ky, kn = jax.random.split(k)
         sy = jax.random.randint(ky, (n,), 0, C, dtype=jnp.int32)
+        if ivf:
+            # Generate each chunk ALREADY class-sorted so the IVF
+            # builder's permutation is the identity and its full-chunk
+            # gather copies are skipped (the OOM lesson above).
+            sy = jnp.sort(sy)
         return cents[sy] + 0.05 * jax.random.normal(kn, (n, D), jnp.float32), sy
 
     bank_ivf = None

@@ -479,3 +479,43 @@ class TestConcatIVF:
         b = prepare_support_ivf(wide, sy, 6, block_s=128)
         with pytest.raises(ValueError, match="width"):
             concat_ivf([a, b], 6)
+
+
+def test_net_add_support_grows_ivf_bank_incrementally():
+    """After add_support, the IVF serving bank grows O(new) via
+    concat_ivf (cache stays warm — no full rebuild) and the routed
+    predict covers the new rows."""
+    import flax.linen as nn
+
+    from nwhead_tpu.data.datasets import ArrayDataset
+    from nwhead_tpu.nw.net import NWNet
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(24)(x.reshape(x.shape[0], -1))
+
+    rng = np.random.default_rng(41)
+    xs = rng.standard_normal((400, 4, 4, 3)).astype(np.float32)
+    ys = rng.integers(0, 10, 400).astype(np.int32)
+    net = NWNet(
+        Tiny(), n_classes=10, support_dataset=ArrayDataset(xs, ys),
+        feat_dim=24, n_shot_full=40, fused_min_support=1,
+        ivf_n_probe=10_000,  # full probe: routed == exact full mode
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(xs[:2]))
+    net.precompute(variables)
+    q = jnp.asarray(xs[:6])
+    _ = net.predict(variables, q, "ivf")  # warms the ivf cache
+    old_tiles = net._ivf_cache[1].prep.lane.shape[0]
+
+    net.add_support(variables, xs[:8], ys[:8])
+    grown = net._ivf_cache
+    assert grown is not None, "add_support must grow, not drop, the bank"
+    assert grown[1].prep.lane.shape[0] > old_tiles
+    assert grown[1].cents.shape[0] == grown[1].prep.lane.shape[0]
+
+    out = np.asarray(net.predict(variables, q, "ivf"))
+    full = np.asarray(net.predict(variables, q, "full"))
+    pd = np.abs(np.exp(out) - np.exp(full)).max()
+    assert pd < 1e-5, pd
