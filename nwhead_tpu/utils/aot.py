@@ -58,10 +58,11 @@ def _register_pytrees() -> None:
     NamedTuple nodes must be registered once per process."""
     from nwhead_tpu.models import quantize as _q
     from nwhead_tpu.models import serving_vit as _sv
+    from nwhead_tpu.ops.ivf import IVFPrepared
     from nwhead_tpu.ops.pallas_nw import PreparedSupport
 
     classes = [
-        PreparedSupport,
+        PreparedSupport, IVFPrepared,
         _q.QConv, _q.QBlock, _q.QuantizedResNet, _q.QAffine,
         _q.QDenseLayer, _q.QuantizedDenseNet, _q.QDense, _q.QLayerNorm,
         _q.QViTBlock, _q.QuantizedViT,

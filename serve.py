@@ -508,7 +508,11 @@ def export_artifact(net, variables, train_ds, val_ds, args):
             normalize=stats, metadata=metadata,
         )
     else:
-        fn = serving_fn(net, variables, uint8_normalize=not is_cifar)
+        if args.serve_mode != "full":
+            metadata["serve_mode"] = args.serve_mode
+            metadata["ivf_probe"] = args.ivf_probe
+        fn = serving_fn(net, variables, uint8_normalize=not is_cifar,
+                        mode=args.serve_mode)
         meta = export_serving_artifact(
             fn, spec, args.export_artifact, metadata=metadata,
         )

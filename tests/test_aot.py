@@ -403,3 +403,37 @@ def test_mesh_export_quantized_vit(tmp_path):
     np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=1e-5)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_export_reload_parity_ivf_mode(small_net, tmp_path):
+    """make_serving_fn(mode='ivf') exports: the IVFPrepared operand
+    (nested prepared bank + routing index) serializes/reloads and the
+    routed module reproduces the live fn exactly — incl. pruned probes."""
+    from nwhead_tpu.utils.aot import (
+        export_serving_artifact,
+        load_serving_artifact,
+    )
+
+    net, variables, x = small_net
+    net.ivf_n_probe = 10_000  # full probe: routed == exact
+    net._ivf_cache = None
+    fn = net.make_serving_fn(variables, mode="ivf")
+    q = jnp.asarray(x[:6])
+    want = np.asarray(fn(q))
+    full = np.asarray(net.make_serving_fn(variables)(q))
+    np.testing.assert_allclose(
+        np.exp(want), np.exp(full), rtol=1e-5, atol=1e-6)
+
+    meta = export_serving_artifact(fn, q, str(tmp_path / "art_ivf"))
+    reloaded = load_serving_artifact(str(tmp_path / "art_ivf"))
+    got = np.asarray(reloaded(q))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # Pruned probe: a separate artifact (n_probe is baked into the jit).
+    net.ivf_n_probe = 2
+    net._ivf_cache = None
+    fn2 = net.make_serving_fn(variables, mode="ivf")
+    want2 = np.asarray(fn2(q))
+    export_serving_artifact(fn2, q, str(tmp_path / "art_ivf2"))
+    got2 = np.asarray(load_serving_artifact(str(tmp_path / "art_ivf2"))(q))
+    np.testing.assert_allclose(got2, want2, rtol=1e-6, atol=1e-6)
