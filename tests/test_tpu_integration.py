@@ -406,3 +406,53 @@ def test_mesh_aot_artifact_roundtrip_on_tpu(tmp_path):
     np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, rtol=2e-3)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_ivf_routed_head_compiled_on_tpu():
+    """Compiled-Mosaic IVF: the tile-selective DMA stream (tile_sel SMEM
+    row, skip-empty-slot logic) only exists in the compiled lowering —
+    interpret mode cannot catch its alignment/layout bugs. Gates: full
+    probe == the dense prepared head (same accumulation order on the
+    class-sorted bank -> prob-space agreement at MXU tolerance), pruned
+    probe keeps perfect top-1 agreement on a separated clustered bank at
+    every precision."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        import jax._src.xla_bridge as xb
+
+        xb._clear_backends()
+        jax.config.update("jax_platforms", None)
+        jax.clear_caches()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from nwhead_tpu.ops.ivf import (
+        nw_fused_ivf_log_probs, prepare_support_ivf,
+    )
+    from nwhead_tpu.ops.pallas_nw import nw_fused_from_prepared
+
+    rng = np.random.default_rng(17)
+    S, C, D, B = 32768, 200, 128, 16
+    cents = rng.standard_normal((C, D)).astype(np.float32)
+    sy = np.repeat(np.arange(C, dtype=np.int32), S // C)
+    rng.shuffle(sy)
+    sf = jnp.asarray(
+        cents[sy] + 0.2 * rng.standard_normal((S, D)), jnp.float32)
+    qy = rng.integers(0, C, B)
+    q = jnp.asarray(
+        cents[qy] + 0.2 * rng.standard_normal((B, D)), jnp.float32)
+
+    for precision in ("f32", "bf16", "int8", "int4"):
+        ivf = prepare_support_ivf(
+            sf, jnp.asarray(sy), C, precision=precision, block_s=1024)
+        n_tiles = ivf.prep.lane.shape[0]
+        assert ivf.prep.win is not None  # class windows survive on chip
+        dense = np.asarray(nw_fused_from_prepared(q, ivf.prep, C))
+        full = np.asarray(nw_fused_ivf_log_probs(
+            q, ivf, C, n_probe=n_tiles))
+        pd = np.abs(np.exp(dense) - np.exp(full)).max()
+        assert pd < 1e-5, (precision, pd)
+        pruned = np.asarray(nw_fused_ivf_log_probs(q, ivf, C, n_probe=4))
+        agree = (pruned.argmax(1) == dense.argmax(1)).mean()
+        assert agree == 1.0, (precision, agree)
