@@ -893,6 +893,16 @@ class NWNet:
                 f"make_serving_fn serves mode 'full' or 'ivf', got {mode!r}"
             )
         if self._prepared_full is None and self._sharded_predict is not None:
+            if mode == "ivf" and (
+                self.sharded_bank is None
+                or self.sharded_bank.ivf_cents is None
+            ):
+                # Fail at build time, not at the first request.
+                raise ValueError(
+                    "mode='ivf' under a mesh needs the prepared sharded "
+                    "bank's routing index (fused kernel on TPU, or a "
+                    "reduced-precision head)"
+                )
             # Mesh serving: compose the already-jitted pieces (normalize ->
             # featurize -> shard_mapped full-mode predict). A few dispatches
             # instead of one — fine on a pod, where there is no high-latency
