@@ -28,26 +28,19 @@ run() {
   tail -12 $OUT/$name.log
 }
 
-# 1. int4 at the 1M-row bank scale: oracle gates + interleaved timing vs
-#    f32/bf16/int8 (first run already completed 2026-08-19 — re-run is
-#    cheap and reconfirms).
-run bigbank python scripts/bigbank_lab.py
+# Queue as of the round-3 ninth session: the int4 queue completed
+# 2026-08-19/20 (results in BASELINE.md); this queue re-validates the
+# round's IVF machinery on the chip and refreshes the official line.
 
-# 2. Giant-bank int4: 16M rows x 512 dims = 4.1 GB packed bank (2x the
-#    int8 row ceiling), chunked build + centroid gate + timing.
-run giant16m python scripts/bigbank_lab.py --giant 16000000 \
-  --giant_precision int4
-
-# 3. digits protocol with the int4 serving bank on trained weights
-#    (accuracy cost of the 8x-traffic-reduction bank on real data).
-run digits_int4 python scripts/parity_run.py --dataset digits \
-  --arch resnet10 --epochs 8 --steps_per_epoch 40 --milestones 5 7 \
-  --n_way 8 --modes full --stacks tpu --int4_eval --bf16_eval \
-  --int8_eval --out $OUT/digits_int4.json
-
-# 4. RUN_TPU suite (now includes the int4 compiled randomized sweep).
+# 1. RUN_TPU suite (now includes the compiled IVF routed-head gate).
 run tpu_suite env RUN_TPU=1 python -m pytest tests/test_tpu_integration.py -x -q
 
-# 5. Fresh official bench line (now carries bigbank_int4_qps fields).
+# 2. IVF pruning decision runs (1M bank, all regimes).
+run ivf_lab python scripts/ivf_lab.py
+
+# 3. Giant routed bank: 8M rows via chunked IVF build.
+run giant_ivf python scripts/bigbank_lab.py --giant 8000000 --giant_ivf
+
+# 4. Fresh official bench line (carries bigbank_ivf_* fields).
 run bench env NWHEAD_ASSUME_TPU=1 python bench.py
 echo "done $(date)" | tee -a $OUT/status
