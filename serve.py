@@ -62,7 +62,9 @@ def build_server(args):
         feat_dim=featurizer.feat_dim, proj_dim=args.proj_dim,
         kernel_type=args.kernel_type, n_shot_full=args.n_shot_full,
         head_precision=args.head_precision, seed=args.seed,
-        ivf_n_probe=args.ivf_probe,
+        # getattr: callers that hand-build the namespace (scripts/
+        # visualize.py) may predate newer serving flags.
+        ivf_n_probe=getattr(args, "ivf_probe", 32),
         # Serving wants the prepared streaming path whatever the bank
         # size (the default 1024-row floor targets training-loop eval,
         # where tiny banks aren't worth the prepare step).

@@ -435,7 +435,7 @@ def test_ivf_routed_head_compiled_on_tpu():
     rng = np.random.default_rng(17)
     S, C, D, B = 32768, 200, 128, 16
     cents = rng.standard_normal((C, D)).astype(np.float32)
-    sy = np.repeat(np.arange(C, dtype=np.int32), S // C)
+    sy = (np.arange(S, dtype=np.int32) % C)  # S % C != 0: sizes 163/164
     rng.shuffle(sy)
     sf = jnp.asarray(
         cents[sy] + 0.2 * rng.standard_normal((S, D)), jnp.float32)
