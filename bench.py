@@ -233,8 +233,16 @@ def _bigbank_fields(on_tpu):
             return nw_fused_ivf_log_probs(
                 q, ivf_, C, n_probe=4).sum() * 1e-6
 
+        # A stream case rides the SAME interleaved loop so the bigbank
+        # roofline fraction is a paired per-cycle ratio (clock drift
+        # cancels) — at S=1e6 the f32 head is AT the stream roofline
+        # (BASELINE.md), which the drift-prone CUB-scale fraction can't
+        # show; this puts the definitive number in the official line.
+        stream_case, stream_bytes = _stream_case(rng)
+
         # Banks ride the timing loops as ARGS (the 413/bigbank lesson).
         cases = [
+            stream_case,
             ("big_f32_b64",
              lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
              (q64, prep_f32)),
@@ -253,7 +261,7 @@ def _bigbank_fields(on_tpu):
             ("big_ivf8_b64_skew", _ivf4, (q64c, ivf_i8)),
             ("big_ivf8_b256_skew", _ivf4, (q256c, ivf_i8)),
         ]
-        t, _ = _measure(cases, 8, 40, cycles=7)
+        t, big_samples = _measure(cases, 8, 40, cycles=7)
         # One-shot recall gate on the skewed batch (exact vs routed top-1).
         exact_c = np.asarray(nw_fused_from_prepared(q256c, prep_i8, C))
         routed_c = np.asarray(nw_fused_ivf_log_probs(
@@ -278,6 +286,12 @@ def _bigbank_fields(on_tpu):
             "bigbank_ivf_x_b256_skew": round(
                 t["big_int8_b256"] / t["big_ivf8_b256_skew"], 2),
             "bigbank_ivf_top1_agree": ivf_agree,
+            # (f32_bank_bytes / measured_stream_BW) / t_f32, paired per
+            # cycle. Metadata traffic (~1% at oh_impl='lane') is ignored,
+            # so this slightly UNDERestimates the achieved fraction.
+            "bigbank_f32_roofline_frac": round(_paired_ratio(
+                big_samples, "stream", "big_f32_b64",
+                S * D * 4 / stream_bytes), 3),
         }
         if bank_np is not None:
             # The reference's big-bank strategy, measured in the official
