@@ -92,12 +92,19 @@ def _paired_ratio(samples, num_name, den_name, scale):
     return r[len(r) // 2]
 
 
-def _stream_case(rng, D=512):
-    """Pure bank-streaming kernel: calibrates achievable HBM bandwidth."""
+def _stream_case(rng, D=512, rows=12288):
+    """Pure bank-streaming kernel: calibrates achievable HBM bandwidth.
+
+    ``rows`` sizes the streamed array: per-call cost must be comparable
+    to the cases it rides an interleaved loop with, so the loop DELTA
+    carries enough signal against ms-scale tunnel jitter (the timing
+    rule: >=30 ms of signal). The CUB-scale head loop pairs it with
+    ~20 us cases (25 MB is right there); the bigbank loop's cases are
+    ~ms-scale, so it gets a ~400 MB stream (rows=196608)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    s_big = jnp.asarray(rng.standard_normal((12288, D)).astype(np.float32))
+    s_big = jnp.asarray(rng.standard_normal((rows, D)).astype(np.float32))
 
     def _kernel(s_ref, out_ref, acc_ref, *, n_tiles):
         j = pl.program_id(0)
@@ -238,7 +245,10 @@ def _bigbank_fields(on_tpu):
         # cancels) — at S=1e6 the f32 head is AT the stream roofline
         # (BASELINE.md), which the drift-prone CUB-scale fraction can't
         # show; this puts the definitive number in the official line.
-        stream_case, stream_bytes = _stream_case(rng)
+        # rows=196608 (~400 MB): the per-call cost must be ~ms like its
+        # loop-mates or the (8, 40) pair's delta carries too little
+        # signal against tunnel jitter (round-3 advisor finding).
+        stream_case, stream_bytes = _stream_case(rng, rows=196608)
 
         # Banks ride the timing loops as ARGS (the 413/bigbank lesson).
         cases = [

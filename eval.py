@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--n_shot_random", type=int, default=1)
     p.add_argument("--n_shot_cluster", type=int, default=1)
     p.add_argument("--n_neighbors", type=int, default=10)
+    p.add_argument("--ivf_group_b", type=int, default=None,
+                   help="mode=ivf: grouped routing block size (route-sort "
+                        "the batch, one tile union per block; None = one "
+                        "union per batch)")
     p.add_argument("--ivf_n_probe", type=int, default=32,
                    help="mode=ivf: routed bank tiles streamed per batch "
                         "(recall knob; >= the tile count is exact full mode)")
@@ -123,6 +127,7 @@ def main(argv=None):
         n_neighbors=args.n_neighbors,
         head_precision=args.head_precision,
         ivf_n_probe=args.ivf_n_probe,
+        ivf_group_b=args.ivf_group_b,
         seed=args.seed,
         mesh=mesh,
     )

@@ -332,11 +332,25 @@ def make_synthetic_dataset(
     channels: int = 3,
     seed: int = 0,
     transform=None,
+    class_patterns: float = 0.0,
+    pattern_seed: int = 1234,
 ) -> ArrayDataset:
     """Tiny class-separable synthetic dataset for tests: images whose mean
-    intensity encodes the class, plus noise."""
+    intensity encodes the class, plus noise.
+
+    ``class_patterns > 0`` additionally mixes in a fixed random spatial
+    pattern per class (drawn from ``pattern_seed``, which train/val splits
+    must SHARE) — the mean-intensity code alone stops separating classes
+    once 1/n_classes falls under the noise floor (e.g. C=200), and the
+    endurance recipe needs a learnable task at CUB scale."""
     rng = np.random.default_rng(seed)
     targets = np.tile(np.arange(n_classes), n // n_classes + 1)[:n]
     images = rng.normal(0, 0.1, size=(n, size, size, channels)).astype(np.float32)
     images += (targets / n_classes)[:, None, None, None].astype(np.float32)
+    if class_patterns > 0:
+        prng = np.random.default_rng(pattern_seed)
+        pat = prng.normal(
+            0, class_patterns, size=(n_classes, size, size, channels)
+        ).astype(np.float32)
+        images += pat[targets]
     return ArrayDataset(images, targets, num_classes=n_classes, transform=transform)

@@ -62,8 +62,34 @@ class QuantizedResNet(NamedTuple):
     stem_padding: Any
     blocks: Tuple[QBlock, ...]
 
+    def split(self):
+        """(statics, array_tree) for ``_qresnet_forward`` — statics
+        hashable (jit static arg), arrays a plain pytree (jit traced arg);
+        the 413 lesson, same shape as ``QuantizedViT.split``."""
+        blk_geo, blk_arr = [], []
+        for blk in self.blocks:
+            pairs = [_qconv_split(c) for c in blk.convs]
+            ds_geo = ds_arr = None
+            if blk.downsample is not None:
+                ds_geo, ds_arr = _qconv_split(blk.downsample)
+            blk_geo.append((blk.kind, tuple(g for g, _ in pairs), ds_geo))
+            blk_arr.append((tuple(a for _, a in pairs), ds_arr))
+        statics = (
+            int(self.stem_stride), _hashable_padding(self.stem_padding),
+            tuple(blk_geo),
+        )
+        return statics, (self.stem_w, self.stem_b, tuple(blk_arr))
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _qresnet_forward(self, x)
+        statics, tree = self.split()
+        return _qresnet_forward_jit(statics, tree, x)
+
+    @staticmethod
+    def unjitted_forward():
+        """The raw forward for callers composing a LARGER jit: call as
+        ``fwd(statics, tree, x)`` with the tree as an argument of the
+        outer jit, never a closure."""
+        return _qresnet_forward
 
 
 def _fold_conv_bn(conv_p, bn_p, bn_s, eps: float = 1e-5):
@@ -87,27 +113,64 @@ def _quantize_weight(w: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(wq), jnp.asarray(scale)
 
 
-def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
+def _hashable_padding(p):
+    """Conv padding as a hashable jit-static value ('SAME'/'VALID' strings
+    pass through; pair lists become tuples of int pairs)."""
+    if isinstance(p, str):
+        return p
+    return tuple((int(a), int(b)) for a, b in p)
+
+
+def _qconv_split(qc: QConv):
+    """(geometry, arrays) for passing a QConv through jit: geometry is
+    hashable (static arg — incl. the calibrated act_scale as a Python
+    float, which the requantize chain bakes in), arrays are traced."""
+    geo = (
+        float(qc.act_scale), int(qc.stride), _hashable_padding(qc.padding),
+        int(qc.groups),
+    )
+    return geo, (qc.wq, qc.w_scale, qc.bias)
+
+
+def _qconv_apply_split(x: jnp.ndarray, arr, geo) -> jnp.ndarray:
     """Quantize input -> int8 conv (MXU) -> dequantize + bias. The scale/
     bias math is f32 but the tensor is carried in bf16 between convs —
     activations move at half the f32 bytes and the epilogue fuses into the
     conv; the next conv's requantize step re-rounds from bf16 (the int8
     rounding error dominates the bf16 carry error)."""
-    inv = 1.0 / qc.act_scale
+    act_scale, stride, padding, groups = geo
+    wq, w_scale, bias = arr
+    # f32 reciprocal, matching the pre-split on-device semantics exactly
+    # (a Python-double 1/s differs by up to 1 ulp, which can flip round()
+    # at .5 boundaries and drift the int8 codes).
+    inv = float(np.float32(1.0) / np.float32(act_scale))
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(
         jnp.int8
     )
     y = jax.lax.conv_general_dilated(
-        x8, qc.wq, (qc.stride, qc.stride), qc.padding,
+        x8, wq, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=qc.groups,
+        feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (qc.act_scale * qc.w_scale) + qc.bias
+    y = y.astype(jnp.float32) * (act_scale * w_scale) + bias
     return y.astype(jnp.bfloat16)
 
 
-def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
+def _qconv_apply(x: jnp.ndarray, qc: QConv) -> jnp.ndarray:
+    geo, arr = _qconv_split(qc)
+    return _qconv_apply_split(x, arr, geo)
+
+
+def _qresnet_forward(statics, tree, x: jnp.ndarray) -> jnp.ndarray:
+    """Pure quantized-ResNet forward. Weights ride in ``tree`` (a pytree
+    of arrays, a jit ARGUMENT) — closing over them would inline the folded
+    int8/f32 tree as HLO constants, which the axon remote compile service
+    rejects past ~resnet152 scale (HTTP 413). ``statics`` carries the
+    hashable geometry (strides/paddings/groups/kinds + calibrated
+    activation scales as Python floats)."""
+    stem_stride, stem_padding, blk_geo = statics
+    stem_w, stem_b, blk_arr = tree
     # Stem: conv -> maxpool -> bias+relu, in that ORDER. The per-channel
     # bias and the (monotone) relu both commute with the window max, so
     # this equals relu(conv + b) -> maxpool exactly — but the elementwise
@@ -116,30 +179,33 @@ def _qresnet_forward(q: QuantizedResNet, x: jnp.ndarray) -> jnp.ndarray:
     # stem output that unfused pass costs more HBM traffic than the conv
     # itself (measured, quant_lab --decompose).
     x = jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), q.stem_w,
-        (q.stem_stride, q.stem_stride), q.stem_padding,
+        x.astype(jnp.bfloat16), stem_w,
+        (stem_stride, stem_stride), stem_padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     x = jax.lax.reduce_window(
         x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    x = jax.nn.relu(x + q.stem_b.astype(jnp.bfloat16))
+    x = jax.nn.relu(x + stem_b.astype(jnp.bfloat16))
 
-    for blk in q.blocks:
+    for (kind, conv_geo, ds_geo), (conv_arr, ds_arr) in zip(blk_geo, blk_arr):
         identity = x
-        if blk.kind == "basic":
-            out = jax.nn.relu(_qconv_apply(x, blk.convs[0]))
-            out = _qconv_apply(out, blk.convs[1])
+        if kind == "basic":
+            out = jax.nn.relu(_qconv_apply_split(x, conv_arr[0], conv_geo[0]))
+            out = _qconv_apply_split(out, conv_arr[1], conv_geo[1])
         else:
-            out = jax.nn.relu(_qconv_apply(x, blk.convs[0]))
-            out = jax.nn.relu(_qconv_apply(out, blk.convs[1]))
-            out = _qconv_apply(out, blk.convs[2])
-        if blk.downsample is not None:
-            identity = _qconv_apply(x, blk.downsample)
+            out = jax.nn.relu(_qconv_apply_split(x, conv_arr[0], conv_geo[0]))
+            out = jax.nn.relu(_qconv_apply_split(out, conv_arr[1], conv_geo[1]))
+            out = _qconv_apply_split(out, conv_arr[2], conv_geo[2])
+        if ds_geo is not None:
+            identity = _qconv_apply_split(x, ds_arr, ds_geo)
         x = jax.nn.relu(out + identity)
 
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+_qresnet_forward_jit = jax.jit(_qresnet_forward, static_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +465,45 @@ class QDenseLayer(NamedTuple):
     conv2: QConv  # 3x3 growth
 
 
+def _qdensenet_forward(statics, tree, x: jnp.ndarray) -> jnp.ndarray:
+    """Pure quantized-DenseNet forward — weights in ``tree`` (jit traced
+    arg), conv geometry + activation scales in hashable ``statics`` (the
+    413 lesson; see ``_qresnet_forward``)."""
+    blocks_geo, trans_geo = statics
+    stem_w, bn0, blocks_arr, trans_arr, final_bn = tree
+    x = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), stem_w, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = jax.nn.relu(bn0(x))
+    x = jax.lax.reduce_window(
+        x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1),
+        (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for block_geo, block_arr, tg, ta in zip(
+        blocks_geo, blocks_arr, trans_geo, trans_arr
+    ):
+        for (g1, g2), (bn1, a1, bn2, a2) in zip(block_geo, block_arr):
+            h = jax.nn.relu(bn1(x))
+            h = _qconv_apply_split(h, a1, g1)
+            h = jax.nn.relu(bn2(h))
+            h = _qconv_apply_split(h, a2, g2)
+            x = jnp.concatenate([x, h], axis=-1)
+        if tg is not None:
+            t_bn, t_arr = ta
+            h = jax.nn.relu(t_bn(x))
+            h = _qconv_apply_split(h, t_arr, tg)
+            x = jax.lax.reduce_window(
+                h, jnp.bfloat16(0.0), jax.lax.add, (1, 2, 2, 1),
+                (1, 2, 2, 1), ((0, 0), (0, 0), (0, 0), (0, 0)),
+            ) * 0.25
+    x = jax.nn.relu(final_bn(x))
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+_qdensenet_forward_jit = jax.jit(_qdensenet_forward, static_argnums=(0,))
+
+
 class QuantizedDenseNet(NamedTuple):
     """Serving-only quantized DenseNet-BC: mirrors
     ``DenseNet.__call__(train=False)`` (``models/densenet.py:149-190``)."""
@@ -409,33 +514,44 @@ class QuantizedDenseNet(NamedTuple):
     transitions: Tuple[Optional[Tuple[QAffine, QConv]], ...]  # len = blocks
     final_bn: QAffine
 
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), self.stem_w, (2, 2), ((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        x = jax.nn.relu(self.bn0(x))
-        x = jax.lax.reduce_window(
-            x, jnp.bfloat16(-jnp.inf), jax.lax.max, (1, 3, 3, 1),
-            (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
-        )
-        for block, trans in zip(self.blocks, self.transitions):
+    def split(self):
+        """(statics, array_tree) for ``_qdensenet_forward`` (413 lesson,
+        same shape as ``QuantizedViT.split``)."""
+        blocks_geo, blocks_arr = [], []
+        for block in self.blocks:
+            lg, la = [], []
             for layer in block:
-                h = jax.nn.relu(layer.bn1(x))
-                h = _qconv_apply(h, layer.conv1)
-                h = jax.nn.relu(layer.bn2(h))
-                h = _qconv_apply(h, layer.conv2)
-                x = jnp.concatenate([x, h], axis=-1)
-            if trans is not None:
-                t_bn, t_conv = trans
-                h = jax.nn.relu(t_bn(x))
-                h = _qconv_apply(h, t_conv)
-                x = jax.lax.reduce_window(
-                    h, jnp.bfloat16(0.0), jax.lax.add, (1, 2, 2, 1),
-                    (1, 2, 2, 1), ((0, 0), (0, 0), (0, 0), (0, 0)),
-                ) * 0.25
-        x = jax.nn.relu(self.final_bn(x))
-        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+                g1, a1 = _qconv_split(layer.conv1)
+                g2, a2 = _qconv_split(layer.conv2)
+                lg.append((g1, g2))
+                la.append((layer.bn1, a1, layer.bn2, a2))
+            blocks_geo.append(tuple(lg))
+            blocks_arr.append(tuple(la))
+        trans_geo, trans_arr = [], []
+        for trans in self.transitions:
+            if trans is None:
+                trans_geo.append(None)
+                trans_arr.append(None)
+            else:
+                g, a = _qconv_split(trans[1])
+                trans_geo.append(g)
+                trans_arr.append((trans[0], a))
+        statics = (tuple(blocks_geo), tuple(trans_geo))
+        tree = (
+            self.stem_w, self.bn0, tuple(blocks_arr), tuple(trans_arr),
+            self.final_bn,
+        )
+        return statics, tree
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        statics, tree = self.split()
+        return _qdensenet_forward_jit(statics, tree, x)
+
+    @staticmethod
+    def unjitted_forward():
+        """Raw forward for callers composing a LARGER jit — tree as an
+        argument of the outer jit, never a closure."""
+        return _qdensenet_forward
 
 
 def _bn_affine(bn_p, bn_s, eps: float = 1e-5) -> QAffine:

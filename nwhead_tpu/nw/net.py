@@ -137,6 +137,7 @@ class NWNet:
         n_neighbors: int = 10,
         ivf_n_probe: int = 32,
         ivf_n_clusters: Optional[int] = None,
+        ivf_group_b: Optional[int] = None,
         env_array: Optional[Sequence[int]] = None,
         debug_mode: bool = False,
         return_mask: bool = False,
@@ -166,6 +167,11 @@ class NWNet:
         # (None = one cluster per bank tile; see ops/ivf.py).
         self.ivf_n_probe = ivf_n_probe
         self.ivf_n_clusters = ivf_n_clusters
+        # Grouped routing (diverse/uniform batches): route-sort the batch
+        # and give each ivf_group_b-query block its own tile union inside
+        # one kernel call; None = one union for the whole batch (best for
+        # skewed traffic). See ops/ivf.py nw_fused_ivf_log_probs.
+        self.ivf_group_b = ivf_group_b
         self.quantized_featurizer = None  # set by quantize_featurizer()
 
         self.model = NWModel(
@@ -330,52 +336,29 @@ class NWNet:
             variables["params"]["proj"] if self.model.proj_dim > 0 else None
         )
 
-        from nwhead_tpu.models.quantize import QuantizedViT
-
-        if isinstance(q, QuantizedViT):
-            # QuantizedViT.apply is internally jitted with its weights as
-            # jit ARGUMENTS; wrapping it in another jit would close over
-            # them and inline ViT-B-scale constants into the HLO (the
-            # axon remote-compile service rejects such bodies). The tiny
-            # projection rides its own jit.
-            projfn = jax.jit(lambda k, b, f: f @ k + b)
-
-            def feat(_variables, x):
-                f = q.apply(x)
-                if proj is not None:
-                    f = projfn(proj["kernel"], proj["bias"], f)
-                return f
-
-            self.quantized_featurizer = q
-            self._quantized_from = variables
-            self._quantized_variables_fp = self._variables_fingerprint(
-                variables
-            )
-            self._featurize_eval = feat
-            self._prepared_full = None
-            self._prepared_pos = None
-            self.sharded_bank = None
-            self._sharded_predict = None
-            self._sharded_knn_cache = None
-            self._ivf_cache = None
-            self._sharded_ensemble_cache = None
-            return
+        # Every quantized featurizer family (ResNet/DenseNet/ViT) has an
+        # internally-jitted apply with its weights as jit ARGUMENTS;
+        # wrapping it in another jit would close over them and inline
+        # the folded constants into the HLO (the axon remote-compile
+        # service rejects such bodies past ~resnet152/ViT-B scale). The
+        # tiny projection rides its own jit.
+        projfn = jax.jit(lambda k, b, f: f @ k + b)
 
         def feat(_variables, x):
             f = q.apply(x)
             if proj is not None:
-                f = f @ proj["kernel"] + proj["bias"]
+                f = projfn(proj["kernel"], proj["bias"], f)
             return f
 
         self.quantized_featurizer = q
-        # The quantized closure bakes in THESE weights; a later checkpoint
+        # The quantized tree bakes in THESE weights; a later checkpoint
         # reload would silently diverge from the head params — hold the
         # source tree (identity fast path per request) and fingerprint its
         # content so an equal-content rebuilt tree is legitimately fine
         # while different weights fail loudly.
         self._quantized_from = variables
         self._quantized_variables_fp = self._variables_fingerprint(variables)
-        self._featurize_eval = jax.jit(feat)
+        self._featurize_eval = feat
         # Bank features must come from the same featurizer as queries.
         self._prepared_full = None
         self._prepared_pos = None
@@ -950,6 +933,7 @@ class NWNet:
             n_classes_ = self.n_classes
             kernel_ = self.kernel_type
             n_probe = self.ivf_n_probe
+            group_b_ = self.ivf_group_b
 
             def head(vv, f, bank):
                 # select_tiles clamps n_probe to the live bank's tile
@@ -957,6 +941,7 @@ class NWNet:
                 return nw_fused_ivf_log_probs(
                     f, bank, n_classes_, kernel=kernel_,
                     kernel_params=kparams, n_probe=n_probe,
+                    group_b=group_b_,
                 )
 
             live_bank = self._ivf_bank
@@ -1168,12 +1153,13 @@ class NWNet:
         n_probe = min(self.ivf_n_probe, ivf.prep.lane.shape[0])
         n_classes = self.n_classes
         kernel = self.kernel_type
+        group_b = self.ivf_group_b
 
         @jax.jit
         def fn(qf, ivf_):
             return nw_fused_ivf_log_probs(
                 qf, ivf_, n_classes, kernel=kernel, kernel_params=kparams,
-                n_probe=n_probe,
+                n_probe=n_probe, group_b=group_b,
             )
 
         self._ivf_cache = (self.full_feat, ivf, fn)

@@ -323,6 +323,20 @@ def concat_ivf(ivfs, n_classes: int) -> IVFPrepared:
     )
 
 
+def _dedup_rows(ids: jnp.ndarray, n_tiles: int, n_sel: int) -> jnp.ndarray:
+    """Row-wise sort + dedup of tile ids to a fixed width.
+
+    ids: (G, k) int32. Returns (G, n_sel) int32 — each row's unique ids
+    ascending, ``-1``-padded. Jit-friendly: two sorts, no scatter."""
+    srt = jnp.sort(ids, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((srt.shape[0], 1), bool), srt[:, 1:] == srt[:, :-1]],
+        axis=1,
+    )
+    uniq = jnp.sort(jnp.where(dup, n_tiles, srt), axis=1)[:, :n_sel]
+    return jnp.where(uniq >= n_tiles, -1, uniq).astype(jnp.int32)
+
+
 def select_tiles(affinity: jnp.ndarray, n_probe: int) -> jnp.ndarray:
     """Per-query top-``n_probe`` tiles -> fixed-size batch union.
 
@@ -333,14 +347,21 @@ def select_tiles(affinity: jnp.ndarray, n_probe: int) -> jnp.ndarray:
     B, n_tiles = affinity.shape
     n_probe = min(n_probe, n_tiles)
     _, ids = jax.lax.top_k(affinity, n_probe)
-    flat = jnp.sort(ids.reshape(-1))
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), flat[1:] == flat[:-1]]
-    )
-    uniq = jnp.sort(jnp.where(dup, n_tiles, flat))
     n_sel = min(B * n_probe, n_tiles)
-    uniq = uniq[:n_sel]
-    return jnp.where(uniq >= n_tiles, -1, uniq).astype(jnp.int32)
+    return _dedup_rows(ids.reshape(1, -1), n_tiles, n_sel)[0]
+
+
+def _route_affinity(qn: jnp.ndarray, ivf: IVFPrepared, mode: str):
+    """(B, n_tiles) routing affinity. For l2-kernels ranking uses
+    ``2 q.c - |c|^2`` (monotone in ``-|q - c|^2``); dot-family kernels
+    rank by the dot itself. Empty tiles are never selectable (-inf)."""
+    d_pad = ivf.cents.shape[1]
+    qf = qn.astype(jnp.float32)
+    qf = jnp.pad(qf, ((0, 0), (0, d_pad - qf.shape[1])))
+    aff = qf @ ivf.cents.T
+    if mode == "l2":
+        aff = 2.0 * aff - ivf.c2[None, :]
+    return jnp.where(ivf.cvalid[None, :] > 0, aff, -jnp.inf)
 
 
 def route_tiles(
@@ -351,17 +372,8 @@ def route_tiles(
     mode: str,
 ) -> jnp.ndarray:
     """Tile selection for a (normalized) query batch: one matmul against
-    the tile centroids + ``select_tiles``. For l2-kernels ranking uses
-    ``2 q.c - |c|^2`` (monotone in ``-|q - c|^2``); dot-family kernels
-    rank by the dot itself. Empty tiles are never selected."""
-    d_pad = ivf.cents.shape[1]
-    qf = qn.astype(jnp.float32)
-    qf = jnp.pad(qf, ((0, 0), (0, d_pad - qf.shape[1])))
-    aff = qf @ ivf.cents.T
-    if mode == "l2":
-        aff = 2.0 * aff - ivf.c2[None, :]
-    aff = jnp.where(ivf.cvalid[None, :] > 0, aff, -jnp.inf)
-    return select_tiles(aff, n_probe)
+    the tile centroids + ``select_tiles``."""
+    return select_tiles(_route_affinity(qn, ivf, mode), n_probe)
 
 
 def nw_fused_ivf_log_probs(
@@ -374,20 +386,64 @@ def nw_fused_ivf_log_probs(
     n_probe: int = 32,
     block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
+    group_b: Optional[int] = None,
     **prepared_kwargs: Any,
 ) -> jnp.ndarray:
     """IVF-pruned NW log-probs: route, then stream only the selected
     tiles through the prepared serving kernel. Fully jittable with
     ``ivf`` as a jit argument (the 413 lesson — never close over banks).
 
-    ``n_probe`` is the recall knob: tiles per query before the batch
-    union. ``n_probe >= n_tiles`` reproduces full mode exactly."""
+    ``n_probe`` is the recall knob: tiles per query before the union.
+
+    ``group_b=None`` (default): ONE tile union for the whole batch — the
+    right shape when the batch's queries share routing (skewed serving
+    traffic), but a diverse batch's union approaches the whole bank and
+    every query pays compute over all of it. ``group_b=g``: the batch is
+    ROUTE-SORTED (by each query's best tile) and split into blocks of
+    ``g``; each block gets its OWN union inside one kernel call (2-D
+    ``tile_sel``), so total cost is the sum of small per-group unions —
+    the uniform-batch fix. Outputs are restored to input order. Per-query
+    results depend only on which tiles its group streams (a superset of
+    its own ``n_probe`` picks), so recall can only improve over the
+    per-query route; agreement gates are measured in scripts/ivf_lab.py.
+
+    ``n_probe >= n_tiles`` reproduces full mode exactly in both shapes."""
     mode, _, qn, _ = _resolve_mode(
         kernel, kernel_params or {}, qfeat, qfeat[:1]
     )
-    tsel = route_tiles(qn, ivf, n_probe, mode=mode)
-    return nw_fused_from_prepared(
-        qfeat, ivf.prep, n_classes, kernel=kernel,
-        kernel_params=kernel_params, block_b=block_b, interpret=interpret,
+    B = qfeat.shape[0]
+    if group_b is None or B <= group_b:
+        tsel = select_tiles(_route_affinity(qn, ivf, mode), n_probe)
+        return nw_fused_from_prepared(
+            qfeat, ivf.prep, n_classes, kernel=kernel,
+            kernel_params=kernel_params, block_b=block_b, interpret=interpret,
+            tile_sel=tsel, **prepared_kwargs,
+        )
+
+    n_tiles = ivf.cents.shape[0]
+    np_eff = min(n_probe, n_tiles)
+    b_pad = _round_up(B, group_b)
+    if b_pad > B:
+        # Edge-repeat padding: pad queries carry a REAL query's routing,
+        # so the last group's union gains nothing it didn't already have.
+        rep = jnp.broadcast_to(qfeat[-1:], (b_pad - B,) + qfeat.shape[1:])
+        qfeat = jnp.concatenate([qfeat, rep], axis=0)
+        qn = jnp.concatenate(
+            [qn, jnp.broadcast_to(qn[-1:], (b_pad - B,) + qn.shape[1:])],
+            axis=0,
+        )
+    aff = _route_affinity(qn, ivf, mode)
+    _, ids = jax.lax.top_k(aff, np_eff)          # (b_pad, np_eff)
+    order = jnp.argsort(ids[:, 0])               # route-sort by best tile
+    inv = jnp.argsort(order)
+    n_sel = min(group_b * np_eff, n_tiles)
+    tsel = _dedup_rows(
+        ids[order].reshape(b_pad // group_b, group_b * np_eff),
+        n_tiles, n_sel,
+    )
+    out = nw_fused_from_prepared(
+        qfeat[order], ivf.prep, n_classes, kernel=kernel,
+        kernel_params=kernel_params, block_b=group_b, interpret=interpret,
         tile_sel=tsel, **prepared_kwargs,
     )
+    return out[inv][:B]

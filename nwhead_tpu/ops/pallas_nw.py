@@ -181,22 +181,30 @@ def _int4_pack(sf):
     """Fused int4 quantize + nibble pack + dequantized self-norms.
 
     ``sf`` is the (S_pad, d_pad) f32 bank with d_pad % 256 == 0. Nibble
-    packing: byte[i, j] = (code[i, j + half] << 4) | (code[i, j] & 15) —
+    packing: byte[i, j] = (code[i, j + half] << 4) | (code[i, j] + 8) —
     feature PAIRS (j, j + d_pad/2) share a byte, so the in-kernel unpack
     is two static lane-half writes (no interleave, which Mosaic relayouts
     would make expensive). The dot is permutation-invariant in the
     feature dim, and the query is padded/quantized to the same d_pad
     order. Stored as uint8 — the dtype IS the int4 marker (int8 = plain
     int8 banks); the serving path bitcasts to int8 before the kernel.
-    All nibble math stays in the int8 domain (1-byte temps; int8 shifts
-    wrap to exactly the intended bit patterns)."""
+
+    The LO nibble is stored BIASED (+8, so it occupies [1, 15] unsigned)
+    rather than two's-complement. That makes the signed byte value an
+    exact affine function of the two codes — b = 16*hi + (lo + 8) — which
+    is what lets the 'mxu' unpack recover both nibbles' dot products from
+    matmuls against the PACKED bytes (see _nw_prepared_kernel), and it
+    turns the VPU unpack's lo fixup into a single subtract (no
+    compare/select chain). All nibble math stays in the int8 domain
+    (1-byte temps; int8 shifts wrap to exactly the intended bit
+    patterns)."""
     amax = jnp.max(jnp.abs(sf), axis=1)
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
     v = jnp.clip(jnp.round(sf / scale[:, None]), -7, 7).astype(jnp.int8)
     s2 = jnp.sum(v.astype(jnp.float32) ** 2, axis=1) * scale * scale
     half = sf.shape[1] // 2
     packed = jax.lax.bitcast_convert_type(
-        (v[:, :half] & 15) | (v[:, half:] << 4), jnp.uint8
+        (v[:, :half] + 8) | (v[:, half:] << 4), jnp.uint8
     )
     return packed, scale, s2
 
@@ -785,7 +793,7 @@ def _nw_prepared_kernel(
     *refs,
     mode: str, n_tiles: int, c_pad: int, nchunk: int, block_s: int,
     s2_input: bool, quant: bool = False, quant4: bool = False,
-    int4_impl: str = "shift32",
+    int4_impl: str = "mxu",
     partials: bool = False,
     win_w: int = 0, softmax_impl: str = "exp", fold2: bool = True,
     agg_bf16: bool = False, meta_stream: bool = False,
@@ -866,6 +874,15 @@ def _nw_prepared_kernel(
         if quant:
             qf = qf * qcol
         q2 = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True)
+    q_lo_sum8 = None
+    if quant4 and int4_impl == "mxu":
+        # The lo nibble is stored BIASED (+8): dot(q_lo, lo) =
+        # dot(q_lo, u') - 8*sum(q_lo). The bias correction is per-query —
+        # hoist it out of the tile loop (one lane reduce per call).
+        hd = q.shape[1] // 2
+        q_lo_sum8 = 8 * jnp.sum(
+            q[:, :hd].astype(jnp.int32), axis=1, keepdims=True
+        )
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
@@ -928,44 +945,59 @@ def _nw_prepared_kernel(
         for cp in meta_dmas(slot, idx):
             cp.wait()
         s = sbuf[slot]
+        dot_i = None
         if quant4:
-            # Nibble-unpack the packed (TS, D/2) byte tile into the
-            # (TS, D) int8 scratch: the hi nibble is the byte's top 4 bits
-            # (sign-extended arithmetic >> 4 IS the signed code); the lo
-            # nibble sign-extends by a shift pair. Feature pairs were
-            # packed as (j, j + D/2), so the two halves land in static
-            # lane windows — no interleave/relayout on the VPU. This chain
-            # is the int4 path's VPU wall (at 1M rows it costs more than
-            # the DMA it saves), hence the measured impl variants
-            # (scripts/int4_lab.py):
-            #   'shift8'  — pure int8-domain shifts, no int32 converts
-            #               (wraps are exact: (b<<4)>>4 sign-extends the
-            #               lo nibble in 8-bit arithmetic);
-            #   'shift32' — int8->int32 convert, (x<<28)>>28 for lo;
-            #   'select'  — the original and/cmp/select/sub lo fixup.
+            # int4 tiles arrive PACKED: byte = (hi << 4) | (lo + 8), i.e.
+            # b_signed = 16*hi + u' with u' = lo + 8 in [0, 15]. Feature
+            # pairs were packed as (j, j + D/2), so the two halves land in
+            # static lane windows. Two unpack strategies (scripts/
+            # int4_lab.py; the per-byte VPU chain was the int4 path's wall
+            # — at 1M rows it cost more than the DMA it saved):
             half = s.shape[-1]
-            if int4_impl == "shift8":
-                ubuf[:, :half] = (s << 4) >> 4
-                ubuf[:, half:] = s >> 4
+            if int4_impl == "mxu":
+                # MXU-side unpack: recover both nibbles' dot products from
+                # matmuls against the PACKED bytes. dot(q_hi, b) =
+                # 16*dot(q_hi, hi) + dot(q_hi, u'), so with one extra
+                # operand u' = b & 0x0F (ONE i32 AND per FOUR bytes via
+                # sublane bitcast — no per-byte converts, no shifts):
+                #   hi term = (dot(q_hi, b) - dot(q_hi, u')) >> 4  (exact)
+                #   lo term = dot(q_lo, u') - 8*sum(q_lo)          (hoisted)
+                # Three half-width int8 MXU passes (b once, u' twice via a
+                # stacked 2TB-row matmul) replace the per-byte VPU chain.
+                w = pltpu.bitcast(s, jnp.int32)
+                ubuf[:] = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
+                tb = q.shape[0]
+                dot_b = jax.lax.dot_general(
+                    q[:, half:], s, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                qs2 = jnp.concatenate([q[:, :half], q[:, half:]], axis=0)
+                dot_u = jax.lax.dot_general(
+                    qs2, ubuf[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                dot_i = (
+                    ((dot_b - dot_u[tb:]) >> 4) + dot_u[:tb] - q_lo_sum8
+                )
             else:
+                # VPU unpack into the (TS, D) int8 scratch; the biased lo
+                # needs only and+sub (no compare/select), the hi nibble is
+                # the byte's arithmetic >> 4.
                 xi = s.astype(jnp.int32)
-                if int4_impl == "shift32":
-                    lo = (xi << 28) >> 28
-                else:
-                    assert int4_impl == "select", int4_impl
-                    lo_u = jnp.bitwise_and(xi, 15)
-                    lo = lo_u - jnp.where(lo_u > 7, 16, 0)
-                ubuf[:, :half] = lo.astype(jnp.int8)
+                ubuf[:, :half] = (jnp.bitwise_and(xi, 15) - 8).astype(
+                    jnp.int8
+                )
                 ubuf[:, half:] = (xi >> 4).astype(jnp.int8)
-            s = ubuf[:]
+                s = ubuf[:]
 
         if quant:
             # int8 x int8 MXU dot, dequantized by the per-row scales:
             # dot_f[i, k] = dot_i32[i, k] * qscale_i * sscale_k.
-            dot_i = jax.lax.dot_general(
-                q, s, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+            if dot_i is None:
+                dot_i = jax.lax.dot_general(
+                    q, s, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
             # Flat (n_tiles, 1, TS) layout: one leading-dim slice per tile
             # (the old (n_tiles, nchunk, 128) layout cost nchunk slices +
             # a lane concat on the VPU every tile).
@@ -1143,7 +1175,7 @@ def _nw_prepared_kernel(
 def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                    block_b, interpret, partials=False, softmax_impl="exp",
                    fold2=True, agg_precision="f32", meta_stream=None,
-                   oh_impl="lane", int4_impl="shift32", tile_sel=None):
+                   oh_impl="lane", int4_impl="mxu", tile_sel=None):
     s_p, s2c, lane, sub = prepared.s, prepared.s2c, prepared.lane, prepared.sub
     B, D0 = q.shape
     _, D = s_p.shape
@@ -1270,13 +1302,31 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     n_sel = 0
     if tile_sel is not None:
         # IVF-pruned serving (ops/ivf.py): stream only these tile ids
-        # (-1 = empty slot). One SMEM ROW — an (n_sel, 1) column would
-        # pad every 4-byte row to 512 B against the 1 MB SMEM budget.
-        tsel = tile_sel.astype(jnp.int32).reshape(1, -1)
+        # (-1 = empty slot). SMEM ROWS — an (n_sel, 1) column would pad
+        # every 4-byte row to 512 B against the 1 MB SMEM budget. A 1-D
+        # (or single-row) selection is shared by every query block; a 2-D
+        # (n_groups, n_sel) selection gives EACH query block its own tile
+        # subset (grouped routing: per-group unions stay small when the
+        # batch is route-sorted, so total DMA/compute is the sum of small
+        # unions instead of every query paying the whole batch's union).
+        tsel = tile_sel.astype(jnp.int32)
+        if tsel.ndim == 1:
+            tsel = tsel.reshape(1, -1)
         n_sel = tsel.shape[1]
-        in_specs.append(pl.BlockSpec(
-            tsel.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
-        ))
+        if tsel.shape[0] == 1:
+            in_specs.append(pl.BlockSpec(
+                tsel.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ))
+        else:
+            if tsel.shape[0] != b_pad // block_b:
+                raise ValueError(
+                    f"tile_sel rows ({tsel.shape[0]}) must match the "
+                    f"query-block grid ({b_pad // block_b} blocks of "
+                    f"{block_b})"
+                )
+            in_specs.append(pl.BlockSpec(
+                (1, n_sel), lambda i: (i, 0), memory_space=pltpu.SMEM
+            ))
         inputs.append(tsel)
 
     out_specs = pl.BlockSpec((block_b, c_pad), lambda i: (i, 0))
@@ -1305,7 +1355,11 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if quant4:
-        scratch_shapes.append(pltpu.VMEM((block_s, D), jnp.int8))
+        # 'mxu' only materializes the lo-nibble bytes u' = b & 0x0F (half
+        # width); the VPU chain unpacks the full (block_s, D) int8 tile.
+        scratch_shapes.append(pltpu.VMEM(
+            (block_s, D // 2 if int4_impl == "mxu" else D), jnp.int8
+        ))
     if meta_stream:
         if s2_input:
             scratch_shapes.append(pltpu.VMEM((2, 1, block_s), jnp.float32))
@@ -1360,7 +1414,7 @@ def nw_fused_from_prepared(
     agg_precision: str = "f32",
     meta_stream: Optional[bool] = None,
     oh_impl: str = "lane",
-    int4_impl: str = "shift32",
+    int4_impl: str = "mxu",
     tile_sel: Optional[jnp.ndarray] = None,
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
@@ -1391,15 +1445,25 @@ def nw_fused_from_prepared(
     +8.2%), flat at CUB scale. 'sub' keeps the nchunk-loop orientation for
     re-measurement.
 
-    ``int4_impl`` picks the nibble-unpack chain for int4 banks — the int4
-    path's VPU wall (first on-chip run: B=64 at 1M rows cost 2.08 ms vs
-    int8's 1.01, i.e. the unpack burned more than the DMA it saved):
-    'shift32' ((x<<28)>>28 sign-extension, the default), 'select' (the
-    original and/cmp/select fixup), 'shift8' (int8-domain shifts, no
-    int32 converts — value-correct but NOT compilable on today's Mosaic,
-    which cannot legalize 'arith.shli' on i8 vectors; interpret-mode
-    only). Value-identical; measured in scripts/int4_lab.py."""
+    ``int4_impl`` picks the nibble-unpack strategy for int4 banks — the
+    per-byte VPU unpack was the int4 path's wall (first on-chip run: B=64
+    at 1M rows cost 2.08 ms vs int8's 1.01, i.e. the unpack burned more
+    than the DMA it saved):
+    'mxu' (default) — recovers both nibbles' dot products from int8 MXU
+    matmuls against the PACKED bytes (the biased-lo packing makes the
+    byte an exact affine function of the codes); the only per-byte VPU
+    work is one i32 AND per four bytes. 'vpu' — unpacks each tile into a
+    full-width int8 scratch ('select'/'shift32' are accepted as legacy
+    aliases; 'shift8' is rejected — Mosaic cannot legalize i8 vector
+    shifts). Value-identical; measured in scripts/int4_lab.py."""
     kernel_params = kernel_params or {}
+    if int4_impl in ("select", "shift32"):
+        int4_impl = "vpu"
+    if int4_impl not in ("vpu", "mxu"):
+        raise ValueError(
+            f"unknown int4_impl {int4_impl!r} (use 'mxu' or 'vpu'; "
+            "'shift8' is not legalizable on current Mosaic)"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if block_b is None:

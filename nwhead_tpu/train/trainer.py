@@ -142,6 +142,10 @@ class NWTrainer:
         sample = jnp.asarray(train_dataset.gather(np.arange(min(batch_size, len(train_dataset)))))
         variables = net.init(jax.random.PRNGKey(seed), sample)
         mask = featurizer_freeze_mask(variables["params"]) if freeze_featurizer else None
+        # Exposed for per-epoch LR logging (and the endurance runner's
+        # schedule-continuity check): LR is a pure function of the global
+        # step, so a resumed run's LR trajectory must coincide exactly.
+        self.lr_schedule = multistep_lr(lr, milestones, gamma, self.steps_per_epoch)
         self.tx = make_optimizer(
             lr, milestones, gamma, self.steps_per_epoch, weight_decay,
             freeze_mask=mask,
@@ -311,6 +315,10 @@ class FCTrainer:
 
             variables = merge_backbone_pretrained(variables, model.featurizer)
         mask = featurizer_freeze_mask(variables["params"]) if freeze_featurizer else None
+        # Exposed for per-epoch LR logging (and the endurance runner's
+        # schedule-continuity check): LR is a pure function of the global
+        # step, so a resumed run's LR trajectory must coincide exactly.
+        self.lr_schedule = multistep_lr(lr, milestones, gamma, self.steps_per_epoch)
         self.tx = make_optimizer(
             lr, milestones, gamma, self.steps_per_epoch, weight_decay,
             freeze_mask=mask,

@@ -18,10 +18,10 @@ Design notes:
     module, stored alongside it — NOT baked as StableHLO constants. The
     artifact stays small to compile at load time (the axon remote compile
     service rejects multi-hundred-MB constant-laden bodies — the 413
-    lesson), and the arrays remain inspectable/swappable on disk. (The
-    int8-quantized CNN featurizer is the one exception: its folded
-    weights live inside its closure by design and are baked — ~11 MB for
-    resnet18, far under the service limit.)
+    lesson), and the arrays remain inspectable/swappable on disk. Every
+    quantized featurizer family (ResNet/DenseNet/ViT) rides the same
+    statics+tree split, so CNN weights are stored operands too (round 4
+    closed the former int8-CNN baked-closure exception).
   * The export is locked to the lowering platform (a Mosaic kernel body
     is TPU code; the interpret-mode lowering is CPU code). ``meta.json``
     records it and ``load_serving_artifact`` checks the running backend.

@@ -16,10 +16,14 @@ compiled probe here). This lab times them interleaved at CUB and 1M
 scales, with int8 as the reference wall.
 
 ANSWERED (first on-chip run, 2026-08-20): Mosaic does NOT support int8
-vector shifts — 'shift8' fails to legalize ('arith.shli' on
-vector<...xi8>), so the pure-int8-domain chain is off the table until
-Mosaic grows i8 shift lowering. Default impls here are therefore
-select,shift32; pass --impls shift8,... to re-probe a future toolchain.
+vector shifts — 'shift8' failed to legalize ('arith.shli' on
+vector<...xi8>), so the pure-int8-domain chain is off the table. Round 4
+replaced the whole per-byte approach with 'mxu': biased-lo packing makes
+the signed byte an exact affine function of the two codes, so both
+nibbles' dot products come from int8 MXU matmuls against the PACKED
+bytes (the only per-byte VPU work is one i32 AND per four bytes).
+Default impls here are vpu,mxu ('select'/'shift32' remain accepted
+aliases of 'vpu').
 """
 
 import argparse
@@ -39,7 +43,7 @@ from nwhead_tpu.ops.pallas_nw import (  # noqa: E402
     nw_fused_from_prepared, prepare_support,
 )
 
-IMPLS = ("select", "shift32")  # shift8: Mosaic can't legalize i8 shifts
+IMPLS = ("vpu", "mxu")
 
 
 def device_bank(S, C, D, seed=7):
@@ -63,7 +67,7 @@ def parity_probe(q, prep, C, kernel):
     for name, o in zip(IMPLS[1:], outs[1:]):
         same = np.array_equal(outs[0], o)
         pd = np.abs(np.exp(outs[0]) - np.exp(o)).max()
-        print(f"  compiled parity select vs {name}: bit-equal={same} "
+        print(f"  compiled parity {IMPLS[0]} vs {name}: bit-equal={same} "
               f"prob diff {pd:.2e}", flush=True)
         assert pd < 1e-5, pd
 
@@ -114,7 +118,7 @@ def main():
             cases = [(i, mk(i), (q, prep4)) for i in IMPLS]
             cases.append(("int8", int8_fn, (q, prep8)))
             res = interleaved_time(cases, cycles=args.cycles)
-            base = res["select"]
+            base = res[IMPLS[0]]
             print(
                 f"{tag} int4 B={B}: " + "  ".join(
                     f"{i} {res[i] * 1e3:.3f} ms ({base / res[i]:.2f}x)"

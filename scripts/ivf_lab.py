@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--precisions", default="int8,f32")
     ap.add_argument("--batches", default="64,256")
     ap.add_argument("--probes", default="4,8,16,32")
+    ap.add_argument("--groups", default="0",
+                    help="comma list of group_b values (0 = one union per "
+                         "batch); grouped routing route-sorts the batch "
+                         "and gives each block its own tile union — the "
+                         "uniform-batch fix (round 4)")
+    ap.add_argument("--block_s", type=int, default=1024,
+                    help="bank tile rows; smaller tiles = finer routing "
+                         "(less DMA waste per probe) at more tiles")
     ap.add_argument("--active_classes", type=int, default=8,
                     help="classes per concentrated batch")
     ap.add_argument("--cycles", type=int, default=5)
@@ -64,10 +72,12 @@ def main():
     cents_np = np.asarray(cents)
     print(f"bank on device: S={S} C={C} D={D}", flush=True)
 
+    groups = [int(g) for g in args.groups.split(",")]
     for prec in args.precisions.split(","):
         t0 = time.perf_counter()
         ivf = prepare_support_ivf(
-            sfeat, sy, C, kernel=args.kernel, precision=prec
+            sfeat, sy, C, kernel=args.kernel, precision=prec,
+            block_s=args.block_s,
         )
         jax.block_until_ready(jax.tree.leaves(ivf))
         n_tiles = ivf.prep.lane.shape[0]
@@ -97,34 +107,50 @@ def main():
                 cases = [("exact", exact_fn, (q, ivf.prep))]
                 stats = {}
                 for p in (int(x) for x in args.probes.split(",")):
-                    out = np.asarray(nw_fused_ivf_log_probs(
-                        q, ivf, C, kernel=args.kernel, n_probe=p))
-                    agree = (out.argmax(1) == exact.argmax(1)).mean()
-                    pd = np.abs(np.exp(out) - np.exp(exact)).max()
-                    # Union size: rerun routing on host for the report.
-                    from nwhead_tpu.ops.ivf import route_tiles
-                    from nwhead_tpu.ops.pallas_nw import _resolve_mode
-                    mode, _, qn, _ = _resolve_mode(
-                        args.kernel, {"logit_scale": jnp.float32(0.0)},
-                        q, q[:1])
-                    tsel = np.asarray(route_tiles(qn, ivf, p, mode=mode))
-                    stats[p] = (agree, pd, int((tsel >= 0).sum()))
+                    for g in groups:
+                        gb = g or None
+                        key = f"p{p}" + (f"g{g}" if g else "")
+                        out = np.asarray(nw_fused_ivf_log_probs(
+                            q, ivf, C, kernel=args.kernel, n_probe=p,
+                            group_b=gb))
+                        agree = (out.argmax(1) == exact.argmax(1)).mean()
+                        pd = np.abs(np.exp(out) - np.exp(exact)).max()
+                        # Union size: rerun routing on host for the report
+                        # (whole-batch union for g=0; SUMMED per-group
+                        # unions otherwise — the actual DMA cost).
+                        from nwhead_tpu.ops.ivf import _route_affinity
+                        from nwhead_tpu.ops.pallas_nw import _resolve_mode
+                        mode, _, qn, _ = _resolve_mode(
+                            args.kernel, {"logit_scale": jnp.float32(0.0)},
+                            q, q[:1])
+                        aff = _route_affinity(qn, ivf, mode)
+                        ids = np.asarray(
+                            jax.lax.top_k(aff, min(p, n_tiles))[1])
+                        if gb:
+                            order = np.argsort(ids[:, 0])
+                            union = sum(
+                                len(np.unique(ids[order[i:i + gb]]))
+                                for i in range(0, B, gb)
+                            )
+                        else:
+                            union = len(np.unique(ids))
+                        stats[key] = (agree, pd, union)
 
-                    def mk(pp):
-                        def fn(q_, ivf_, carry):
-                            return nw_fused_ivf_log_probs(
-                                q_, ivf_, C, kernel=args.kernel,
-                                n_probe=pp).sum() * 1e-6
-                        return fn
+                        def mk(pp, gb_):
+                            def fn(q_, ivf_, carry):
+                                return nw_fused_ivf_log_probs(
+                                    q_, ivf_, C, kernel=args.kernel,
+                                    n_probe=pp, group_b=gb_).sum() * 1e-6
+                            return fn
 
-                    cases.append((f"p{p}", mk(p), (q, ivf)))
+                        cases.append((key, mk(p, gb), (q, ivf)))
                 res = interleaved_time(cases, cycles=args.cycles)
                 base = res["exact"]
                 line = f"{prec} B={B} {tag}: exact {base * 1e3:.2f} ms"
-                for p, (agree, pd, union) in stats.items():
+                for key, (agree, pd, union) in stats.items():
                     line += (
-                        f" | p{p} {res[f'p{p}'] * 1e3:.2f} ms "
-                        f"({base / res[f'p{p}']:.2f}x, union {union}/"
+                        f" | {key} {res[key] * 1e3:.2f} ms "
+                        f"({base / res[key]:.2f}x, union {union}/"
                         f"{n_tiles}, agree {agree:.3f}, pd {pd:.1e})"
                     )
                 print(line, flush=True)

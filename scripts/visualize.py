@@ -33,7 +33,7 @@ def build_args(ns):
         n_shot_full=ns.n_shot_full, head_precision="f32",
         batch_size=max(1, ns.n_queries), ckpt=ns.ckpt,
         featurizer_precision="f32", calib_images=64, bank_cache=None,
-        mesh=None, serve_mode="full", ivf_probe=32,
+        mesh=None, serve_mode="full", ivf_probe=32, ivf_group=None,
     )
 
 

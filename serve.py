@@ -62,9 +62,11 @@ def build_server(args):
         feat_dim=featurizer.feat_dim, proj_dim=args.proj_dim,
         kernel_type=args.kernel_type, n_shot_full=args.n_shot_full,
         head_precision=args.head_precision, seed=args.seed,
-        # getattr: callers that hand-build the namespace (scripts/
-        # visualize.py) may predate newer serving flags.
-        ivf_n_probe=getattr(args, "ivf_probe", 32),
+        # Every caller (the CLI and scripts/visualize.py's hand-built
+        # namespace) supplies the flag explicitly — a missing attr here
+        # should fail loudly, not silently default.
+        ivf_n_probe=args.ivf_probe,
+        ivf_group_b=args.ivf_group,
         # Serving wants the prepared streaming path whatever the bank
         # size (the default 1024-row floor targets training-loop eval,
         # where tiny banks aren't worth the prepare step).
@@ -729,6 +731,12 @@ def main(argv=None):
                    help="--serve_mode ivf: routed tiles per query before "
                         "the batch union (recall knob; >= the bank's tile "
                         "count reproduces full mode exactly)")
+    p.add_argument("--ivf_group", type=int, default=None,
+                   help="--serve_mode ivf: grouped routing — route-sort "
+                        "each batch and give every IVF_GROUP-query block "
+                        "its own tile union (cuts DMA+compute on DIVERSE "
+                        "batches; default one union per batch, best for "
+                        "skewed traffic)")
     p.add_argument("--latency_bench", action="store_true")
     p.add_argument("--microbatch_bench", action="store_true",
                    help="request-at-a-time serving through the dynamic "

@@ -195,6 +195,59 @@ class TestIVF:
         ).mean()
         assert agree == 1.0
 
+    @pytest.mark.parametrize("precision", ["f32", "int8"])
+    def test_grouped_full_probe_reproduces_full_mode(self, precision):
+        """group_b routing with n_probe >= n_tiles: every group streams
+        every tile ascending, so after un-sorting the outputs must match
+        full mode (bit-exact — same per-query accumulation order)."""
+        sf, sy, q = _bank(S=2048, B=22, seed=16)  # B % group_b != 0
+        ivf = prepare_support_ivf(
+            sf, sy, 10, kernel="euclidean", precision=precision,
+            block_s=256, sample=1024,
+        )
+        n_tiles = ivf.prep.lane.shape[0]
+        full = nw_fused_from_prepared(q, ivf.prep, 10, kernel="euclidean")
+        out = nw_fused_ivf_log_probs(
+            q, ivf, 10, kernel="euclidean", n_probe=n_tiles, group_b=8
+        )
+        assert np.array_equal(np.asarray(full), np.asarray(out))
+
+    def test_grouped_matches_single_union_on_clustered(self):
+        """Route-sorted per-group unions on a clustered bank: every
+        query's own n_probe tiles are in its group's union, so top-1 must
+        agree with full mode exactly like the single-union path."""
+        sf, sy, q = _bank(S=4096, C=20, B=24, seed=17, clustered=True)
+        ivf = prepare_support_ivf(
+            sf, sy, 20, kernel="euclidean", block_s=256, sample=2048
+        )
+        full = nw_fused_from_prepared(q, ivf.prep, 20, kernel="euclidean")
+        for gb in (8, 16):
+            out = nw_fused_ivf_log_probs(
+                q, ivf, 20, kernel="euclidean", n_probe=2, group_b=gb
+            )
+            agree = (
+                np.argmax(np.asarray(out), 1) == np.argmax(np.asarray(full), 1)
+            ).mean()
+            assert agree == 1.0, gb
+
+    def test_grouped_jit_with_bank_as_argument(self):
+        sf, sy, q = _bank(S=1024, B=20, seed=18, clustered=True, C=10)
+        ivf = prepare_support_ivf(
+            sf, sy, 10, kernel="euclidean", block_s=256, sample=512
+        )
+
+        @jax.jit
+        def f(q_, ivf_):
+            return nw_fused_ivf_log_probs(
+                q_, ivf_, 10, kernel="euclidean", n_probe=2, group_b=8
+            )
+
+        eager = nw_fused_ivf_log_probs(
+            q, ivf, 10, kernel="euclidean", n_probe=2, group_b=8
+        )
+        pd = np.abs(np.exp(np.asarray(eager)) - np.exp(np.asarray(f(q, ivf)))).max()
+        assert pd < 1e-6, pd
+
     def test_masked_rows_and_empty_tiles(self):
         """Masked rows sort last; a fully-masked tail tile must never be
         routed to, and masked rows never contribute."""

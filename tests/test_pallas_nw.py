@@ -487,9 +487,8 @@ def _unpack_int4(prep):
     """Host-side inverse of prepare_support's nibble packing: (S_pad, D_pad)
     f32 dequantized rows from the uint8-packed bank + per-row scales."""
     packed = np.asarray(prep.s).astype(np.int32)
-    lo = packed & 15
+    lo = (packed & 15) - 8  # lo nibble is stored biased (+8)
     hi = packed >> 4
-    lo = lo - 16 * (lo > 7)
     hi = hi - 16 * (hi > 7)
     codes = np.concatenate([lo, hi], axis=1).astype(np.float32)
     scale = np.asarray(prep.sscale).reshape(-1)
@@ -655,10 +654,11 @@ class TestInt4Bank:
         assert np.max(np.abs(np.exp(gm) - np.exp(wm))) < 0.03
 
     def test_int4_unpack_impls_identical(self, rng):
-        """The three nibble-unpack chains ('select' and/cmp fixup,
-        'shift32' (x<<28)>>28, 'shift8' pure int8-domain shifts) read the
-        same bytes and must produce bit-identical outputs — the variants
-        exist only because the unpack is the int4 path's VPU wall
+        """The two unpack strategies — 'vpu' (per-byte unpack into an int8
+        scratch; 'select'/'shift32' are legacy aliases) and 'mxu' (nibble
+        dot products recovered from int8 matmuls against the packed bytes
+        via the biased-lo affine identity) — read the same bytes through
+        exact integer arithmetic and must produce bit-identical outputs
         (scripts/int4_lab.py measures them on chip)."""
         from nwhead_tpu.ops.pallas_nw import (
             nw_fused_from_prepared, prepare_support,
@@ -674,15 +674,20 @@ class TestInt4Bank:
             outs = {
                 impl: np.asarray(nw_fused_from_prepared(
                     q, prep, C, kernel=kernel, int4_impl=impl))
-                for impl in ("select", "shift32", "shift8")
+                for impl in ("vpu", "mxu", "select", "shift32")
             }
-            np.testing.assert_array_equal(outs["select"], outs["shift32"])
-            np.testing.assert_array_equal(outs["select"], outs["shift8"])
+            np.testing.assert_array_equal(outs["vpu"], outs["mxu"])
+            np.testing.assert_array_equal(outs["vpu"], outs["select"])
+            np.testing.assert_array_equal(outs["vpu"], outs["shift32"])
             # ... and under forced metadata streaming.
-            stm = np.asarray(nw_fused_from_prepared(
-                q, prep, C, int4_impl="shift8", meta_stream=True,
-                kernel=kernel))
-            np.testing.assert_array_equal(stm, outs["shift8"])
+            for impl in ("vpu", "mxu"):
+                stm = np.asarray(nw_fused_from_prepared(
+                    q, prep, C, int4_impl=impl, meta_stream=True,
+                    kernel=kernel))
+                np.testing.assert_array_equal(stm, outs[impl])
+            with pytest.raises(ValueError, match="shift8"):
+                nw_fused_from_prepared(q, prep, C, kernel=kernel,
+                                       int4_impl="shift8")
 
 
 def test_fused_randomized_property_sweep():

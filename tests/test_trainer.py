@@ -66,6 +66,60 @@ def test_cli_resume_roundtrip(tmp_path):
     assert "model.0004" in ckpts
 
 
+def test_resume_matches_uninterrupted_control(tmp_path):
+    """Kill/resume parity, bitwise: a run split by --resume must land on
+    EXACTLY the params an uninterrupted control produces. Works because
+    checkpoints carry the full optimizer state, the LR schedule is a pure
+    function of the restored step, and the sampler-RNG sidecar restores
+    the episodic/batcher Generators mid-stream (train.py). The synthetic
+    dataset is transform-free, so those Generators are the only
+    stochastic surface; with stochastic image transforms the claim is
+    distributional (thread-local transform rngs are not captured)."""
+    import os
+
+    import numpy as np
+
+    import jax
+    import train as T
+
+    def run(models_dir, epochs, resume=False):
+        argv = [
+            "--dataset", "synthetic", "--models_dir", str(models_dir),
+            "--batch_size", "3", "--n_way", "3", "--n_shot", "1",
+            "--lr", "0.05", "--log_interval", "1",
+            "--num_steps_per_epoch", "2", "--num_val_steps_per_epoch", "1",
+            "--num_epochs", str(epochs), "--seed", "3",
+        ] + (["--resume"] if resume else [])
+        T.main(argv)
+
+    control = tmp_path / "control"
+    split = tmp_path / "split"
+    run(control, 4)
+    run(split, 2)
+    run(split, 4, resume=True)
+
+    def final_ckpt(root):
+        run_dir = next(p for p in root.iterdir() if p.is_dir())
+        path = os.path.join(run_dir, "checkpoints", "model.0004")
+        from nwhead_tpu.train import load_checkpoint
+
+        return load_checkpoint(path)
+
+    a = final_ckpt(control)
+    b = final_ckpt(split)
+    flat_a = jax.tree_util.tree_leaves_with_path(a["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(b["params"])
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        assert np.array_equal(np.asarray(va), np.asarray(vb)), ka
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(a["opt_state"]),
+        jax.tree_util.tree_leaves_with_path(b["opt_state"]),
+    ):
+        assert np.array_equal(np.asarray(va), np.asarray(vb)), ka
+
+
 def test_eval_covers_tail_batch():
     """Eval must include the last partial batch (the reference evaluates
     every sample)."""

@@ -80,6 +80,17 @@ def build_datasets(args):
     elif args.dataset == "synthetic":  # tiny built-in set for smoke runs
         train_ds = make_synthetic_dataset(n=64, n_classes=4, size=32, seed=args.seed)
         val_ds = make_synthetic_dataset(n=32, n_classes=4, size=32, seed=args.seed + 1)
+    elif args.dataset == "synthetic_cub":
+        # CUB-SHAPED synthetic set (S≈6k, C=200, 224px — the reference's
+        # canonical recipe scale, README.md:140-152) for on-chip training
+        # endurance runs where the real dataset is egress-blocked
+        # (scripts/endurance_run.py). ~3.6 GB of host f32.
+        train_ds = make_synthetic_dataset(
+            n=5994, n_classes=200, size=224, seed=args.seed,
+            class_patterns=0.25)
+        val_ds = make_synthetic_dataset(
+            n=1000, n_classes=200, size=224, seed=args.seed + 1,
+            class_patterns=0.25)
     else:
         raise NotImplementedError(args.dataset)
     return train_ds, val_ds
@@ -207,6 +218,16 @@ def main(argv=None):
             trainer.state.opt_state = restored["opt_state"]
             start_epoch = int(restored["epoch"]) + 1
             trainer.state.step = (start_epoch - 1) * trainer.steps_per_epoch
+            if args.train_method == "nwhead" and os.path.exists(
+                path + ".sampler.json"
+            ):
+                import json as _json
+
+                with open(path + ".sampler.json") as f:
+                    st = _json.load(f)
+                network.support_train.set_rng_state(st["support"])
+                trainer.rng.bit_generator.state = st["trainer"]
+                print("Restored sampler RNG state")
             print(f"Resumed from {path} at epoch {start_epoch}")
 
     if args.use_wandb:
@@ -215,6 +236,7 @@ def main(argv=None):
     best_acc1 = 0.0
     for epoch in range(start_epoch, args.num_epochs + 1):
         print("Epoch:", epoch)
+        print(f"lr={float(trainer.lr_schedule(trainer.state.step)):.6g}")
         if args.train_method == "nwhead":
             acc1 = trainer.eval_all_modes(num_steps=args.num_val_steps_per_epoch)
         else:
@@ -226,7 +248,7 @@ def main(argv=None):
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
         if epoch % args.log_interval == 0:
-            save_checkpoint(
+            path = save_checkpoint(
                 epoch,
                 {
                     "params": trainer.state.params,
@@ -236,6 +258,19 @@ def main(argv=None):
                 args.ckpt_dir,
                 is_best=is_best,
             )
+            # Sampler-RNG sidecar: --resume then continues the exact
+            # episode stream the uninterrupted run would have drawn
+            # (bitwise on transform-free datasets; the reference has no
+            # resume at all). JSON handles numpy PCG64's 128-bit ints.
+            if args.train_method == "nwhead":
+                import json as _json
+
+                with open(path + ".sampler.json", "w") as f:
+                    _json.dump({
+                        "support": network.support_train.rng_state(),
+                        # The trainer's own rng seeds each epoch's batcher.
+                        "trainer": trainer.rng.bit_generator.state,
+                    }, f)
 
         print(
             "Train loss={:.6f}, train acc={:.6f}".format(
