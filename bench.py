@@ -180,6 +180,12 @@ def _train_step_case(on_tpu, img):
     return ("train_step", step, args)
 
 
+# Grouped-routing parameters for the uniform-batch IVF leg (decided on
+# chip, scripts/ivf_lab.py --groups; see BASELINE.md round-4 table).
+_IVF_UNI_PROBE = 8
+_IVF_UNI_GROUP = 32
+
+
 def _bigbank_fields(on_tpu):
     """Million-item single-chip bank leg (BASELINE.md 'Million-item support
     bank'): prepared f32/int8 heads over an S=1e6, D=512, C=1000 bank
@@ -235,10 +241,22 @@ def _bigbank_fields(on_tpu):
         q256c = jnp.asarray(
             cents_np[rng.choice(active, 256)]
             + 0.05 * rng.standard_normal((256, D)), jnp.float32)
+        # UNIFORM class-structured queries (every class active): the
+        # honest general-serving regime the round-3 bench omitted — the
+        # whole-batch tile union approaches the bank here, so this leg
+        # runs GROUPED routing (route-sorted per-block unions).
+        q256u = jnp.asarray(
+            cents_np[rng.integers(0, C, 256)]
+            + 0.05 * rng.standard_normal((256, D)), jnp.float32)
 
         def _ivf4(q, ivf_, c):
             return nw_fused_ivf_log_probs(
                 q, ivf_, C, n_probe=4).sum() * 1e-6
+
+        def _ivf_grouped(q, ivf_, c):
+            return nw_fused_ivf_log_probs(
+                q, ivf_, C, n_probe=_IVF_UNI_PROBE,
+                group_b=_IVF_UNI_GROUP).sum() * 1e-6
 
         # A stream case rides the SAME interleaved loop so the bigbank
         # roofline fraction is a paired per-cycle ratio (clock drift
@@ -270,14 +288,21 @@ def _bigbank_fields(on_tpu):
              (q256, prep_i4)),
             ("big_ivf8_b64_skew", _ivf4, (q64c, ivf_i8)),
             ("big_ivf8_b256_skew", _ivf4, (q256c, ivf_i8)),
+            ("big_ivf_b256_uni", _ivf_grouped, (q256u, ivf_i8)),
         ]
         t, big_samples = _measure(cases, 8, 40, cycles=7)
-        # One-shot recall gate on the skewed batch (exact vs routed top-1).
+        # One-shot recall gates (exact vs routed top-1), both regimes.
         exact_c = np.asarray(nw_fused_from_prepared(q256c, prep_i8, C))
         routed_c = np.asarray(nw_fused_ivf_log_probs(
             q256c, ivf_i8, C, n_probe=4))
         ivf_agree = float(
             (exact_c.argmax(1) == routed_c.argmax(1)).mean())
+        exact_u = np.asarray(nw_fused_from_prepared(q256u, prep_i8, C))
+        routed_u = np.asarray(nw_fused_ivf_log_probs(
+            q256u, ivf_i8, C, n_probe=_IVF_UNI_PROBE,
+            group_b=_IVF_UNI_GROUP))
+        ivf_agree_uni = float(
+            (exact_u.argmax(1) == routed_u.argmax(1)).mean())
         fields = {
             "bigbank_s": S,
             "bigbank_c": C,
@@ -296,6 +321,13 @@ def _bigbank_fields(on_tpu):
             "bigbank_ivf_x_b256_skew": round(
                 t["big_int8_b256"] / t["big_ivf8_b256_skew"], 2),
             "bigbank_ivf_top1_agree": ivf_agree,
+            # The honest general-serving regime (round-3 verdict #2):
+            # uniform class-structured batch, grouped routing.
+            "bigbank_ivf_qps_b256_uniform": round(
+                256 / t["big_ivf_b256_uni"], 1),
+            "bigbank_ivf_x_b256_uniform": round(
+                t["big_int8_b256"] / t["big_ivf_b256_uni"], 2),
+            "bigbank_ivf_top1_agree_uniform": ivf_agree_uni,
             # (f32_bank_bytes / measured_stream_BW) / t_f32, paired per
             # cycle. Metadata traffic (~1% at oh_impl='lane') is ignored,
             # so this slightly UNDERestimates the achieved fraction.

@@ -874,15 +874,35 @@ def _nw_prepared_kernel(
         if quant:
             qf = qf * qcol
         q2 = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True)
-    q_lo_sum8 = None
-    if quant4 and int4_impl == "mxu":
+    q_lo_sum8 = q_stack = None
+    if quant4 and int4_impl in ("mxu", "_probe_noand"):
         # The lo nibble is stored BIASED (+8): dot(q_lo, lo) =
         # dot(q_lo, u') - 8*sum(q_lo). The bias correction is per-query —
-        # hoist it out of the tile loop (one lane reduce per call).
+        # hoist it out of the tile loop (one lane reduce per call). The
+        # [q_lo; q_hi] sublane stack for the shared u' matmul is likewise
+        # loop-invariant — Mosaic does NOT hoist it out of the fori_loop
+        # body on its own.
         hd = q.shape[1] // 2
         q_lo_sum8 = 8 * jnp.sum(
             q[:, :hd].astype(jnp.int32), axis=1, keepdims=True
         )
+        q_stack = jnp.concatenate([q[:, :hd], q[:, hd:]], axis=0)
+    q_stack3 = None
+    if quant4 and int4_impl == "mxu2":
+        # One-matmul layout: LHS row blocks [0|q_hi], [q_lo|0], [q_hi|0]
+        # against the per-tile RHS [u' | b] — all three nibble dot
+        # products from a single MXU op per tile (the 3-op variant pays
+        # per-op issue/pass overhead three times). Loop-invariant.
+        hd = q.shape[1] // 2
+        q_lo_sum8 = 8 * jnp.sum(
+            q[:, :hd].astype(jnp.int32), axis=1, keepdims=True
+        )
+        z = jnp.zeros_like(q[:, :hd])
+        q_stack3 = jnp.concatenate([
+            jnp.concatenate([z, q[:, hd:]], axis=1),
+            jnp.concatenate([q[:, :hd], z], axis=1),
+            jnp.concatenate([q[:, hd:], z], axis=1),
+        ], axis=0)
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
@@ -946,7 +966,20 @@ def _nw_prepared_kernel(
             cp.wait()
         s = sbuf[slot]
         dot_i = None
-        if quant4:
+        if quant and int4_impl == "_probe_skip":
+            # TIMING-ONLY (any quant precision): no dot — DMA + the
+            # shared dequant/softmax/agg tail on an iota (wrong values;
+            # the async copy + semaphore wait are side-effect ops Mosaic
+            # keeps even with the tile unread).
+            dot_i = jax.lax.broadcasted_iota(
+                jnp.int32, (q.shape[0], s.shape[0]), 1
+            )
+        elif quant4:
+            # The packed bank is stored (and DMA'd) as uint8 — the dtype
+            # is the int4 marker. Reinterpret the tile's VALUES as int8
+            # here (free, same width); an XLA-level bitcast before the
+            # kernel materialized a full bank copy per call.
+            s = pltpu.bitcast(s, jnp.int8)
             # int4 tiles arrive PACKED: byte = (hi << 4) | (lo + 8), i.e.
             # b_signed = 16*hi + u' with u' = lo + 8 in [0, 15]. Feature
             # pairs were packed as (j, j + D/2), so the two halves land in
@@ -954,7 +987,14 @@ def _nw_prepared_kernel(
             # int4_lab.py; the per-byte VPU chain was the int4 path's wall
             # — at 1M rows it cost more than the DMA it saved):
             half = s.shape[-1]
-            if int4_impl == "mxu":
+            if int4_impl == "_probe_raw":
+                # TIMING-ONLY: half-width dot straight on the packed
+                # bytes — no scratch, no AND (wrong values).
+                dot_i = jax.lax.dot_general(
+                    q[:, half:], s, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            elif int4_impl in ("mxu", "_probe_noand", "_probe_1mm"):
                 # MXU-side unpack: recover both nibbles' dot products from
                 # matmuls against the PACKED bytes. dot(q_hi, b) =
                 # 16*dot(q_hi, hi) + dot(q_hi, u'), so with one extra
@@ -964,20 +1004,45 @@ def _nw_prepared_kernel(
                 #   lo term = dot(q_lo, u') - 8*sum(q_lo)          (hoisted)
                 # Three half-width int8 MXU passes (b once, u' twice via a
                 # stacked 2TB-row matmul) replace the per-byte VPU chain.
-                w = pltpu.bitcast(s, jnp.int32)
-                ubuf[:] = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
+                # The _probe_* variants are TIMING-ONLY decompositions
+                # (wrong values): _probe_noand skips the bitcast-AND,
+                # _probe_1mm also skips the stacked matmul.
                 tb = q.shape[0]
+                if int4_impl == "_probe_noand":
+                    ubuf[:] = s
+                else:
+                    w = pltpu.bitcast(s, jnp.int32)
+                    ubuf[:] = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
                 dot_b = jax.lax.dot_general(
                     q[:, half:], s, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                qs2 = jnp.concatenate([q[:, :half], q[:, half:]], axis=0)
-                dot_u = jax.lax.dot_general(
-                    qs2, ubuf[:], (((1,), (1,)), ((), ())),
+                if int4_impl == "_probe_1mm":
+                    dot_i = dot_b
+                else:
+                    dot_u = jax.lax.dot_general(
+                        q_stack, ubuf[:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    dot_i = (
+                        ((dot_b - dot_u[tb:]) >> 4) + dot_u[:tb]
+                        - q_lo_sum8
+                    )
+            elif int4_impl == "mxu2":
+                # Single-matmul variant: RHS = [u' | b] in one (TS, D)
+                # scratch, LHS = the hoisted 3TB-row block layout — one
+                # MXU op per tile yields all three nibble dot products.
+                w = pltpu.bitcast(s, jnp.int32)
+                ubuf[:, :half] = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
+                ubuf[:, half:] = s
+                tb = q.shape[0]
+                dot3 = jax.lax.dot_general(
+                    q_stack3, ubuf[:], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 dot_i = (
-                    ((dot_b - dot_u[tb:]) >> 4) + dot_u[:tb] - q_lo_sum8
+                    ((dot3[:tb] - dot3[2 * tb:]) >> 4) + dot3[tb:2 * tb]
+                    - q_lo_sum8
                 )
             else:
                 # VPU unpack into the (TS, D) int8 scratch; the biased lo
@@ -1182,16 +1247,20 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     quant4 = s_p.dtype == jnp.uint8  # nibble-packed int4 bank
     if quant4:
         D = 2 * D  # logical feature width; the bank stores D/2 bytes/row
-        # Mosaic-side safety: the kernel only ever sees int8 (bitcast is
-        # free — same width), sign-extends to int32 and nibble-splits.
-        s_p = jax.lax.bitcast_convert_type(s_p, jnp.int8)
+        # The bank stays uint8 all the way into the kernel, which
+        # bitcasts VALUES to int8 after the tile DMA (pltpu.bitcast,
+        # free — same width). An XLA-level bitcast_convert_type here
+        # looked free but was not: as a jit-argument boundary op it
+        # MATERIALIZED a full copy of the packed bank every call
+        # (~0.7 ms of HBM traffic at 1M rows — measured via the
+        # _probe_skip decomposition, scripts/int4_lab.py round 4).
     n_tiles = lane.shape[0]
     nchunk = lane.shape[1]
     block_s = nchunk * 128
     c_pad = _round_up(n_classes, 128)
     b_pad = _round_up(B, block_b)
     q_p = jnp.pad(q, ((0, b_pad - B), (0, D - D0)))
-    quant = s_p.dtype == jnp.int8
+    quant = quant4 or s_p.dtype == jnp.int8
     if quant:
         # Symmetric per-query quantization matching the bank's scheme.
         qf = q_p.astype(jnp.float32)
@@ -1356,9 +1425,13 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
     ]
     if quant4:
         # 'mxu' only materializes the lo-nibble bytes u' = b & 0x0F (half
-        # width); the VPU chain unpacks the full (block_s, D) int8 tile.
+        # width); 'mxu2' holds [u' | b]; the VPU chain unpacks the full
+        # (block_s, D) int8 tile.
+        half_scr = int4_impl in (
+            "mxu", "_probe_noand", "_probe_1mm", "_probe_raw", "_probe_skip",
+        )
         scratch_shapes.append(pltpu.VMEM(
-            (block_s, D // 2 if int4_impl == "mxu" else D), jnp.int8
+            (block_s, D // 2 if half_scr else D), jnp.int8
         ))
     if meta_stream:
         if s2_input:
@@ -1459,10 +1532,14 @@ def nw_fused_from_prepared(
     kernel_params = kernel_params or {}
     if int4_impl in ("select", "shift32"):
         int4_impl = "vpu"
-    if int4_impl not in ("vpu", "mxu"):
+    if int4_impl is not None and int4_impl not in (
+        "vpu", "mxu", "mxu2", "_probe_noand", "_probe_1mm",
+        "_probe_raw", "_probe_skip",
+    ):
         raise ValueError(
-            f"unknown int4_impl {int4_impl!r} (use 'mxu' or 'vpu'; "
-            "'shift8' is not legalizable on current Mosaic)"
+            f"unknown int4_impl {int4_impl!r} (use 'mxu', 'vpu', or None "
+            "for the measured auto-select; 'shift8' is not legalizable on "
+            "current Mosaic)"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1472,6 +1549,14 @@ def nw_fused_from_prepared(
         block_b = _default_block_b(
             qfeat.shape[0], n_classes, prepared.lane.shape[1] * 128
         )
+    if int4_impl is None:
+        # Measured auto-select (scripts/int4_lab.py, v5e 1M-row bank):
+        # mxu recovers nibble dots from matmuls whose cost scales with
+        # the query-block rows — fastest at small blocks (B=64: 1.00 ms
+        # vs vpu 1.30, int8 1.05); the per-byte vpu unpack is
+        # B-independent and wins at large blocks (B=256: 2.81 vs mxu
+        # 2.89).
+        int4_impl = "mxu" if block_b <= 128 else "vpu"
     mode, scale, qn, _ = _resolve_mode(kernel, kernel_params, qfeat, qfeat[:1])
     return _prepared_call(
         qn, prepared, scale,

@@ -59,28 +59,30 @@ def device_bank(S, C, D, seed=7):
 
 
 def parity_probe(q, prep, C, kernel):
+    impls = [i for i in IMPLS if not i.startswith("_")]  # _probe_* = timing-only
     outs = [
         np.asarray(nw_fused_from_prepared(q, prep, C, kernel=kernel,
                                           int4_impl=i))
-        for i in IMPLS
+        for i in impls
     ]
-    for name, o in zip(IMPLS[1:], outs[1:]):
+    for name, o in zip(impls[1:], outs[1:]):
         same = np.array_equal(outs[0], o)
         pd = np.abs(np.exp(outs[0]) - np.exp(o)).max()
-        print(f"  compiled parity {IMPLS[0]} vs {name}: bit-equal={same} "
+        print(f"  compiled parity {impls[0]} vs {name}: bit-equal={same} "
               f"prob diff {pd:.2e}", flush=True)
         assert pd < 1e-5, pd
 
 
 def main():
+    global IMPLS
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=["cub", "big", "both"], default="both")
     ap.add_argument("--kernel", default="euclidean")
     ap.add_argument("--batches", default="64,256")
     ap.add_argument("--cycles", type=int, default=5)
     ap.add_argument("--impls", default=",".join(IMPLS))
+    ap.add_argument("--block_s", type=int, default=1024)
     args = ap.parse_args()
-    global IMPLS
     IMPLS = tuple(args.impls.split(","))
 
     rng = np.random.default_rng(0)
@@ -95,9 +97,9 @@ def main():
         jax.block_until_ready(sfeat)
         print(f"[{tag}] bank built on device: S={S} C={C} D={D}", flush=True)
         prep4 = prepare_support(sfeat, sy, C, kernel=args.kernel,
-                                precision="int4")
+                                precision="int4", block_s=args.block_s)
         prep8 = prepare_support(sfeat, sy, C, kernel=args.kernel,
-                                precision="int8")
+                                precision="int8", block_s=args.block_s)
         jax.block_until_ready(jax.tree.leaves(prep4))
         for B in (int(b) for b in args.batches.split(",")):
             q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
@@ -115,15 +117,25 @@ def main():
                 return nw_fused_from_prepared(
                     q_, p_, C, kernel=args.kernel).sum() * 1e-6
 
+            def int8_skip_fn(q_, p_, carry):
+                return nw_fused_from_prepared(
+                    q_, p_, C, kernel=args.kernel,
+                    int4_impl="_probe_skip").sum() * 1e-6
+
             cases = [(i, mk(i), (q, prep4)) for i in IMPLS]
             cases.append(("int8", int8_fn, (q, prep8)))
+            if any(i.startswith("_") for i in IMPLS):
+                cases.append(("int8_skip", int8_skip_fn, (q, prep8)))
             res = interleaved_time(cases, cycles=args.cycles)
             base = res[IMPLS[0]]
             print(
                 f"{tag} int4 B={B}: " + "  ".join(
                     f"{i} {res[i] * 1e3:.3f} ms ({base / res[i]:.2f}x)"
                     for i in IMPLS
-                ) + f"  |  int8 wall {res['int8'] * 1e3:.3f} ms",
+                ) + f"  |  int8 wall {res['int8'] * 1e3:.3f} ms" + (
+                    f"  int8_skip {res['int8_skip'] * 1e3:.3f} ms"
+                    if "int8_skip" in res else ""
+                ),
                 flush=True,
             )
 
