@@ -1071,6 +1071,11 @@ def _nw_prepared_kernel(
                 else sscale_ref[pl.ds(idx, 1)]
             ).reshape(1, block_s)
             dot = dot_i.astype(jnp.float32) * qcol * ssrow
+        elif int4_impl == "_probe_skip":
+            # TIMING-ONLY (float banks): DMA + softmax/agg tail, no dot.
+            dot = jax.lax.broadcasted_iota(
+                jnp.float32, (q.shape[0], s.shape[0]), 1
+            ) * -1e-3
         else:
             dot = jax.lax.dot_general(
                 q, s, (((1,), (1,)), ((), ())),

@@ -156,7 +156,8 @@ def _hnsw_leg(bank_np, sy_np, q_np, k):
     return qps, recall
 
 
-def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False):
+def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False,
+               block_s=1024):
     """Beyond-f32-memory banks: chunked int8 prepare + concat_prepared.
 
     The standard scale leg materializes the f32 bank (4·S·D bytes) before
@@ -210,10 +211,10 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False):
             from nwhead_tpu.ops.ivf import prepare_support_ivf
 
             parts.append(prepare_support_ivf(
-                feats, sy, C, precision=precision, block_s=1024))
+                feats, sy, C, precision=precision, block_s=block_s))
         else:
             parts.append(prepare_support(
-                feats, sy, C, precision=precision, block_s=1024))
+                feats, sy, C, precision=precision, block_s=block_s))
         del feats, sy
     if ivf:
         from nwhead_tpu.ops.ivf import concat_ivf, nw_fused_ivf_log_probs
@@ -330,6 +331,9 @@ def main(argv=None):
                         "1M-row chunks are generated, int8-prepared, and "
                         "merged via concat_prepared, so S is bounded by the "
                         "INT8 bank bytes (S/4 GB at D=512), not 4S. 0 = off")
+    p.add_argument("--giant_block_s", type=int, default=1024,
+                   help="bank tile rows for the giant build (2048 cuts "
+                        "per-tile DMA ramp + fixed costs at B<=64)")
     p.add_argument("--giant_ivf", action="store_true",
                    help="build the giant bank with per-chunk IVF indexes "
                         "(prepare_support_ivf + concat_ivf) and add routed "
@@ -356,6 +360,7 @@ def main(argv=None):
 
     if args.giant:
         _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny,
+                   block_s=args.giant_block_s,
                    precision=args.giant_precision, ivf=args.giant_ivf)
         return
 

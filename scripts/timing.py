@@ -35,7 +35,7 @@ def _loop_maker(fn, n):
     return run
 
 
-def interleaved_time(named_makers, cycles=7, target_s=0.06):
+def interleaved_time(named_makers, cycles=7, target_s=0.06, return_samples=False):
     """Auto-calibrated interleaved differential timing.
 
     named_makers: [(name, fn(*args, carry) -> tiny scalar, args)].
@@ -66,4 +66,7 @@ def interleaved_time(named_makers, cycles=7, target_s=0.06):
             t = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter() - t
             t = time.perf_counter(); float(f2(*args)); t2 = time.perf_counter() - t
             samples[name].append(max((t2 - t1) / delta, 1e-9))
-    return {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
+    med = {name: sorted(v)[len(v) // 2] for name, v in samples.items()}
+    if return_samples:
+        return med, samples
+    return med
