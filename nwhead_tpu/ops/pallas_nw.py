@@ -875,7 +875,7 @@ def _nw_prepared_kernel(
             qf = qf * qcol
         q2 = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True)
     q_lo_sum8 = q_stack = None
-    if quant4 and int4_impl in ("mxu", "_probe_noand"):
+    if quant4 and int4_impl in ("mxu", "mxu_and8", "_probe_noand"):
         # The lo nibble is stored BIASED (+8): dot(q_lo, lo) =
         # dot(q_lo, u') - 8*sum(q_lo). The bias correction is per-query —
         # hoist it out of the tile loop (one lane reduce per call). The
@@ -937,7 +937,7 @@ def _nw_prepared_kernel(
             cp.start()
 
     if n_sel:
-        first = tsel_ref[0, 0]
+        first = tsel_ref[0, 0, 0]
 
         @pl.when(first >= 0)
         def _():
@@ -994,7 +994,8 @@ def _nw_prepared_kernel(
                     q[:, half:], s, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-            elif int4_impl in ("mxu", "_probe_noand", "_probe_1mm"):
+            elif int4_impl in ("mxu", "mxu_and8", "_probe_noand",
+                               "_probe_1mm"):
                 # MXU-side unpack: recover both nibbles' dot products from
                 # matmuls against the PACKED bytes. dot(q_hi, b) =
                 # 16*dot(q_hi, hi) + dot(q_hi, u'), so with one extra
@@ -1010,6 +1011,11 @@ def _nw_prepared_kernel(
                 tb = q.shape[0]
                 if int4_impl == "_probe_noand":
                     ubuf[:] = s
+                elif int4_impl == "mxu_and8":
+                    # i8-domain AND (Mosaic legalizes bitwise ops on i8
+                    # even though it rejects i8 shifts): no bitcast
+                    # relayouts at all.
+                    ubuf[:] = s & 15
                 else:
                     w = pltpu.bitcast(s, jnp.int32)
                     ubuf[:] = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
@@ -1073,9 +1079,10 @@ def _nw_prepared_kernel(
             dot = dot_i.astype(jnp.float32) * qcol * ssrow
         elif int4_impl == "_probe_skip":
             # TIMING-ONLY (float banks): DMA + softmax/agg tail, no dot.
+            # (Mosaic iota must be integer-typed.)
             dot = jax.lax.broadcasted_iota(
-                jnp.float32, (q.shape[0], s.shape[0]), 1
-            ) * -1e-3
+                jnp.int32, (q.shape[0], s.shape[0]), 1
+            ).astype(jnp.float32) * -1e-3
         else:
             dot = jax.lax.dot_general(
                 q, s, (((1,), (1,)), ((), ())),
@@ -1208,11 +1215,11 @@ def _nw_prepared_kernel(
             # Selected-tile stream: slot j holds bank tile tsel[j] (-1 =
             # empty slot — no DMA was started for it, and the whole tile
             # body is skipped so the online-softmax state is untouched).
-            idx = tsel_ref[0, j]
+            idx = tsel_ref[0, 0, j]
 
             @pl.when(j + 1 < n_iter)
             def _():
-                nidx = tsel_ref[0, j + 1]
+                nidx = tsel_ref[0, 0, j + 1]
 
                 @pl.when(nidx >= 0)
                 def _():
@@ -1387,9 +1394,15 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         if tsel.ndim == 1:
             tsel = tsel.reshape(1, -1)
         n_sel = tsel.shape[1]
+        # 3-D (rows, 1, n_sel) layout: a (1, 1, n_sel) block's trailing
+        # two dims EQUAL the array dims, which is the only block shape
+        # Mosaic accepts for a per-program row of an SMEM operand (a 2-D
+        # (1, n_sel) block of an (R, n_sel) array violates the
+        # divisible-by-8 sublane rule).
+        tsel = tsel.reshape(tsel.shape[0], 1, n_sel)
         if tsel.shape[0] == 1:
             in_specs.append(pl.BlockSpec(
-                tsel.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                tsel.shape, lambda i: (0, 0, 0), memory_space=pltpu.SMEM
             ))
         else:
             if tsel.shape[0] != b_pad // block_b:
@@ -1399,7 +1412,7 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
                     f"{block_b})"
                 )
             in_specs.append(pl.BlockSpec(
-                (1, n_sel), lambda i: (i, 0), memory_space=pltpu.SMEM
+                (1, 1, n_sel), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ))
         inputs.append(tsel)
 
@@ -1433,7 +1446,8 @@ def _prepared_call(q, prepared: PreparedSupport, scale, *, mode, n_classes,
         # width); 'mxu2' holds [u' | b]; the VPU chain unpacks the full
         # (block_s, D) int8 tile.
         half_scr = int4_impl in (
-            "mxu", "_probe_noand", "_probe_1mm", "_probe_raw", "_probe_skip",
+            "mxu", "mxu_and8", "_probe_noand", "_probe_1mm", "_probe_raw",
+            "_probe_skip",
         )
         scratch_shapes.append(pltpu.VMEM(
             (block_s, D // 2 if half_scr else D), jnp.int8
@@ -1538,7 +1552,7 @@ def nw_fused_from_prepared(
     if int4_impl in ("select", "shift32"):
         int4_impl = "vpu"
     if int4_impl is not None and int4_impl not in (
-        "vpu", "mxu", "mxu2", "_probe_noand", "_probe_1mm",
+        "vpu", "mxu", "mxu2", "mxu_and8", "_probe_noand", "_probe_1mm",
         "_probe_raw", "_probe_skip",
     ):
         raise ValueError(
