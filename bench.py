@@ -182,7 +182,7 @@ def _train_step_case(on_tpu, img):
 
 # Grouped-routing parameters for the uniform-batch IVF leg (decided on
 # chip, scripts/ivf_lab.py --groups; see BASELINE.md round-4 table).
-_IVF_UNI_PROBE = 4
+_IVF_UNI_PROBE = 3
 _IVF_UNI_GROUP = 64
 
 
