@@ -433,9 +433,13 @@ def test_ivf_routed_head_compiled_on_tpu():
     from nwhead_tpu.ops.pallas_nw import nw_fused_from_prepared
 
     rng = np.random.default_rng(17)
-    S, C, D, B = 32768, 200, 128, 16
+    # C=300 (c_pad=384): class windows can survive 128-boundary crossings
+    # (W=256 < c_pad). At 128 < C <= 256 a single tile crossing class 128
+    # forces W = c_pad and windows drop by design — the plain path is
+    # exact there and the c_pad=256 aggregation is cheap.
+    S, C, D, B = 32768, 300, 128, 16
     cents = rng.standard_normal((C, D)).astype(np.float32)
-    sy = (np.arange(S, dtype=np.int32) % C)  # S % C != 0: sizes 163/164
+    sy = (np.arange(S, dtype=np.int32) % C)  # S % C != 0: sizes 109/110
     rng.shuffle(sy)
     sf = jnp.asarray(
         cents[sy] + 0.2 * rng.standard_normal((S, D)), jnp.float32)
