@@ -14,6 +14,7 @@ import threading
 from typing import Iterator, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -52,6 +53,30 @@ class BatchLoader:
             idx = order[start : start + self.batch_size]
             imgs = self.dataset.gather(idx)
             yield imgs, self.dataset.targets[idx]
+
+
+def device_images(ds):
+    """Device-resident cache of an in-memory, transform-free dataset.
+
+    Returns the (N, H, W, C) f32 images as ONE device array (cached on
+    the dataset object so the trainer and the bank featurizer share a
+    single HBM copy), or None when the dataset is file-backed or has a
+    stochastic transform. Shipping pixels per step/batch over a narrow
+    host->device link (the axon tunnel moves ~15-35 MB/s) makes the LINK
+    the training/eval wall; with the dataset HBM-resident only indices
+    cross it."""
+    if getattr(ds, "transform", None) is not None:
+        return None
+    images = getattr(ds, "images", None)
+    if images is None:
+        return None
+    cached = getattr(ds, "_device_images_cache", None)
+    if cached is None:
+        cached = jax.device_put(
+            jnp.asarray(np.asarray(images), jnp.float32)
+        )
+        ds._device_images_cache = cached
+    return cached
 
 
 def prefetch_to_device(iterator, size: int = 2, devices=None):
@@ -102,6 +127,23 @@ class EpisodicBatcher:
         self.support_train = support_train
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
+
+    def epoch_indices(self, steps: Optional[int] = None):
+        """Index-only episode stream: (qidx, qy, sidx, sy) with NO image
+        gathering — for device-resident datasets where the episode gather
+        runs on device and only indices cross the host->device link."""
+        n = len(self.dataset)
+        order = self.rng.permutation(n)
+        stop = (n // self.batch_size) * self.batch_size
+        count = 0
+        for start in range(0, stop, self.batch_size):
+            if steps is not None and count >= steps:
+                return
+            qidx = order[start : start + self.batch_size]
+            qy = self.dataset.targets[qidx]
+            sidx, sy, _sm = self.support_train.get_support(qy)
+            yield qidx, qy, sidx, sy
+            count += 1
 
     def epoch(self, steps: Optional[int] = None):
         n = len(self.dataset)

@@ -801,9 +801,30 @@ class NWNet:
     def _featurize_bank(self, variables, bank_idx: np.ndarray) -> np.ndarray:
         """Batched featurizer pass over the bank, gathering images from the
         support dataset one batch at a time (the full image bank never
-        materializes in host memory)."""
+        materializes in host memory). In-memory transform-free datasets
+        featurize from a device-resident image array instead — precompute
+        runs once per epoch, and shipping the whole bank's pixels over a
+        narrow host->device link every epoch made the LINK the training
+        wall (~3.6 GB/epoch at the CUB recipe shape)."""
         bs = self.precompute_batch
         out = []
+        if self.mesh is None:
+            from nwhead_tpu.data.pipeline import device_images
+
+            dev = device_images(self.support_dataset)
+            if dev is not None:
+                for start in range(0, len(bank_idx), bs):
+                    idx = np.asarray(bank_idx[start:start + bs])
+                    pad = bs - len(idx)
+                    idxp = (
+                        np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                        if pad else idx
+                    )
+                    f = self._featurize_eval(
+                        variables, dev[jnp.asarray(idxp, jnp.int32)]
+                    )
+                    out.append(np.asarray(f[: len(idx)]))
+                return np.concatenate(out, axis=0)
         for start in range(0, len(bank_idx), bs):
             imgs = np.asarray(self.support_dataset.gather(bank_idx[start : start + bs]))
             out.append(self._featurize_array(variables, imgs))

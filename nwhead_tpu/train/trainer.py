@@ -191,11 +191,38 @@ class NWTrainer:
 
     # -- epochs ---------------------------------------------------------------
 
+    def _device_dataset(self):
+        """Device-resident copy of an in-memory, transform-free dataset.
+
+        For ArrayDataset-style data with no stochastic transform, every
+        train step otherwise SHIPS its images host->device — at the CUB
+        recipe shape that is ~11 MB/step of f32 pixels, and on a
+        narrow link (the axon tunnel moves ~15-35 MB/s) the link, not
+        the chip, sets the training rate. Holding the dataset in HBM
+        once (3.6 GB at S=6k/224px) and shipping only INDICES is the
+        TPU-native answer; the episode gather runs on device inside the
+        jitted step."""
+        from nwhead_tpu.data.pipeline import device_images
+
+        if self.mesh is not None:
+            return None
+        dev = device_images(self.train_dataset)
+        if dev is not None and not hasattr(self, "_train_step_idx"):
+            self._train_step_idx = jax.jit(self._train_step_idx_impl)
+        return dev
+
+    def _train_step_idx_impl(self, params, batch_stats, opt_state, images,
+                             qidx, qy, sidx, sy):
+        return self._train_step_impl(
+            params, batch_stats, opt_state, images[qidx], qy, images[sidx], sy
+        )
+
     def train_epoch(self, num_steps: Optional[int] = None, prefetch: int = 2) -> None:
         """One training epoch. Host work (episodic sampling + image decode)
         runs in a background thread ``prefetch`` batches ahead of the device
         step — the reference pays this cost on the critical path every step
-        (SURVEY.md §3.1)."""
+        (SURVEY.md §3.1). In-memory transform-free datasets take the
+        device-resident fast path (see ``_device_dataset``)."""
         from nwhead_tpu.data.pipeline import EpisodicBatcher, prefetch_to_device
 
         batcher = EpisodicBatcher(
@@ -204,6 +231,39 @@ class NWTrainer:
             self.batch_size,
             seed=int(self.rng.integers(0, 2**31 - 1)),
         )
+        dev_images = self._device_dataset()
+
+        step_losses, step_accs, step_sizes = [], [], []
+        if dev_images is not None:
+            # Indices-only stream: sampling stays on host, pixels never
+            # cross the link.
+            for qidx, qy, sidx, sy in (
+                (np.asarray(b[0]), b[1].astype(np.int32),
+                 np.asarray(b[2], np.int32), np.asarray(b[3], np.int32))
+                for b in batcher.epoch_indices(num_steps)
+            ):
+                (
+                    self.state.params,
+                    self.state.batch_stats,
+                    self.state.opt_state,
+                    loss,
+                    acc,
+                ) = self._train_step_idx(
+                    self.state.params,
+                    self.state.batch_stats,
+                    self.state.opt_state,
+                    dev_images,
+                    jnp.asarray(qidx, jnp.int32),
+                    jnp.asarray(qy),
+                    jnp.asarray(sidx),
+                    jnp.asarray(sy),
+                )
+                self.state.step += 1
+                step_losses.append(loss)
+                step_accs.append(acc)
+                step_sizes.append(len(qidx))
+            self._finish_train_metrics(step_losses, step_accs, step_sizes)
+            return
 
         def host_batches():
             for qimg, qy, simg, sy, _sm in batcher.epoch(num_steps):
@@ -214,7 +274,6 @@ class NWTrainer:
                     np.asarray(sy).astype(np.int32),
                 )
 
-        step_losses, step_accs, step_sizes = [], [], []
         for qimg, qy, simg, sy in prefetch_to_device(host_batches(), size=prefetch):
             if self.mesh is not None:
                 qimg = jax.device_put(qimg, self._data_shard)
@@ -246,6 +305,11 @@ class NWTrainer:
             step_accs.append(acc)
             step_sizes.append(bs)
 
+        self._finish_train_metrics(step_losses, step_accs, step_sizes)
+
+    def _finish_train_metrics(self, step_losses, step_accs, step_sizes):
+        """ONE device sync per epoch (a per-step float() costs a ~30 ms
+        tunnel round trip each)."""
         if step_losses:
             for l, a, b in zip(
                 np.asarray(jnp.stack(step_losses)),
@@ -261,14 +325,40 @@ class NWTrainer:
         ECE is computed over the epoch's concatenated probabilities
         (``train.py:352-379``). Host gather/decode runs in a background
         thread ``prefetch`` batches ahead, like the train path."""
-        from nwhead_tpu.data.pipeline import prefetch_to_device
+        from nwhead_tpu.data.pipeline import device_images, prefetch_to_device
 
         ds = self.val_dataset
         variables = self.state.variables()
         probs_all: List[np.ndarray] = []
         gts: List[np.ndarray] = []
-        batches = _padded_eval_batches(ds, self.batch_size, num_steps)
-        for img, label in prefetch_to_device(batches, size=prefetch):
+        dev = device_images(ds) if self.mesh is None else None
+        if dev is not None:
+            # Device-resident val set: slice images on device, ship only
+            # index ranges (see _device_dataset — the link is the wall).
+            def dev_batches():
+                n = len(ds)
+                count = 0
+                for start in range(0, n, self.batch_size):
+                    if num_steps is not None and count >= num_steps:
+                        break
+                    idx = np.arange(start, min(start + self.batch_size, n))
+                    pad = self.batch_size - len(idx)
+                    idxp = (
+                        np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                        if pad else idx
+                    )
+                    yield dev[jnp.asarray(idxp, jnp.int32)], np.asarray(
+                        ds.targets[idx]
+                    )
+                    count += 1
+
+            batches = dev_batches()
+        else:
+            batches = prefetch_to_device(
+                _padded_eval_batches(ds, self.batch_size, num_steps),
+                size=prefetch,
+            )
+        for img, label in batches:
             real = label.shape[0]
             output = self.net.predict(variables, img, mode)
             if isinstance(output, tuple):
