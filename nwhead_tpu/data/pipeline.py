@@ -9,6 +9,7 @@ before step N finishes.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Optional, Tuple
@@ -70,13 +71,23 @@ def device_images(ds):
     images = getattr(ds, "images", None)
     if images is None:
         return None
+    np_images = np.asarray(images)
+    # f32 footprint ceiling: past this the cache would crowd out serving
+    # banks in HBM — fall back to the host gather path (pixels over the
+    # link per batch; slower but correct). Override via env for big-HBM
+    # parts.
+    limit = int(os.environ.get(
+        "NWHEAD_DEVICE_IMAGES_BYTES", 6 * 1024 ** 3))
+    if np_images.size * 4 > limit:
+        return None
+    # Keyed on identity+shape+dtype so an in-place ds.images swap can't
+    # serve stale pixels (advisor round-4 finding).
+    key = (id(images), np_images.shape, str(np_images.dtype))
     cached = getattr(ds, "_device_images_cache", None)
-    if cached is None:
-        cached = jax.device_put(
-            jnp.asarray(np.asarray(images), jnp.float32)
-        )
+    if cached is None or cached[0] != key:
+        cached = (key, jax.device_put(jnp.asarray(np_images, jnp.float32)))
         ds._device_images_cache = cached
-    return cached
+    return cached[1]
 
 
 def prefetch_to_device(iterator, size: int = 2, devices=None):

@@ -43,6 +43,7 @@ existing DMA machinery rather than replacing it.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -420,6 +421,15 @@ def nw_fused_ivf_log_probs(
             tile_sel=tsel, **prepared_kwargs,
         )
 
+    if block_b is not None:
+        # The grouped branch's query tiling IS group_b (each block of
+        # group_b route-sorted queries gets its own tile union) — a
+        # caller-supplied block_b cannot be honored here.
+        warnings.warn(
+            f"block_b={block_b} is ignored on the grouped IVF path: "
+            f"group_b={group_b} defines the query tiling",
+            stacklevel=2,
+        )
     n_tiles = ivf.cents.shape[0]
     np_eff = min(n_probe, n_tiles)
     b_pad = _round_up(B, group_b)

@@ -99,6 +99,25 @@ def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
     return DEFAULT_BLOCK_S
 
 
+# Scale-aware serving tile size (round-5; scripts/bigbank_lab.py
+# --giant_block_s). The per-tile DMA issue cost is ~flat regardless of
+# transfer size (round-4 skip probes: int4's 256 KB and int8's 512 KB
+# tiles cost the same), so past the point where the bank is guaranteed
+# DMA-bound, fewer/larger tiles win: the 8M-row int8 exact head read
+# 8.19 ms at 1024-row tiles vs 6.86 ms (0.84 of stream) at 2048. At
+# CUB/1M scale 1024 was the measured optimum of the round-3 sweeps.
+_BLOCK_S_GIANT = 2048
+_BLOCK_S_GIANT_ROWS = 2_000_000
+
+
+def _serving_block_s(S: int) -> int:
+    """Default prepared-bank tile size: 1024 rows (the small/medium-bank
+    optimum — DMA/compute overlap with a small pipeline tail) until the
+    giant-bank threshold, 2048 past it (per-tile issue cost amortization;
+    see _BLOCK_S_GIANT comment)."""
+    return _BLOCK_S_GIANT if S >= _BLOCK_S_GIANT_ROWS else 1024
+
+
 def _default_block_b(B: int, n_classes: int, block_s: int = 0) -> int:
     """Whole batch as ONE query tile (up to a VMEM-budgeted cap): the bank
     then streams ONCE per call regardless of batch size and the per-tile
@@ -287,9 +306,7 @@ def prepare_support(
                                    sfeat[:1], sfeat)
     S, D = sn.shape
     if block_s is None:
-        # 1024-row tiles measured best for the double-buffered serving
-        # kernel (DMA/compute overlap with a small pipeline tail).
-        block_s = 1024
+        block_s = _serving_block_s(S)
     # TPU tiles are 128 lanes wide — a sub-lane block_s can never be
     # valid (it would make _pack_labels' chunk count zero); round it up.
     block_s = min(_round_up(block_s, 128), _round_up(S, 128))
@@ -875,7 +892,7 @@ def _nw_prepared_kernel(
             qf = qf * qcol
         q2 = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True)
     q_lo_sum8 = q_stack = None
-    if quant4 and int4_impl in ("mxu", "mxu_and8", "_probe_noand"):
+    if quant4 and int4_impl in ("mxu", "mxu_and8", "_probe_noand", "vpu2"):
         # The lo nibble is stored BIASED (+8): dot(q_lo, lo) =
         # dot(q_lo, u') - 8*sum(q_lo). The bias correction is per-query —
         # hoist it out of the tile loop (one lane reduce per call). The
@@ -886,7 +903,8 @@ def _nw_prepared_kernel(
         q_lo_sum8 = 8 * jnp.sum(
             q[:, :hd].astype(jnp.int32), axis=1, keepdims=True
         )
-        q_stack = jnp.concatenate([q[:, :hd], q[:, hd:]], axis=0)
+        if int4_impl != "vpu2":
+            q_stack = jnp.concatenate([q[:, :hd], q[:, hd:]], axis=0)
     q_stack3 = None
     if quant4 and int4_impl == "mxu2":
         # One-matmul layout: LHS row blocks [0|q_hi], [q_lo|0], [q_hi|0]
@@ -1050,6 +1068,29 @@ def _nw_prepared_kernel(
                     ((dot3[:tb] - dot3[2 * tb:]) >> 4) + dot3[tb:2 * tb]
                     - q_lo_sum8
                 )
+            elif int4_impl == "vpu2":
+                # Convert-free VPU unpack (round 5 — the large-batch int4
+                # fix): the legacy 'vpu' chain's wall is the per-byte
+                # i8<->i32 CONVERTS (vector relayouts), not the bit math.
+                # Here the lo half stays BIASED in the scratch (u' = lo+8,
+                # one packed i8 AND — Mosaic legalizes i8 bitwise ops) and
+                # the hoisted -8*sum(q_lo) corrects the dot; the hi nibble
+                # is extracted in the PACKED i32 domain (bitcasts are
+                # free): h = (w >> 4) & 0x0F0F0F0F gives each byte's
+                # unsigned hi nibble (the i32 shift's cross-byte spill is
+                # masked off), and OR-ing bit3's copies into bits 4-7
+                # (m << 1..4) IS two's-complement nibble sign extension —
+                # no cross-byte borrows, unlike a packed subtract.
+                ubuf[:, :half] = s & 15
+                w = pltpu.bitcast(s, jnp.int32)
+                h = (w >> 4) & 0x0F0F0F0F
+                m8 = h & 0x08080808
+                h = h | (m8 << 1) | (m8 << 2) | (m8 << 3) | (m8 << 4)
+                ubuf[:, half:] = pltpu.bitcast(h, jnp.int8)
+                dot_i = jax.lax.dot_general(
+                    q, ubuf[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) - q_lo_sum8
             else:
                 # VPU unpack into the (TS, D) int8 scratch; the biased lo
                 # needs only and+sub (no compare/select), the hi nibble is
@@ -1506,7 +1547,7 @@ def nw_fused_from_prepared(
     agg_precision: str = "f32",
     meta_stream: Optional[bool] = None,
     oh_impl: str = "lane",
-    int4_impl: str = "mxu",
+    int4_impl: Optional[str] = None,
     tile_sel: Optional[jnp.ndarray] = None,
 ):
     """Serving fast path: fused NW log-probs over a ``prepare_support``
@@ -1541,7 +1582,8 @@ def nw_fused_from_prepared(
     per-byte VPU unpack was the int4 path's wall (first on-chip run: B=64
     at 1M rows cost 2.08 ms vs int8's 1.01, i.e. the unpack burned more
     than the DMA it saved):
-    'mxu' (default) — recovers both nibbles' dot products from int8 MXU
+    ``None`` (default) — the measured auto-select: 'mxu' at block_b<=128,
+    'vpu' above. 'mxu' recovers both nibbles' dot products from int8 MXU
     matmuls against the PACKED bytes (the biased-lo packing makes the
     byte an exact affine function of the codes); the only per-byte VPU
     work is one i32 AND per four bytes. 'vpu' — unpacks each tile into a
@@ -1551,9 +1593,18 @@ def nw_fused_from_prepared(
     kernel_params = kernel_params or {}
     if int4_impl in ("select", "shift32"):
         int4_impl = "vpu"
+    if int4_impl is not None and int4_impl.startswith("_probe"):
+        # Timing-only decompositions: they return WRONG probabilities
+        # (iota scores / half dots). Labs opt in knowingly; anyone else
+        # must hear about it loudly.
+        warnings.warn(
+            f"int4_impl={int4_impl!r} is a TIMING-ONLY probe that returns "
+            "wrong probabilities — never use it on a serving path",
+            stacklevel=2,
+        )
     if int4_impl is not None and int4_impl not in (
-        "vpu", "mxu", "mxu2", "mxu_and8", "_probe_noand", "_probe_1mm",
-        "_probe_raw", "_probe_skip",
+        "vpu", "vpu2", "mxu", "mxu2", "mxu_and8", "_probe_noand",
+        "_probe_1mm", "_probe_raw", "_probe_skip",
     ):
         raise ValueError(
             f"unknown int4_impl {int4_impl!r} (use 'mxu', 'vpu', or None "

@@ -157,7 +157,7 @@ def _hnsw_leg(bank_np, sy_np, q_np, k):
 
 
 def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False,
-               block_s=1024):
+               block_s=0):
     """Beyond-f32-memory banks: chunked int8 prepare + concat_prepared.
 
     The standard scale leg materializes the f32 bank (4·S·D bytes) before
@@ -179,6 +179,14 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False,
         prepare_support,
     )
 
+    if not block_s:
+        # The tile size must be chosen for the FINAL bank size, not the
+        # chunk size (chunked builds inherit the first part's tile):
+        # _serving_block_s is the scale-aware default (2048 past the
+        # giant threshold — the per-tile DMA issue amortization win).
+        from nwhead_tpu.ops.pallas_nw import _serving_block_s
+
+        block_s = _serving_block_s(S)
     # IVF builds halve the chunk: the per-chunk transients (f32 chunk +
     # prepare temps + the centroid reduction's workspace) sit on top of
     # the accumulated packed parts, and the first 8M ivf attempt at 1M
@@ -331,9 +339,11 @@ def main(argv=None):
                         "1M-row chunks are generated, int8-prepared, and "
                         "merged via concat_prepared, so S is bounded by the "
                         "INT8 bank bytes (S/4 GB at D=512), not 4S. 0 = off")
-    p.add_argument("--giant_block_s", type=int, default=1024,
-                   help="bank tile rows for the giant build (2048 cuts "
-                        "per-tile DMA ramp + fixed costs at B<=64)")
+    p.add_argument("--giant_block_s", type=int, default=0,
+                   help="bank tile rows for the giant build; 0 = the "
+                        "scale-aware default (_serving_block_s: 2048 past "
+                        "the giant threshold — cuts per-tile DMA ramp + "
+                        "fixed costs)")
     p.add_argument("--giant_ivf", action="store_true",
                    help="build the giant bank with per-chunk IVF indexes "
                         "(prepare_support_ivf + concat_ivf) and add routed "

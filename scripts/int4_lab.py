@@ -43,7 +43,11 @@ from nwhead_tpu.ops.pallas_nw import (  # noqa: E402
     nw_fused_from_prepared, prepare_support,
 )
 
-IMPLS = ("vpu", "mxu")
+# 'vpu2' (round 5): convert-free unpack — packed-i8 AND for the biased lo
+# (bias corrected on the hoisted per-query sum) + i32 SWAR nibble
+# sign-extension for the hi; targets the large-batch regime where 'mxu'
+# pays 1.5x the int8 MXU MACs and legacy 'vpu' pays per-byte converts.
+IMPLS = ("vpu", "vpu2", "mxu")
 
 
 def device_bank(S, C, D, seed=7):

@@ -674,9 +674,11 @@ class TestInt4Bank:
             outs = {
                 impl: np.asarray(nw_fused_from_prepared(
                     q, prep, C, kernel=kernel, int4_impl=impl))
-                for impl in ("vpu", "mxu", "mxu2", "select", "shift32")
+                for impl in ("vpu", "vpu2", "mxu", "mxu2", "select",
+                             "shift32")
             }
             np.testing.assert_array_equal(outs["vpu"], outs["mxu"])
+            np.testing.assert_array_equal(outs["vpu"], outs["vpu2"])
             np.testing.assert_array_equal(outs["vpu"], outs["mxu2"])
             np.testing.assert_array_equal(outs["vpu"], outs["select"])
             np.testing.assert_array_equal(outs["vpu"], outs["shift32"])
