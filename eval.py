@@ -45,7 +45,7 @@ def main(argv=None):
                    help="mode=ivf: grouped routing block size (route-sort "
                         "the batch, one tile union per block; None = one "
                         "union per batch)")
-    p.add_argument("--ivf_n_probe", type=int, default=32,
+    p.add_argument("--ivf_n_probe", type=lambda v: v if v == "auto" else int(v), default=32,
                    help="mode=ivf: routed bank tiles streamed per batch "
                         "(recall knob; >= the tile count is exact full mode)")
     p.add_argument("--num_val_steps", type=int, default=10**9)

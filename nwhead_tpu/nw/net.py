@@ -25,7 +25,7 @@ Key behaviors matched to the reference:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -135,7 +135,7 @@ class NWNet:
         n_shot_cluster: int = 1,
         cluster_impl: str = "device",
         n_neighbors: int = 10,
-        ivf_n_probe: int = 32,
+        ivf_n_probe: Union[int, str] = 32,
         ivf_n_clusters: Optional[int] = None,
         ivf_group_b: Optional[int] = None,
         env_array: Optional[Sequence[int]] = None,
@@ -165,6 +165,10 @@ class NWNet:
         self._sharded_ensemble_cache = None
         # IVF-pruned full mode (mode='ivf'): recall knob + cluster count
         # (None = one cluster per bank tile; see ops/ivf.py).
+        # ivf_n_probe='auto': the first ivf predict calibrates
+        # (n_probe, group_b) against the exact head on that batch
+        # (ops.ivf_auto_config) and pins the result; call calibrate_ivf()
+        # to calibrate explicitly on chosen traffic.
         self.ivf_n_probe = ivf_n_probe
         self.ivf_n_clusters = ivf_n_clusters
         # Grouped routing (diverse/uniform batches): route-sort the batch
@@ -953,6 +957,13 @@ class NWNet:
             kparams = self._head_kernel_params(variables)
             n_classes_ = self.n_classes
             kernel_ = self.kernel_type
+            if self.ivf_n_probe == "auto":
+                raise ValueError(
+                    "ivf_n_probe='auto' is unresolved — call "
+                    "calibrate_ivf(variables, x=...) on representative "
+                    "traffic before make_serving_fn(mode='ivf') (the "
+                    "serving closure bakes the knobs)"
+                )
             n_probe = self.ivf_n_probe
             group_b_ = self.ivf_group_b
 
@@ -1157,6 +1168,13 @@ class NWNet:
             cached = self._ivf_cache
             if cached is not None and cached[0] is bank:
                 return cached[1](qfeat)
+            if self.ivf_n_probe == "auto":
+                raise ValueError(
+                    "ivf_n_probe='auto' is single-device only; under a "
+                    "mesh pick it explicitly (calibrate on a single-device "
+                    "build of the same bank — per-shard routed recall is a "
+                    "superset of the global route)"
+                )
             fn = bank.predict_fn(
                 kernel_params=self._head_kernel_params(variables),
                 ivf_n_probe=self.ivf_n_probe,
@@ -1171,6 +1189,9 @@ class NWNet:
 
         ivf = self._ivf_bank()
         kparams = self._head_kernel_params(variables)
+        if self.ivf_n_probe == "auto":
+            # First-call calibration: this batch IS the traffic sample.
+            self.calibrate_ivf(variables, qfeat=qfeat)
         n_probe = min(self.ivf_n_probe, ivf.prep.lane.shape[0])
         n_classes = self.n_classes
         kernel = self.kernel_type
@@ -1185,6 +1206,52 @@ class NWNet:
 
         self._ivf_cache = (self.full_feat, ivf, fn)
         return fn(qfeat, ivf)
+
+    def calibrate_ivf(
+        self,
+        variables,
+        x=None,
+        qfeat=None,
+        target_agree: float = 0.999,
+        **auto_kwargs,
+    ):
+        """Calibrate the IVF recall knobs against ground truth on a
+        traffic-representative sample (``ops.ivf_auto_config``): one exact
+        full-bank pass on the sample, then routed passes at increasing
+        ``n_probe`` until top-1 agreement reaches ``target_agree``. Pins
+        ``self.ivf_n_probe``/``self.ivf_group_b`` and returns the chosen
+        ``IVFAutoConfig`` (with its measured agreement). Pass raw images
+        ``x`` (featurized with the net's featurizer) or features
+        ``qfeat``. The reference's analogous knob is hnswlib's ``ef``,
+        tuned blind (``/root/reference/nwhead/utils.py:209-211``)."""
+        from nwhead_tpu.ops import ivf_auto_config
+
+        if self.mesh is not None:
+            raise ValueError(
+                "calibrate_ivf runs on the single-device IVF bank; under "
+                "a mesh pick ivf_n_probe explicitly (per-shard routed "
+                "recall is a superset of the global route — a "
+                "single-device calibration of the same bank is a safe "
+                "starting point)"
+            )
+        if qfeat is None:
+            if x is None:
+                raise ValueError("pass x (images) or qfeat (features)")
+            qfeat = self._featurize_eval(variables, jnp.asarray(x))
+        ivf = self._ivf_bank()
+        cfg = ivf_auto_config(
+            jnp.asarray(qfeat), ivf, self.n_classes,
+            kernel=self.kernel_type,
+            kernel_params=self._head_kernel_params(variables),
+            target_agree=target_agree, **auto_kwargs,
+        )
+        self.ivf_n_probe = cfg.n_probe
+        self.ivf_group_b = cfg.group_b
+        # Drop only the jitted closure (it baked the old knobs); the
+        # prepared bank itself is knob-independent.
+        if self._ivf_cache is not None:
+            self._ivf_cache = (self._ivf_cache[0], self._ivf_cache[1], None)
+        return cfg
 
     def _ivf_bank(self):
         """The IVF-routable prepared bank for the CURRENT support features

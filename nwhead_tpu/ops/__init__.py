@@ -14,6 +14,7 @@ from nwhead_tpu.ops.pallas_nw import (
 from nwhead_tpu.ops.ivf import (
     IVFPrepared,
     concat_ivf,
+    ivf_auto_config,
     nw_fused_ivf_log_probs,
     prepare_support_ivf,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "prepare_support_ivf",
     "nw_fused_ivf_log_probs",
     "concat_ivf",
+    "ivf_auto_config",
     "apply_temperature",
     "fit_temperature",
     "support_influence",

@@ -457,3 +457,88 @@ def nw_fused_ivf_log_probs(
         tile_sel=tsel, **prepared_kwargs,
     )
     return out[inv][:B]
+
+
+class IVFAutoConfig(NamedTuple):
+    """A calibrated IVF operating point (``ivf_auto_config``)."""
+
+    n_probe: int
+    group_b: Optional[int]
+    agreement: float        # measured top-1 agreement on the calib batch
+    route_diversity: int    # distinct best tiles in the calib batch
+
+
+def ivf_auto_config(
+    qfeat: jnp.ndarray,
+    ivf: IVFPrepared,
+    n_classes: int,
+    *,
+    kernel: str = "euclidean",
+    kernel_params: Optional[Dict[str, Any]] = None,
+    target_agree: float = 0.999,
+    probes: Tuple[int, ...] = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32),
+    group_b: int = 64,
+    diverse_frac: float = 0.25,
+    interpret: Optional[bool] = None,
+) -> IVFAutoConfig:
+    """Calibrate ``(n_probe, group_b)`` on a representative query batch.
+
+    The reference's recall knob is hnswlib's ``ef`` and the user tunes it
+    blind (``/root/reference/nwhead/utils.py:209-211``); here the knob is
+    ``n_probe`` and this calibrates it against ground truth: one EXACT
+    full-bank pass on ``qfeat`` (paid once, at calibration), then routed
+    passes at increasing ``n_probe`` until top-1 agreement reaches
+    ``target_agree``. Synthetic separated banks answer 1.000 at tiny
+    n_probe; real overlapping feature clusters (digits, synthetic_cub —
+    scripts/ivf_lab.py --real) need more probes, which is exactly what
+    hand-tuning misses.
+
+    ``group_b`` engages (grouped route-sorted unions) when the batch's
+    routing is diverse: if the whole-batch union would exceed
+    ``diverse_frac`` of the bank's tiles, per-group unions are the
+    measured uniform-batch win (BASELINE.md round-4 table). Grouped
+    routing streams a superset of each query's own picks, so agreement
+    measured ungrouped is a lower bound for the grouped config.
+
+    Returns the chosen point plus its measured agreement. Use a batch
+    that looks like serving traffic — calibration is only as good as the
+    sample."""
+    exact = nw_fused_from_prepared(
+        qfeat, ivf.prep, n_classes, kernel=kernel,
+        kernel_params=kernel_params, interpret=interpret,
+    )
+    ref_top1 = np.asarray(exact).argmax(1)
+    mode, _, qn, _ = _resolve_mode(
+        kernel, kernel_params or {}, qfeat, qfeat[:1]
+    )
+    aff = _route_affinity(qn, ivf, mode)
+    best = np.asarray(jnp.argmax(aff, axis=1))
+    diversity = int(np.unique(best).size)
+    n_tiles = int(ivf.cents.shape[0])
+    B = int(qfeat.shape[0])
+
+    chosen = None
+    for p in probes:
+        if p >= n_tiles:
+            break
+        union_est = min(B * p, n_tiles)  # worst-case whole-batch union
+        g = group_b if (
+            B > group_b and union_est > diverse_frac * n_tiles
+        ) else None
+        out = nw_fused_ivf_log_probs(
+            qfeat, ivf, n_classes, kernel=kernel,
+            kernel_params=kernel_params, n_probe=p, group_b=g,
+            interpret=interpret,
+        )
+        agree = float((np.asarray(out).argmax(1) == ref_top1).mean())
+        chosen = IVFAutoConfig(p, g, agree, diversity)
+        if agree >= target_agree:
+            return chosen
+    # Nothing met the target (or the bank has fewer tiles than the first
+    # probe): serve exact-equivalent routing.
+    return IVFAutoConfig(
+        n_tiles,
+        chosen.group_b if chosen is not None else None,
+        1.0,
+        diversity,
+    )

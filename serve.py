@@ -140,6 +140,17 @@ def build_server(args):
             print(f"Saved bank to {args.bank_cache}")
         print(f"Support bank prepared: {len(net.full_y)} items, "
               f"{time.perf_counter() - t0:.1f}s (one-time)")
+    if args.serve_mode == "ivf" and args.ivf_probe == "auto":
+        # Calibrate the recall knobs against the exact head on a val
+        # sample BEFORE any serving closure bakes them (NWNet raises on
+        # an unresolved 'auto' in make_serving_fn).
+        n_cal = min(256, len(val_ds))
+        cfg = net.calibrate_ivf(
+            variables, x=val_ds.gather(np.arange(n_cal)))
+        print(f"IVF auto-calibrated on {n_cal} val queries: "
+              f"n_probe={cfg.n_probe} group_b={cfg.group_b} "
+              f"top-1 agreement {cfg.agreement:.4f} "
+              f"(route diversity {cfg.route_diversity})")
     return net, variables, train_ds, val_ds
 
 
@@ -514,7 +525,9 @@ def export_artifact(net, variables, train_ds, val_ds, args):
     else:
         if args.serve_mode != "full":
             metadata["serve_mode"] = args.serve_mode
-            metadata["ivf_probe"] = args.ivf_probe
+            # net.ivf_n_probe is the RESOLVED knob ('auto' calibrates it
+            # in build_server before any closure bakes it).
+            metadata["ivf_probe"] = net.ivf_n_probe
         fn = serving_fn(net, variables, uint8_normalize=not is_cifar,
                         mode=args.serve_mode)
         meta = export_serving_artifact(
@@ -727,10 +740,12 @@ def main(argv=None):
                         "its top tiles and streams only those — bank DMA "
                         "scales with the batch's class skew (measured up "
                         "to ~16x at 1M rows, 1.000 top-1 agreement)")
-    p.add_argument("--ivf_probe", type=int, default=32,
+    p.add_argument("--ivf_probe", type=lambda v: v if v == "auto" else int(v), default=32,
                    help="--serve_mode ivf: routed tiles per query before "
                         "the batch union (recall knob; >= the bank's tile "
-                        "count reproduces full mode exactly)")
+                        "count reproduces full mode exactly). 'auto' "
+                        "calibrates n_probe+group against the exact head "
+                        "on a val sample (net.calibrate_ivf)")
     p.add_argument("--ivf_group", type=int, default=None,
                    help="--serve_mode ivf: grouped routing — route-sort "
                         "each batch and give every IVF_GROUP-query block "

@@ -572,3 +572,103 @@ def test_net_add_support_grows_ivf_bank_incrementally():
     full = np.asarray(net.predict(variables, q, "full"))
     pd = np.abs(np.exp(out) - np.exp(full)).max()
     assert pd < 1e-5, pd
+
+
+class TestAutoConfig:
+    """ivf_auto_config: calibrated (n_probe, group_b) on NON-separated
+    banks — the regime where hand-tuning fails (round-5 verdict #3).
+    Reference anchor: hnswlib's blind ``ef`` knob,
+    ``/root/reference/nwhead/utils.py:209-211``."""
+
+    def _overlap_bank(self, S=4096, C=12, D=64, B=96, sigma=2.0, seed=3):
+        # Class clusters whose spread rivals their separation: routing
+        # must visit several tiles before agreement converges.
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((C, D))
+        sy = rng.integers(0, C, S)
+        sf = cents[sy] + sigma * rng.standard_normal((S, D))
+        qy = rng.integers(0, C, B)
+        q = cents[qy] + sigma * rng.standard_normal((B, D))
+        return (
+            jnp.asarray(sf, jnp.float32),
+            jnp.asarray(sy, jnp.int32),
+            jnp.asarray(q, jnp.float32),
+        )
+
+    def test_meets_target_on_overlapping_bank(self):
+        from nwhead_tpu.ops import ivf_auto_config
+
+        sf, sy, q = self._overlap_bank()
+        ivf = prepare_support_ivf(sf, sy, 12, block_s=256)
+        cfg = ivf_auto_config(q, ivf, 12, target_agree=0.99)
+        # The chosen point must actually deliver its recorded agreement.
+        exact = np.asarray(nw_fused_from_prepared(q, ivf.prep, 12)).argmax(1)
+        routed = np.asarray(nw_fused_ivf_log_probs(
+            q, ivf, 12, n_probe=cfg.n_probe, group_b=cfg.group_b)).argmax(1)
+        agree = (exact == routed).mean()
+        assert agree >= 0.99
+        assert abs(agree - cfg.agreement) < 1e-9
+        assert 1 <= cfg.n_probe
+        assert cfg.route_diversity >= 1
+
+    def test_agreement_curve_monotone_at_full_probe(self):
+        from nwhead_tpu.ops import ivf_auto_config
+
+        sf, sy, q = self._overlap_bank(sigma=4.0)
+        ivf = prepare_support_ivf(sf, sy, 12, block_s=256)
+        n_tiles = int(ivf.cents.shape[0])
+        # Even a hostile target resolves: the fallback is exact routing.
+        cfg = ivf_auto_config(q, ivf, 12, target_agree=1.0,
+                              probes=(1, 2))
+        if cfg.n_probe >= n_tiles:
+            out = np.asarray(nw_fused_ivf_log_probs(
+                q, ivf, 12, n_probe=cfg.n_probe, group_b=None))
+            exact = np.asarray(nw_fused_from_prepared(q, ivf.prep, 12))
+            np.testing.assert_allclose(out, exact, rtol=0, atol=1e-5)
+
+    def test_nwnet_auto_calibration(self):
+        """NWNet(ivf_n_probe='auto'): first ivf predict calibrates and
+        pins the knobs; serving closure then builds fine."""
+        import flax.linen as nn
+
+        from nwhead_tpu.nw.net import NWNet
+
+        class TinyFeat(nn.Module):
+            feat_dim: int = 32
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Dense(self.feat_dim)(
+                    x.reshape((x.shape[0], -1)))
+
+        rng = np.random.default_rng(0)
+        C = 6
+        imgs = rng.standard_normal((360, 8, 8, 1)).astype(np.float32)
+        labels = rng.integers(0, C, 360)
+
+        class DS:
+            num_classes = C
+            targets = labels
+
+            def __len__(self):
+                return len(labels)
+
+            def gather(self, idx):
+                return imgs[np.asarray(idx)]
+
+        net = NWNet(
+            TinyFeat(), C, support_dataset=DS(), feat_dim=32,
+            n_shot_full=100, ivf_n_probe="auto", fused_min_support=1,
+        )
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:4]))
+        net.precompute(variables)
+        q = jnp.asarray(imgs[:16])
+        with pytest.raises(ValueError, match="auto"):
+            net.make_serving_fn(variables, mode="ivf")
+        out = net.predict(variables, q, "ivf")
+        assert out.shape == (16, C)
+        assert isinstance(net.ivf_n_probe, int)  # pinned by calibration
+        # And now the one-dispatch serving closure builds.
+        fn = net.make_serving_fn(variables, mode="ivf")
+        out2 = np.asarray(fn(q))
+        assert out2.shape == (16, C)
