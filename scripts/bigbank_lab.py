@@ -310,6 +310,54 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False,
               f"frac_vs_819={byt / 819e9 / t:5.3f}", flush=True)
 
 
+def _stream_host_leg(S, D, C, B, chunk=65536):
+    """Host-resident bank through ``nw_streaming_log_probs`` — the third
+    regime (bank exceeds device HBM; ``nw/streaming.py``, ancestor
+    ``legacy/model/net.py:53-72``). Every call ships the WHOLE bank over
+    the host->device link, so qps = link_bytes_per_s / bank_bytes * B —
+    this leg measures that constant and states the regime boundary
+    against the HBM-resident heads (round-5 verdict #7)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from nwhead_tpu.nw.streaming import nw_streaming_log_probs
+
+    rng = np.random.default_rng(9)
+    cents = rng.standard_normal((C, D)).astype(np.float32)
+    sy = rng.integers(0, C, S).astype(np.int32)
+    bank = (cents[sy] + 0.5 * rng.standard_normal((S, D))).astype(
+        np.float32)
+    q = jnp.asarray(
+        cents[rng.integers(0, C, B)]
+        + 0.1 * rng.standard_normal((B, D)), jnp.float32)
+
+    def chunks():
+        for i in range(0, S, chunk):
+            yield bank[i:i + chunk], sy[i:i + chunk]
+
+    out = nw_streaming_log_probs(q, chunks(), C, chunk_size=chunk)
+    float(out.sum())  # warm: compile + one full link pass
+    t0 = _time.perf_counter()
+    out = nw_streaming_log_probs(q, chunks(), C, chunk_size=chunk)
+    float(out.sum())
+    wall = _time.perf_counter() - t0
+    gb = S * D * 4 / 1e9
+    mbps = S * D * 4 / wall / 1e6
+    qps = B / wall
+    # Extrapolation is linear in bank bytes (the link is the wall).
+    q16m = B / (16e6 * D * 4 / (mbps * 1e6))
+    print(f"[stream_host] S={S} ({gb:.2f} GB host f32), B={B}, "
+          f"chunk={chunk}: {wall:.1f} s/batch -> {qps:.3f} q/s "
+          f"(link {mbps:.1f} MB/s; extrapolated 16M-row f32 bank "
+          f"{q16m:.4f} q/s)", flush=True)
+    print("[stream_host] regime boundary: host streaming wins only when "
+          "the bank cannot fit HBM at ANY precision and no mesh is "
+          "available; on this link the HBM int8/int4 heads are ~1e4-1e5x "
+          "faster per byte of bank", flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--S", type=int, default=1_000_000)
@@ -348,6 +396,11 @@ def main(argv=None):
                    help="build the giant bank with per-chunk IVF indexes "
                         "(prepare_support_ivf + concat_ivf) and add routed "
                         "skew-batch gates + timing legs")
+    p.add_argument("--stream_host", type=int, default=0,
+                   help="rows for the host-resident streaming leg "
+                        "(nw/streaming.py): the whole bank crosses the "
+                        "host->device link per batch — measures the link "
+                        "constant + the regime boundary. 0 = off")
     args = p.parse_args(argv)
 
     import jax
@@ -367,6 +420,11 @@ def main(argv=None):
     B = 8 if args.tiny else 64
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(1)
+
+    if args.stream_host:
+        _stream_host_leg(args.stream_host, D, C, B,
+                         chunk=min(65536, args.stream_host))
+        return
 
     if args.giant:
         _giant_leg(args.giant, D, C, B, on_tpu, tiny=args.tiny,
