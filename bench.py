@@ -343,12 +343,14 @@ def _bigbank_fields(on_tpu):
             + 0.05 * jax.random.normal(k2, (S, D), jnp.float32)
         )(sy)
         prep_f32 = prepare_support(sfeat, sy, C)
-        # The IVF build's class-sorted prepared bank IS a standard int8
-        # prepared bank (same stable class sort) — reuse it for the plain
-        # int8 legs, so the routing index costs no extra HBM (~2 MB of
-        # centroids, not a fourth bank copy).
+        # IVF keeps 1024-row tiles (routing granularity — the measured
+        # n_probe/group_b operating points are tuned to it); the PLAIN
+        # exact-head banks take the scale-aware default (2048-row tiles
+        # past the DMA-bound threshold, round-5 sweep: 1M int8 B=64
+        # 1.011 -> 0.853 ms), so they are built separately (~0.5 GB of
+        # extra HBM instead of reusing ivf.prep).
         ivf_i8 = prepare_support_ivf(sfeat, sy, C, precision="int8")
-        prep_i8 = ivf_i8.prep
+        prep_i8 = prepare_support(sfeat, sy, C, precision="int8")
         prep_i4 = prepare_support(sfeat, sy, C, precision="int4")
         # Host slice for the optional HNSW comparison leg (taken before the
         # raw bank is dropped; ~32 MB device->host readback).

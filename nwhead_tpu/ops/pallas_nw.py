@@ -100,20 +100,24 @@ def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
 
 
 # Scale-aware serving tile size (round-5; scripts/bigbank_lab.py
-# --giant_block_s). The per-tile DMA issue cost is ~flat regardless of
-# transfer size (round-4 skip probes: int4's 256 KB and int8's 512 KB
-# tiles cost the same), so past the point where the bank is guaranteed
-# DMA-bound, fewer/larger tiles win: the 8M-row int8 exact head read
-# 8.19 ms at 1024-row tiles vs 6.86 ms (0.84 of stream) at 2048. At
-# CUB/1M scale 1024 was the measured optimum of the round-3 sweeps.
+# --giant_block_s, scripts/int4_lab.py --block_s). The per-tile DMA
+# issue cost is ~flat regardless of transfer size (round-4 skip probes:
+# int4's 256 KB and int8's 512 KB tiles cost the same), so once the bank
+# is DMA-bound, fewer/larger tiles win. Measured on chip: 8M int8 read
+# 8.19 ms at 1024-row tiles vs 6.86 ms at 2048; 1M int8 B=64 1.011 ->
+# 0.853 ms (1.19x), B=256 2.393 -> 2.239, int4 wins the same way
+# (round-5 sweep). At CUB scale the round-3 512/1024/2048 sweep was
+# flat, and 2048 halves the block_b VMEM cap (512*1024 stack budget ->
+# whole-batch tiles stop at 256 queries), which costs ~2.5% at B >= 512
+# — so 1024 stays the default below the threshold.
 _BLOCK_S_GIANT = 2048
-_BLOCK_S_GIANT_ROWS = 2_000_000
+_BLOCK_S_GIANT_ROWS = 262_144
 
 
 def _serving_block_s(S: int) -> int:
     """Default prepared-bank tile size: 1024 rows (the small/medium-bank
     optimum — DMA/compute overlap with a small pipeline tail) until the
-    giant-bank threshold, 2048 past it (per-tile issue cost amortization;
+    DMA-bound threshold, 2048 past it (per-tile issue cost amortization;
     see _BLOCK_S_GIANT comment)."""
     return _BLOCK_S_GIANT if S >= _BLOCK_S_GIANT_ROWS else 1024
 
