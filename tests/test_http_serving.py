@@ -44,7 +44,7 @@ def server():
         proj_dim=0, n_shot_full=5, bf16=False, head_precision="f32",
         featurizer_precision="f32", calib_images=16, fused_inference=False,
         workers=2, decoder="pil", seed=0, bank_cache=None, mesh=None,
-        serve_mode="full", ivf_probe=32,
+        serve_mode="full", ivf_probe=32, ivf_group=None,
     )
     net, variables, train_ds, val_ds = serve.build_server(args)
     fn = serve.serving_fn(net, variables, uint8_normalize=False)
