@@ -80,14 +80,19 @@ def device_images(ds):
         "NWHEAD_DEVICE_IMAGES_BYTES", 6 * 1024 ** 3))
     if np_images.size * 4 > limit:
         return None
-    # Keyed on identity+shape+dtype so an in-place ds.images swap can't
-    # serve stale pixels (advisor round-4 finding).
-    key = (id(images), np_images.shape, str(np_images.dtype))
+    # Keyed on the images OBJECT (strong ref — a bare id() can be
+    # recycled by a same-size reallocation) + shape/dtype, so a
+    # ds.images swap can't serve stale pixels (advisor round-4 finding).
+    key = (images, np_images.shape, str(np_images.dtype))
     cached = getattr(ds, "_device_images_cache", None)
-    if cached is None or cached[0] != key:
-        cached = (key, jax.device_put(jnp.asarray(np_images, jnp.float32)))
+    if (
+        cached is None
+        or cached[0] is not images
+        or cached[1:3] != key[1:3]
+    ):
+        cached = (*key, jax.device_put(jnp.asarray(np_images, jnp.float32)))
         ds._device_images_cache = cached
-    return cached[1]
+    return cached[3]
 
 
 def prefetch_to_device(iterator, size: int = 2, devices=None):

@@ -25,6 +25,7 @@ Key behaviors matched to the reference:
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -1238,6 +1239,19 @@ class NWNet:
             if x is None:
                 raise ValueError("pass x (images) or qfeat (features)")
             qfeat = self._featurize_eval(variables, jnp.asarray(x))
+        if int(jnp.shape(qfeat)[0]) < 32:
+            warnings.warn(
+                f"calibrate_ivf on only {jnp.shape(qfeat)[0]} queries — "
+                "the pinned (n_probe, group_b) is only as good as the "
+                "sample; calibrate on a serving-sized representative "
+                "batch",
+                stacklevel=2,
+            )
+        # An explicitly chosen group size is the grouping CANDIDATE, not
+        # a value to clobber: auto decides whether grouping engages, the
+        # user decides the block size.
+        if isinstance(self.ivf_group_b, int) and "group_b" not in auto_kwargs:
+            auto_kwargs["group_b"] = self.ivf_group_b
         ivf = self._ivf_bank()
         cfg = ivf_auto_config(
             jnp.asarray(qfeat), ivf, self.n_classes,

@@ -55,7 +55,9 @@ def real_curve(args):
         sf, sy = X[:n_train], y[:n_train].astype(np.int32)
         q = X[n_train:]
         C = 10
-        block_s = args.block_s if args.block_s < 1024 else 128
+        # 128-row tiles by default (1500 rows at 1024 would be 2 tiles —
+        # no curve to see); an EXPLICIT --block_s is honored.
+        block_s = args.block_s if args.block_s else 128
     else:  # synthetic_cub features through resnet18
         sys.path.insert(0, "/root/repo")
         import train as train_cli
@@ -83,7 +85,9 @@ def real_curve(args):
         sy = np.asarray(train_ds.targets[:n_bank], np.int32)
         q = featurize(val_ds, min(len(val_ds), 512))
         C = train_ds.num_classes
-        block_s = args.block_s
+        # 256-row tiles by default: 5994 rows at 1024 is 6 tiles — too
+        # coarse for a curve; an EXPLICIT --block_s is honored.
+        block_s = args.block_s if args.block_s else 256
     sf = jnp.asarray(sf)
     sy = jnp.asarray(sy)
     q = jnp.asarray(q, jnp.float32)
@@ -143,9 +147,11 @@ def main():
                          "batch); grouped routing route-sorts the batch "
                          "and gives each block its own tile union — the "
                          "uniform-batch fix (round 4)")
-    ap.add_argument("--block_s", type=int, default=1024,
+    ap.add_argument("--block_s", type=int, default=0,
                     help="bank tile rows; smaller tiles = finer routing "
-                         "(less DMA waste per probe) at more tiles")
+                         "(less DMA waste per probe) at more tiles. 0 = "
+                         "per-mode default (1024 synthetic timing bank, "
+                         "128 --real digits, 256 --real synthetic_cub)")
     ap.add_argument("--active_classes", type=int, default=8,
                     help="classes per concentrated batch")
     ap.add_argument("--cycles", type=int, default=5)
@@ -174,7 +180,7 @@ def main():
         t0 = time.perf_counter()
         ivf = prepare_support_ivf(
             sfeat, sy, C, kernel=args.kernel, precision=prec,
-            block_s=args.block_s,
+            block_s=args.block_s or 1024,
         )
         jax.block_until_ready(jax.tree.leaves(ivf))
         n_tiles = ivf.prep.lane.shape[0]

@@ -55,10 +55,23 @@ def _extract(path: str, workdir: str) -> str:
     os.makedirs(dest, exist_ok=True)
     if path.endswith(".zip"):
         with zipfile.ZipFile(path) as z:
+            for m in z.namelist():
+                # Reject traversal/absolute members — this script's whole
+                # job is ingesting externally-downloaded archives.
+                if os.path.isabs(m) or ".." in m.split("/"):
+                    raise SystemExit(f"unsafe archive member: {m!r}")
             z.extractall(dest)
     else:
         with tarfile.open(path) as t:
-            t.extractall(dest)
+            try:
+                t.extractall(dest, filter="data")
+            except TypeError:  # pre-3.12 tarfile: no filter kwarg
+                for m in t.getmembers():
+                    name = m.name
+                    if os.path.isabs(name) or ".." in name.split("/"):
+                        raise SystemExit(
+                            f"unsafe archive member: {name!r}")
+                t.extractall(dest)
     return dest
 
 

@@ -34,7 +34,7 @@ run ivf_real_cub python scripts/ivf_lab.py --real synthetic_cub
 run stream_host python scripts/bigbank_lab.py --stream_host 262144
 
 # 3. Giant 8M bank at the scale-aware tile (verdict #2 gate: >=0.90 of
-#    measured stream; block_s auto-selects 2048 past 2M rows now).
+#    measured stream; block_s auto-selects 2048 past 256k rows now).
 run giant_8m python scripts/bigbank_lab.py --giant 8000000
 
 # 4. RUN_TPU compiled suite (gates the vpu2 impl + tile default on
