@@ -773,6 +773,12 @@ def test_bigbank_lab_smoke(capsys):
     # --hnsw leg: the C++ index must come up over the bank slice and its
     # recall@k against the host brute force must print.
     assert "recall@10" in out
+    # --stream_host leg (host-resident bank through nw/streaming.py):
+    # the link-constant report must print with a finite rate.
+    mod.main(["--stream_host", "4096", "--C", "50"])
+    out = capsys.readouterr().out
+    assert "[stream_host]" in out and "q/s" in out
+    assert "regime boundary" in out
 
 
 def test_prepared_agg_precision_bf16():
