@@ -1006,3 +1006,21 @@ def test_bigbank_lab_giant_ivf_smoke(capsys):
     out = capsys.readouterr().out
     assert "FAIL" not in out
     assert "routed (n_probe=4) skew-query top-1: 1.000" in out
+
+
+def test_serving_block_s_scale_aware():
+    """The scale-aware default tile size (round-5 measured decision):
+    1024 below the DMA-bound threshold, 2048 past it; prepare_support
+    picks it up when block_s is omitted."""
+    from nwhead_tpu.ops.pallas_nw import (
+        _BLOCK_S_GIANT_ROWS, _serving_block_s, prepare_support)
+
+    assert _serving_block_s(5994) == 1024
+    assert _serving_block_s(_BLOCK_S_GIANT_ROWS - 1) == 1024
+    assert _serving_block_s(_BLOCK_S_GIANT_ROWS) == 2048
+    assert _serving_block_s(8_000_000) == 2048
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.standard_normal((3000, 32)).astype(np.float32))
+    sy = jnp.asarray(rng.integers(0, 7, 3000).astype(np.int32))
+    prep = prepare_support(s, sy, 7)
+    assert prep.lane.shape[1] * 128 == 1024  # small bank keeps 1024
