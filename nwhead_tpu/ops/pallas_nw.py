@@ -109,16 +109,24 @@ def _auto_block_s(S: int, D: int, itemsize: int, c_pad: int) -> int:
 # (round-5 sweep). At CUB scale the round-3 512/1024/2048 sweep was
 # flat, and 2048 halves the block_b VMEM cap (512*1024 stack budget ->
 # whole-batch tiles stop at 256 queries), which costs ~2.5% at B >= 512
-# — so 1024 stays the default below the threshold.
+# — so 1024 stays the default below the threshold. Past 4M rows a
+# 4096-row tile wins again (same-session 8M int8 A/B on chip: B=64
+# 6.872 -> 5.957 ms, 0.845 -> 0.975 of measured stream; B=256 -2.7% —
+# the halved whole-batch cap makes 256-query calls stream the bank
+# twice, but that regime is VPU-bound and the second stream hides).
 _BLOCK_S_GIANT = 2048
 _BLOCK_S_GIANT_ROWS = 262_144
+_BLOCK_S_HUGE = 4096
+_BLOCK_S_HUGE_ROWS = 4_194_304
 
 
 def _serving_block_s(S: int) -> int:
     """Default prepared-bank tile size: 1024 rows (the small/medium-bank
     optimum — DMA/compute overlap with a small pipeline tail) until the
-    DMA-bound threshold, 2048 past it (per-tile issue cost amortization;
-    see _BLOCK_S_GIANT comment)."""
+    DMA-bound threshold, 2048 past it, 4096 past 4M rows (per-tile issue
+    cost amortization; see _BLOCK_S_GIANT comment)."""
+    if S >= _BLOCK_S_HUGE_ROWS:
+        return _BLOCK_S_HUGE
     return _BLOCK_S_GIANT if S >= _BLOCK_S_GIANT_ROWS else 1024
 
 

@@ -182,7 +182,7 @@ def _giant_leg(S, D, C, B, on_tpu, tiny=False, precision="int8", ivf=False,
     if not block_s:
         # The tile size must be chosen for the FINAL bank size, not the
         # chunk size (chunked builds inherit the first part's tile):
-        # _serving_block_s is the scale-aware default (2048 past the
+        # _serving_block_s is the scale-aware default (2048/4096 past the
         # giant threshold — the per-tile DMA issue amortization win).
         from nwhead_tpu.ops.pallas_nw import _serving_block_s
 
@@ -389,7 +389,7 @@ def main(argv=None):
                         "INT8 bank bytes (S/4 GB at D=512), not 4S. 0 = off")
     p.add_argument("--giant_block_s", type=int, default=0,
                    help="bank tile rows for the giant build; 0 = the "
-                        "scale-aware default (_serving_block_s: 2048 past "
+                        "scale-aware default (_serving_block_s: 2048/4096 past "
                         "the giant threshold — cuts per-tile DMA ramp + "
                         "fixed costs)")
     p.add_argument("--giant_ivf", action="store_true",

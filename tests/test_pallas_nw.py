@@ -1010,15 +1010,19 @@ def test_bigbank_lab_giant_ivf_smoke(capsys):
 
 def test_serving_block_s_scale_aware():
     """The scale-aware default tile size (round-5 measured decision):
-    1024 below the DMA-bound threshold, 2048 past it; prepare_support
+    1024 below the DMA-bound threshold, 2048 past it, 4096 past 4M rows
+    (same-session 8M A/B: B=64 0.845 -> 0.975 of stream); prepare_support
     picks it up when block_s is omitted."""
     from nwhead_tpu.ops.pallas_nw import (
-        _BLOCK_S_GIANT_ROWS, _serving_block_s, prepare_support)
+        _BLOCK_S_GIANT_ROWS, _BLOCK_S_HUGE_ROWS, _serving_block_s,
+        prepare_support)
 
     assert _serving_block_s(5994) == 1024
     assert _serving_block_s(_BLOCK_S_GIANT_ROWS - 1) == 1024
     assert _serving_block_s(_BLOCK_S_GIANT_ROWS) == 2048
-    assert _serving_block_s(8_000_000) == 2048
+    assert _serving_block_s(_BLOCK_S_HUGE_ROWS - 1) == 2048
+    assert _serving_block_s(_BLOCK_S_HUGE_ROWS) == 4096
+    assert _serving_block_s(8_000_000) == 4096
     rng = np.random.default_rng(0)
     s = jnp.asarray(rng.standard_normal((3000, 32)).astype(np.float32))
     sy = jnp.asarray(rng.integers(0, 7, 3000).astype(np.int32))
