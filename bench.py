@@ -523,6 +523,83 @@ def _bigbank_fields(on_tpu):
         return {"bigbank_error": f"{type(e).__name__}: {e}"[:200]}
 
 
+def _giant_fields(on_tpu):
+    """Beyond-f32-memory giant-bank leg (BASELINE.md round-5): a
+    4,194,304-row int8 bank — past the 4096-row-tile threshold
+    (`_serving_block_s` third tier), built CHUNKED (the f32 bank never
+    materializes; `concat_prepared` merges per-chunk class-sorted
+    parts) — timed against a paired in-loop stream case. This is the
+    driver-visible record of the giant head's roofline fraction at the
+    scale-aware default tile (8M A/B in scripts/bigbank_lab.py --giant).
+    Defensive like the 1M leg; skip with NWHEAD_BENCH_GIANT=0."""
+    if not on_tpu or os.environ.get("NWHEAD_BENCH_GIANT") == "0":
+        return {}
+    try:
+        from nwhead_tpu.ops.pallas_nw import (
+            _serving_block_s, concat_prepared, nw_fused_from_prepared,
+            prepare_support,
+        )
+
+        S, D, C = 4_194_304, 512, 1000
+        chunk = 1 << 20
+        # The tile must be chosen for the FINAL bank size, not the chunk
+        # (chunked builds inherit the first part's tile — bigbank_lab
+        # lesson): at 4.2M rows the scale-aware default is 4096.
+        block_s = _serving_block_s(S)
+        kc, key = jax.random.split(jax.random.PRNGKey(5))
+        cents = 0.1 * jax.random.normal(kc, (C, D), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def gen(k, n):
+            ky, kn = jax.random.split(k)
+            sy = jax.random.randint(ky, (n,), 0, C, dtype=jnp.int32)
+            return (cents[sy]
+                    + 0.05 * jax.random.normal(kn, (n, D), jnp.float32)), sy
+
+        parts = []
+        for i in range(0, S, chunk):
+            feats, sy = gen(jax.random.fold_in(key, i), min(chunk, S - i))
+            parts.append(prepare_support(
+                feats, sy, C, precision="int8", block_s=block_s))
+            del feats, sy
+        prep = concat_prepared(parts, C)
+        del parts
+        jax.block_until_ready(prep.s)
+        block_s = prep.lane.shape[1] * 128  # as-built (reported)
+
+        # Functional gate: one query AT each of 64 class centroids must
+        # classify to its generating class (2-sigma-separated clusters).
+        rng = np.random.default_rng(2)
+        q_cls = rng.permutation(C)[:64].astype(np.int32)
+        q64 = jnp.asarray(cents)[jnp.asarray(q_cls)]
+        out = np.asarray(nw_fused_from_prepared(q64, prep, C))
+        agree = float((out.argmax(1) == q_cls).mean())
+
+        stream_case, stream_bytes = _stream_case(rng, rows=196608)
+        t, samples = _measure(
+            [stream_case,
+             ("giant_int8_b64",
+              lambda q, p, c: nw_fused_from_prepared(q, p, C).sum() * 1e-6,
+              (q64, prep))],
+            8, 40, cycles=7,
+        )
+        return {
+            "giant_s": S,
+            "giant_block_s": block_s,
+            "giant_int8_ms_b64": round(t["giant_int8_b64"] * 1e3, 2),
+            "giant_int8_qps_b64": round(64 / t["giant_int8_b64"], 1),
+            # (int8_bank_bytes / measured_stream_BW) / t, paired per
+            # cycle — fraction of the stream roofline (the >=0.90 gate
+            # at giant scale; 8M read 0.975 at the 4096 tile).
+            "giant_frac_vs_stream": round(_paired_ratio(
+                samples, "stream", "giant_int8_b64",
+                S * D / stream_bytes), 3),
+            "giant_top1_agree": agree,
+        }
+    except Exception as e:  # noqa: BLE001 — never kill the official line
+        return {"giant_error": f"{type(e).__name__}: {e}"[:200]}
+
+
 def _jpeg_e2e(q8, prep_int8, C, IMG, on_tpu, device_qps, workers=8, bs=64):
     """Images-in -> answers-out from JPEG BYTES: photo-sized (480x640)
     JPEGs decoded by the native C++ pool in a producer thread, pipelined
@@ -786,6 +863,7 @@ def main():
                 "train_steps_per_sec": round(1.0 / train_t, 2),
                 "e2e_qps_batch256": round(qps_b256, 1) if qps_b256 else None,
                 **_bigbank_fields(on_tpu),
+                **_giant_fields(on_tpu),
                 "stream_gbps_measured": round(stream_bw / 1e9, 1),
                 # CUB-scale paired ratio — WOBBLES with XLA operand
                 # placement (the 12.6 MB bank fits in VMEM and sometimes
